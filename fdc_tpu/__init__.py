@@ -1,0 +1,59 @@
+"""fdc_tpu — a TPU-native frequency-domain channelizer framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of gr-FDC
+(frequency-domain DAMA channelizers and wideband carrier detection,
+reference: gereonsuch/gr-FDC). Instead of a graph of small stateful CPU
+blocks, fdc_tpu is built around a handful of large batched pure functions
+plus an explicit carry pytree, driven by a thin host streaming loop, and
+scales over multi-host TPU meshes by sharding time-blocks and channel
+groups (`fdc_tpu.parallel`).
+
+Public API
+----------
+- :class:`fdc_tpu.ChannelizerConfig` / :class:`fdc_tpu.FrequencyDomainChannelizer`
+  — the top-level system, parameter-compatible with the reference hier block
+  (reference: python/FrequencyDomainChannelizer.py:46).
+- :mod:`fdc_tpu.ops` — windows, overlap-save framing, FFT front-end,
+  channel-extraction kernels, detection primitives.
+- :mod:`fdc_tpu.models` — the three channelization modes (throughput,
+  power-activation, segment detection) as functional models.
+- :mod:`fdc_tpu.parallel` — mesh construction and sharded step functions.
+- :mod:`fdc_tpu.utils` — event records (PDU-equivalents), file sinks,
+  waterfall rendering, structured logging.
+"""
+
+from fdc_tpu.config import (
+    FreqMode,
+    WindowType,
+    VerboseMode,
+    ChannelizerConfig,
+    nextpow2,
+    is_pow2,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "FreqMode",
+    "WindowType",
+    "VerboseMode",
+    "ChannelizerConfig",
+    "FrequencyDomainChannelizer",
+    "ChannelEvent",
+    "nextpow2",
+    "is_pow2",
+]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import fdc_tpu` light and avoid import cycles while
+    # submodules are under construction.
+    if name == "FrequencyDomainChannelizer":
+        from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+
+        return FrequencyDomainChannelizer
+    if name == "ChannelEvent":
+        from fdc_tpu.utils.events import ChannelEvent
+
+        return ChannelEvent
+    raise AttributeError(f"module 'fdc_tpu' has no attribute {name!r}")

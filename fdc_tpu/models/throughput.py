@@ -1,0 +1,122 @@
+"""Static ("throughput") channelizer: fixed always-on channels.
+
+Replaces the reference's per-channel 6-block chain
+(vector_cut -> phase_shifting_windowing_vcc -> inverse fft_vcc -> vector_cut
+-> vector_to_stream -> multiply_const;
+reference: python/FrequencyDomainChannelizer.py:218-231) with width-bucketed
+batched extraction: all channels sharing an FFT width l are processed as one
+[C_l, B, l] tensor — one gather, one complex multiply, one batched IFFT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdc_tpu.config import (
+    ChannelizerConfig,
+    ThroughputChannelGeometry,
+    WindowType,
+    solve_throughput_channel,
+)
+from fdc_tpu.ops.extract import extract_bucket
+from fdc_tpu.ops.windows import window_bank
+
+__all__ = ["ThroughputChannelizer"]
+
+
+@dataclass(frozen=True)
+class _Bucket:
+    width: int
+    out_len: int
+    channel_ids: tuple  # original channel indices, in order
+    starts: np.ndarray  # [C] int32
+    windows: np.ndarray  # [C, R, width] complex64
+
+
+class ThroughputChannelizer:
+    """Batched fixed-channel extractor.
+
+    Built once from solved channel geometry; ``extract`` is a pure function
+    of (spectrum batch, global block index) suitable for jit/vmap/shard_map.
+    """
+
+    def __init__(
+        self,
+        blocksize: int,
+        relinvovl: int,
+        channels,  # [(freq, bw)] in FDC [0,1) coordinates
+        windowtype: WindowType = WindowType.RECTANGULAR,
+    ):
+        self.blocksize = blocksize
+        self.relinvovl = relinvovl
+        self.geometry = [
+            solve_throughput_channel(blocksize, relinvovl, f, bw)
+            for f, bw in channels
+        ]
+
+        by_width = {}
+        for i, g in enumerate(self.geometry):
+            by_width.setdefault(g.width, []).append(i)
+
+        self.buckets = []
+        for width in sorted(by_width):
+            ids = by_width[width]
+            starts = np.array(
+                [self.geometry[i].start for i in ids], dtype=np.int32
+            )
+            wins = np.stack(
+                [
+                    window_bank(
+                        windowtype,
+                        width,
+                        self.geometry[i].passband,
+                        self.geometry[i].stopband,
+                        relinvovl,
+                        step=1,
+                    )
+                    for i in ids
+                ]
+            )
+            self.buckets.append(
+                _Bucket(
+                    width=width,
+                    out_len=width - width // relinvovl,
+                    channel_ids=tuple(ids),
+                    starts=starts,
+                    windows=wins,
+                )
+            )
+
+    @property
+    def num_channels(self) -> int:
+        return len(self.geometry)
+
+    def extract(self, spectrum: jax.Array, block_index0) -> list:
+        """Extract all channels from a [B, N] spectrum batch.
+
+        Returns a list (one entry per configured channel, original order) of
+        [B * out_len] complex sample streams — each the contiguous output of
+        that channel for this batch, overlap samples dropped
+        (reference: python/FrequencyDomainChannelizer.py:229-231).
+        """
+        b = spectrum.shape[0]
+        out = [None] * self.num_channels
+        block_index0 = jnp.asarray(block_index0, dtype=jnp.int32)
+        for bucket in self.buckets:
+            l = bucket.width
+            y = extract_bucket(
+                spectrum,
+                jnp.asarray(bucket.starts),
+                jnp.asarray(bucket.windows),
+                block_index0,
+                self.relinvovl,
+                gain=float(l),  # trailing multiply_const(blocksize/dec) == l
+            )  # [C, B, l]
+            y = y[..., l - bucket.out_len :]  # drop time-domain overlap
+            for row, chan in enumerate(bucket.channel_ids):
+                out[chan] = y[row].reshape(b * bucket.out_len)
+        return out

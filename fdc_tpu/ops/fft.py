@@ -1,0 +1,90 @@
+"""FFT front-end and subband inverse-FFT helpers.
+
+The reference computes, per overlapped block, a full-size fftshifted forward
+FFT scaled by 1/N (reference: python/FrequencyDomainChannelizer.py:206,214-216)
+and, per channel, an *unnormalized* inverse FFT of the fftshifted windowed
+bin slice (reference: lib/SegmentDetection_impl.cc:399-429,649-657). Two
+identities keep all of that in single fused batched ops here:
+
+1. ``ifft(fftshift_l(Z))[m] == (-1)^m * ifft(Z)[m]`` for even l, so the
+   pre-IFFT fftshift becomes a (-1)^m output modulation and never
+   materializes a shuffled copy.
+
+2. A w-point IFFT equals a W-point IFFT (W = q*w, power of 2) of the spectrum
+   comb-upsampled by q (bins placed at multiples of q); the W-point output is
+   w-periodic. This lets dynamically-sized detection channels of *any*
+   power-of-2 width share ONE static-shape batched IFFT of width W
+   (``comb_subband_ifft``) — the TPU-native replacement for the reference's
+   per-channel variable-size FFTW plans
+   (reference: lib/SegmentDetection_impl.cc:404).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["forward_spectrum", "subband_ifft", "comb_subband_ifft"]
+
+
+def forward_spectrum(blocks: jax.Array) -> jax.Array:
+    """Batched forward FFT with fftshifted output and 1/N scaling.
+
+    blocks: [..., N] complex -> [..., N] complex spectrum, DC at bin N/2,
+    bin b at normalized FDC frequency b/N
+    (reference: python/FrequencyDomainChannelizer.py:206,214-216).
+    """
+    n = blocks.shape[-1]
+    spec = jnp.fft.fft(blocks, axis=-1)
+    spec = jnp.fft.fftshift(spec, axes=-1)
+    return spec * (1.0 / n)
+
+
+def _alternating_signs(n: int, dtype=jnp.float32) -> jax.Array:
+    return jnp.asarray(np.where(np.arange(n) % 2 == 0, 1.0, -1.0), dtype=dtype)
+
+
+def subband_ifft(z: jax.Array) -> jax.Array:
+    """Unnormalized IFFT of the fftshifted slice: l * ifft(z) * (-1)^m.
+
+    Equivalent to the reference's fftshift-then-FFTW-inverse on a windowed
+    bin slice (reference: lib/SegmentDetection_impl.cc:413-416,649-657).
+    z: [..., l] complex, l even.
+    """
+    l = z.shape[-1]
+    y = jnp.fft.ifft(z, axis=-1)
+    return y * (_alternating_signs(l) * l).astype(y.dtype)
+
+
+def comb_subband_ifft(z_pad: jax.Array, width_log2: jax.Array, w_max: int) -> jax.Array:
+    """Variable-width unnormalized subband IFFT at a single static width.
+
+    Args:
+      z_pad: [..., w_max] complex; the leading w = 2**width_log2 entries of
+        the last axis hold the windowed bin slice (fftshifted subband
+        coordinates), the rest are ignored.
+      width_log2: [...] int32, log2 of each item's true width (broadcastable
+        against z_pad's batch dims).
+      w_max: static maximum width (power of two).
+
+    Returns:
+      y: [..., w_max] complex where ``y[..., m] == w-point unnormalized
+      IFFT(fftshift_w(slice))[m % w]`` — i.e. the first w samples along the
+      last axis equal the reference's per-channel IFFT output
+      (reference: lib/SegmentDetection_impl.cc:399-429) and the output is
+      w-periodic beyond that.
+    """
+    if w_max & (w_max - 1):
+        raise ValueError(f"w_max must be a power of 2, got {w_max}")
+    w_max_log2 = int(np.log2(w_max))
+
+    i = jnp.arange(w_max, dtype=jnp.int32)  # comb position
+    shift = (w_max_log2 - width_log2).astype(jnp.int32)[..., None]  # [..., 1]
+    q_mask = (1 << shift) - 1  # q - 1
+    src = jnp.right_shift(i, shift)  # [..., w_max]
+    on_comb = jnp.bitwise_and(i, q_mask) == 0
+
+    comb = jnp.where(on_comb, jnp.take_along_axis(z_pad, src, axis=-1), 0.0)
+    y = jnp.fft.ifft(comb, axis=-1)
+    return y * (_alternating_signs(w_max) * w_max).astype(y.dtype)

@@ -1,0 +1,132 @@
+"""Unit tests for windows, framing and subband IFFT helpers vs the golden model."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fdc_tpu.config import WindowType
+from fdc_tpu.ops.windows import (
+    window_bank,
+    flank_window_bank,
+    sine_flank_window_bank,
+)
+from fdc_tpu.ops.framing import frame_blocks, initial_history
+from fdc_tpu.ops.fft import forward_spectrum, subband_ifft, comb_subband_ifft
+
+from golden import golden_window_bank, golden_overlap_save, golden_forward_fft
+
+RNG = np.random.default_rng(0)
+
+
+def crandn(*shape):
+    return (RNG.standard_normal(shape) + 1j * RNG.standard_normal(shape)).astype(
+        np.complex64
+    )
+
+
+@pytest.mark.parametrize("wintype", [0, 1, 2])
+@pytest.mark.parametrize(
+    "l,pbw,sbw", [(64, 0.5, 0.8), (128, 0.77, 1.0), (256, 1.2, 1.5), (32, 0.69, 0.94)]
+)
+@pytest.mark.parametrize("step", [0, 1, 3])
+def test_window_bank_matches_golden(wintype, l, pbw, sbw, step):
+    r = 4
+    ours = window_bank(WindowType(wintype), l, pbw, sbw, r, step=step)
+    ref = golden_window_bank(wintype, l, pbw, sbw, r, step)
+    np.testing.assert_allclose(ours, ref, atol=1e-7)
+
+
+def test_flank_window_bank_properties():
+    r, w, puffer = 4, 128, 0.2
+    bank = flank_window_bank(w, r, puffer)
+    assert bank.shape == (r, w)
+    p = int(puffer * w)
+    # first flank sample is exactly zero, center is unit amplitude
+    assert abs(bank[0, 0]) == 0.0
+    np.testing.assert_allclose(abs(bank[0, w // 2]), 1.0, atol=1e-7)
+    np.testing.assert_allclose(abs(bank[0, p]), 1.0, atol=1e-7)
+    # symmetric flanks
+    np.testing.assert_allclose(
+        np.abs(bank[2, :p]), np.abs(bank[2, -p:][::-1]), atol=1e-7
+    )
+    # phase states
+    for i in range(r):
+        np.testing.assert_allclose(
+            bank[i, w // 2], np.exp(2j * np.pi * i / r), atol=1e-6
+        )
+
+
+def test_sine_flank_window_symmetric():
+    bank = sine_flank_window_bank(64, 40, 4)
+    w = bank[0]
+    ramp = (64 - 40) // 3
+    assert ramp > 0
+    np.testing.assert_allclose(np.abs(w[:ramp]), np.abs(w[-ramp:][::-1]), atol=1e-7)
+    np.testing.assert_allclose(np.abs(w[ramp : 64 - ramp]), 1.0, atol=1e-7)
+
+
+def test_frame_blocks_matches_golden_and_carries_history():
+    n, r = 256, 4
+    ovl = n // r
+    inplen = n - ovl
+    x = crandn(10 * inplen)
+
+    ref_blocks, ref_hist = golden_overlap_save(x, n, ovl)
+
+    hist = initial_history(ovl)
+    # run in two chunks to exercise the carry
+    b1, hist = frame_blocks(jnp.asarray(x[: 4 * inplen]), hist, n)
+    b2, hist = frame_blocks(jnp.asarray(x[4 * inplen :]), hist, n)
+    ours = np.concatenate([np.asarray(b1), np.asarray(b2)])
+
+    np.testing.assert_allclose(ours, ref_blocks, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(hist), ref_hist, atol=1e-7)
+
+
+def test_forward_spectrum_matches_golden():
+    blocks = crandn(6, 512)
+    ours = np.asarray(forward_spectrum(jnp.asarray(blocks)))
+    ref = golden_forward_fft(blocks)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("l", [8, 64, 256])
+def test_subband_ifft_equals_fftshift_then_unnormalized_ifft(l):
+    z = crandn(5, l)
+    ours = np.asarray(subband_ifft(jnp.asarray(z)))
+    zs = np.roll(z, -l // 2, axis=-1)  # fftshift for even l
+    ref = np.fft.ifft(zs, axis=-1) * l
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("w", [8, 32, 128, 512])
+def test_comb_subband_ifft_matches_direct_small_ifft(w):
+    w_max = 512
+    z = np.zeros((3, w_max), np.complex64)
+    z[:, :w] = crandn(3, w)
+    wl2 = np.full((3,), int(np.log2(w)), np.int32)
+
+    ours = np.asarray(comb_subband_ifft(jnp.asarray(z), jnp.asarray(wl2), w_max))
+
+    zs = np.roll(z[:, :w], -w // 2, axis=-1)
+    ref = np.fft.ifft(zs, axis=-1) * w
+    # leading w samples match the direct w-point transform
+    np.testing.assert_allclose(ours[:, :w], ref, atol=1e-3)
+    # and the tail is w-periodic
+    if w < w_max:
+        np.testing.assert_allclose(ours[:, w : 2 * w], ours[:, :w], atol=1e-3)
+
+
+def test_comb_subband_ifft_mixed_widths():
+    w_max = 256
+    widths = [16, 256, 64]
+    z = np.zeros((3, w_max), np.complex64)
+    for i, w in enumerate(widths):
+        z[i, :w] = crandn(w)
+    wl2 = np.asarray([int(np.log2(w)) for w in widths], np.int32)
+    ours = np.asarray(comb_subband_ifft(jnp.asarray(z), jnp.asarray(wl2), w_max))
+    for i, w in enumerate(widths):
+        zs = np.roll(z[i, :w], -w // 2)
+        ref = np.fft.ifft(zs) * w
+        np.testing.assert_allclose(ours[i, :w], ref, atol=1e-3)

@@ -1,0 +1,142 @@
+"""End-to-end tests of the static throughput channelizer vs the golden model
+and vs analytic tone reconstruction (the reference's SNR-bound criterion)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fdc_tpu.config import WindowType
+from fdc_tpu.models.throughput import ThroughputChannelizer
+from fdc_tpu.ops.framing import frame_blocks, initial_history
+from fdc_tpu.ops.fft import forward_spectrum
+
+from golden import (
+    golden_overlap_save,
+    golden_forward_fft,
+    golden_throughput_channel,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def make_spectra(x, n, r):
+    ovl = n // r
+    blocks, _ = golden_overlap_save(x, n, ovl)
+    return golden_forward_fft(blocks)
+
+
+@pytest.mark.parametrize("wintype", [0, 1, 2])
+def test_matches_golden_multi_channel(wintype):
+    n, r = 1024, 4
+    inplen = n - n // r
+    x = (
+        RNG.standard_normal(8 * inplen) + 1j * RNG.standard_normal(8 * inplen)
+    ).astype(np.complex64)
+
+    channels = [(0.3, 0.05), (0.62, 0.05), (0.5, 0.011), (0.15, 0.11)]
+    tc = ThroughputChannelizer(n, r, channels, WindowType(wintype))
+
+    hist = initial_history(n // r)
+    blocks, _ = frame_blocks(jnp.asarray(x), hist, n)
+    spec = forward_spectrum(blocks)
+    outs = tc.extract(spec, 0)
+
+    ref_spec = make_spectra(x, n, r)
+    for i, (f, bw) in enumerate(channels):
+        ref = golden_throughput_channel(ref_spec, n, r, f, bw, wintype)
+        np.testing.assert_allclose(
+            np.asarray(outs[i]), ref, atol=2e-4,
+            err_msg=f"channel {i} mismatch",
+        )
+
+
+def test_phase_counter_continuity_across_steps():
+    """Splitting a stream into two jitted steps must give the same output as
+    one step (global block index drives the window phase)."""
+    n, r = 512, 4
+    inplen = n - n // r
+    x = (
+        RNG.standard_normal(8 * inplen) + 1j * RNG.standard_normal(8 * inplen)
+    ).astype(np.complex64)
+    channels = [(0.27, 0.04)]
+    tc = ThroughputChannelizer(n, r, channels)
+
+    def run(xs, hist, t0):
+        blocks, hist = frame_blocks(xs, hist, n)
+        return tc.extract(forward_spectrum(blocks), t0)[0], hist
+
+    hist = initial_history(n // r)
+    full, _ = run(jnp.asarray(x), hist, 0)
+
+    hist = initial_history(n // r)
+    a, hist = run(jnp.asarray(x[: 3 * inplen]), hist, 0)
+    b, _ = run(jnp.asarray(x[3 * inplen :]), hist, 3)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(a), np.asarray(b)]), np.asarray(full),
+        atol=1e-5,
+    )
+
+
+def test_tone_reconstruction_snr():
+    """A tone in the channel passband is reconstructed at the decimated rate
+    with high SNR — the BASELINE 'single static channel extract' config."""
+    n, r = 4096, 4
+    inplen = n - n // r
+    nblocks = 16
+    t = np.arange(nblocks * inplen)
+
+    fc, bw = 1228 / 4096, 0.02  # FDC coords; tone on an exact FFT bin
+    f_bb = fc - 0.5  # baseband cycles/sample
+    x = np.exp(2j * np.pi * f_bb * t).astype(np.complex64)
+
+    tc = ThroughputChannelizer(n, r, [(fc, bw)])
+    g = tc.geometry[0]
+    dec = n // g.width
+
+    hist = initial_history(n // r)
+    blocks, _ = frame_blocks(jnp.asarray(x), hist, n)
+    outs = tc.extract(forward_spectrum(blocks), 0)
+    y = np.asarray(outs[0])
+
+    # drop the first block (zero-history transient)
+    y = y[g.out_len :]
+
+    # expected: same tone at the decimated rate, shifted to the channel's
+    # local coordinates: local bin = fc*N - start, local freq offset from the
+    # slice center in cycles/output-sample
+    local = fc * n - g.start
+    f_local = (local - g.width / 2) / g.width
+    # time alignment: output sample m of block b corresponds to input sample
+    # b*inplen - ovl + (ovlskip + m)*dec ... verify only amplitude+SNR here
+    expect_amp = 1.0
+    amp = np.abs(y)
+    np.testing.assert_allclose(amp, expect_amp, rtol=5e-2)
+
+    # SNR vs best-fit complex exponential at f_local
+    m = np.arange(len(y))
+    basis = np.exp(2j * np.pi * f_local * m)
+    coeff = basis.conj() @ y / len(y)
+    resid = y - coeff * basis
+    snr_db = 10 * np.log10((np.abs(coeff) ** 2) / np.mean(np.abs(resid) ** 2))
+    assert snr_db > 40.0, f"SNR {snr_db:.1f} dB too low"
+
+
+def test_jit_extract_is_pure():
+    n, r = 512, 4
+    tc = ThroughputChannelizer(n, r, [(0.3, 0.05), (0.7, 0.02)])
+
+    @jax.jit
+    def step(x, hist, t0):
+        blocks, hist = frame_blocks(x, hist, n)
+        return tc.extract(forward_spectrum(blocks), t0), hist
+
+    inplen = n - n // r
+    x = jnp.asarray(
+        (RNG.standard_normal(4 * inplen) + 0j).astype(np.complex64)
+    )
+    outs1, _ = step(x, initial_history(n // r), 0)
+    outs2, _ = step(x, initial_history(n // r), 0)
+    for a, b in zip(outs1, outs2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
