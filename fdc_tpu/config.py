@@ -306,6 +306,44 @@ def solve_segment(
     )
 
 
+def solve_segment_vcm(
+    blocksize: int, seg_start: float, seg_stop: float, minchandist: float
+) -> SegmentGeometry:
+    """Segment geometry with the multi-segment block's derivation rules
+    (reference: lib/activity_detection_channelizer_vcm_impl.cc:248-279):
+    rounding instead of truncation, while-loop width clamp, and a correct
+    upper-edge clamp. Segments must be given as 0 <= start < stop <= 1."""
+    if not (0.0 <= seg_start < seg_stop <= 1.0):
+        raise ValueError(
+            f"Segment must satisfy 0 <= start < stop <= 1, got "
+            f"({seg_start}, {seg_stop})"
+        )
+
+    dec_f = blocksize * minchandist / 2.0
+    decimation = 1 if dec_f < 2.0 else int(dec_f)
+
+    mid = int(abs(round((seg_stop + seg_start) * 0.5 * blocksize)))
+    width = int(abs(round((seg_stop - seg_start) * blocksize)))
+    if width % decimation:
+        width += decimation - width % decimation
+    while width >= blocksize:
+        width = blocksize - (blocksize % decimation)
+
+    start = 0 if mid - width // 2 <= 0 else mid - width // 2
+    stop = start + width
+    if stop > blocksize:
+        stop = blocksize
+        start = blocksize - width
+
+    return SegmentGeometry(
+        start=start,
+        stop=stop,
+        width=width,
+        decimation=decimation,
+        n_cells=width // decimation,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Top-level config
 # ---------------------------------------------------------------------------

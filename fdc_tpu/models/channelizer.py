@@ -1,0 +1,287 @@
+"""FrequencyDomainChannelizer — the top-level system.
+
+The functional equivalent of the reference hier block
+(reference: python/FrequencyDomainChannelizer.py:42-316): one shared
+overlap-save FFT front-end feeding three channelization modes —
+
+- throughput channels (always-on streams),
+- power-activated burst channels (PDU/file emission),
+- activity-detection segments with dynamic channel spawning.
+
+Instead of wiring ~6 blocks per channel into a flowgraph, construction
+solves all static geometry and builds ONE jitted step function
+``(carry, samples) -> (carry, outputs)`` processing `batch_blocks` FFT
+blocks at a time; a thin host driver (``process``) buffers arbitrary-length
+sample arrays into batches and runs the host emission layer.
+
+All host<->device traffic is float32 (complex64 viewed as [..., 2]) because
+some TPU runtimes cannot transfer complex buffers (see fdc_tpu.utils.cplx).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdc_tpu.config import ChannelizerConfig, VerboseMode
+from fdc_tpu.models.power_activation import PowerActivationBank
+from fdc_tpu.models.segment_detection import SegmentDetector
+from fdc_tpu.models.throughput import ThroughputChannelizer
+from fdc_tpu.ops.framing import frame_blocks
+from fdc_tpu.ops.fft import forward_spectrum
+from fdc_tpu.runtime.emission import (
+    PowerActivationEmitter,
+    SegmentDetectionEmitter,
+)
+from fdc_tpu.utils.cplx import c2f, c2f_host, f2c, f2c_host
+from fdc_tpu.utils.events import ChannelEvent, FileSink
+from fdc_tpu.utils.logging import make_logger
+
+__all__ = ["FrequencyDomainChannelizer", "ProcessResult"]
+
+
+@dataclass
+class ProcessResult:
+    """Host-side result of processing a chunk of samples."""
+
+    # per configured throughput channel: contiguous complex64 output stream
+    throughput: List[np.ndarray] = field(default_factory=list)
+    # burst / detection events in emission order (PDU equivalents)
+    events: List[ChannelEvent] = field(default_factory=list)
+    # [B_total, N] normalized spectra if debug=True (reference debug port,
+    # python/FrequencyDomainChannelizer.py:152-158,314-315)
+    debug_spectrum: Optional[np.ndarray] = None
+    # [B_total, n_cells] decimated power per detection segment (waterfall feed)
+    segment_power: List[np.ndarray] = field(default_factory=list)
+    blocks_processed: int = 0
+
+
+class FrequencyDomainChannelizer:
+    """Parameter-compatible top-level channelizer.
+
+    Construct from a :class:`ChannelizerConfig` (or its kwargs). Use
+    ``process(samples)`` for the buffered streaming API, or drive the jitted
+    ``device_step`` directly for custom loops / sharding.
+    """
+
+    def __init__(self, config: Optional[ChannelizerConfig] = None, **kwargs):
+        if config is None:
+            config = ChannelizerConfig(**kwargs)
+        elif kwargs:
+            config = config.replace(**kwargs)
+        self.config = config
+        cfg = config
+
+        self.log = make_logger(cfg.verbose, "gr-FDC.FreqDomChan.log")
+
+        # -- sub-models (static geometry solved here) -------------------------
+        self.throughput: Optional[ThroughputChannelizer] = None
+        tp_chans = cfg.fdc_throughput_channels()
+        if tp_chans:
+            self.throughput = ThroughputChannelizer(
+                cfg.blocksize, cfg.relinvovl, tp_chans, cfg.windowtype
+            )
+
+        self.power_bank: Optional[PowerActivationBank] = None
+        pa_chans = cfg.fdc_activity_controlled_channels()
+        if pa_chans:
+            self.power_bank = PowerActivationBank(
+                cfg.blocksize, cfg.relinvovl, pa_chans, cfg.act_contr_threshold
+            )
+
+        self.segments: List[SegmentDetector] = []
+        for i, (a, b) in enumerate(cfg.fdc_activity_detection_segments()):
+            self.segments.append(
+                SegmentDetector(
+                    i,
+                    cfg.blocksize,
+                    cfg.relinvovl,
+                    a,
+                    b,
+                    cfg.act_det_threshold,
+                    cfg.fdc_minchandist(),
+                    cfg.minchanflankpuffer if cfg.minchanflankpuffer >= 0 else 0.2,
+                    cfg.act_det_deactivation_delay
+                    if cfg.act_det_deactivation_delay >= 0
+                    else 0,
+                    cfg.max_slots,
+                    cfg.max_candidates,
+                    cfg.max_extract_width,
+                )
+            )
+
+        # -- host emission layer ----------------------------------------------
+        sink = FileSink(cfg.outputpath, self.log) if cfg.fileoutput else None
+        self.power_emitter = (
+            PowerActivationEmitter(
+                self.power_bank, cfg.pow_act_maxblocks, sink, cfg.msgoutput
+            )
+            if self.power_bank
+            else None
+        )
+        self.segment_emitters = [
+            SegmentDetectionEmitter(sd, cfg.act_det_maxblocks, sink, cfg.msgoutput)
+            for sd in self.segments
+        ]
+
+        # -- streaming state ---------------------------------------------------
+        self._carry = None
+        self._t0 = 0  # global index of next block
+        self._pending = np.zeros(0, np.complex64)  # host sample buffer
+
+        self._jit_step = jax.jit(self._device_step)
+        self._jit_init = jax.jit(self._device_init)
+
+        if cfg.verbose:
+            self.log("# fdc_tpu FrequencyDomainChannelizer")
+            self.log(f"Blocksize     = {cfg.blocksize}")
+            self.log(f"Relinvovl     = {cfg.relinvovl}")
+            self.log(f"Ovllen        = {cfg.ovllen}")
+            self.log(f"BatchBlocks   = {cfg.batch_blocks}")
+            self.log(f"Throughput channels:         {cfg.throughput_channels}")
+            self.log(f"Activity control channels:   {cfg.activity_controlled_channels}")
+            self.log(f"Activity detection segments: {cfg.activity_detection_segments}")
+
+    # -- device functions -------------------------------------------------------
+
+    def _device_init(self):
+        cfg = self.config
+        carry = {
+            "hist": jnp.zeros((cfg.ovllen,), jnp.complex64),
+            "prev_spec": jnp.zeros((cfg.blocksize,), jnp.complex64),
+        }
+        if self.power_bank:
+            carry["powact"] = self.power_bank.init_state()
+        for i, sd in enumerate(self.segments):
+            carry[f"seg{i}"] = sd.init_state()
+        return carry
+
+    def _device_step(self, carry, xf, t0):
+        """One jitted step over B = len(x)//inplen blocks.
+
+        xf: [B*inplen, 2] float32 (complex64 pairs); t0: traced int32 global
+        index of the first block. Returns (carry, out) where all complex
+        leaves of `out` are float32 [..., 2].
+        """
+        cfg = self.config
+        x = f2c(xf)
+        blocks, hist = frame_blocks(x, carry["hist"], cfg.blocksize)
+        spec = forward_spectrum(blocks)  # [B, N]
+        spec_ext = jnp.concatenate([carry["prev_spec"][None], spec])
+
+        new_carry = dict(carry)
+        new_carry["hist"] = hist
+        new_carry["prev_spec"] = spec[-1]
+
+        out = {}
+        if self.throughput:
+            streams = self.throughput.extract(spec, t0)
+            out["throughput"] = [c2f(s) for s in streams]
+        if self.power_bank:
+            new_carry["powact"], po = self.power_bank.step(
+                spec_ext, carry["powact"]
+            )
+            po["extract"] = {w: c2f(v) for w, v in po["extract"].items()}
+            out["powact"] = po
+        for i, sd in enumerate(self.segments):
+            new_carry[f"seg{i}"], so = sd.step(spec_ext, carry[f"seg{i}"])
+            so["extract"] = c2f(so["extract"])
+            out[f"seg{i}"] = so
+        if cfg.debug:
+            out["debug_spectrum"] = c2f(spec)
+        return new_carry, out
+
+    # -- host streaming API ------------------------------------------------------
+
+    @property
+    def batch_samples(self) -> int:
+        return self.config.batch_blocks * self.config.inplen
+
+    def reset(self):
+        self._carry = None
+        self._t0 = 0
+        self._pending = np.zeros(0, np.complex64)
+
+    def process(self, samples: np.ndarray) -> ProcessResult:
+        """Buffered streaming entry point.
+
+        Accepts any-length complex64 sample arrays; whole batches are
+        processed, the remainder is buffered for the next call (the
+        stream_to_vector equivalent).
+        """
+        cfg = self.config
+        if self._carry is None:
+            self._carry = self._jit_init()
+
+        x = np.concatenate([self._pending, np.asarray(samples, np.complex64)])
+        bs = self.batch_samples
+        n_batches = len(x) // bs
+        self._pending = x[n_batches * bs :]
+
+        result = ProcessResult(
+            throughput=[
+                np.zeros(0, np.complex64)
+                for _ in range(self.throughput.num_channels if self.throughput else 0)
+            ],
+            segment_power=[np.zeros((0, sd.geometry.n_cells), np.float32)
+                           for sd in self.segments],
+        )
+        dbg = []
+        for i in range(n_batches):
+            chunk = x[i * bs : (i + 1) * bs]
+            self._carry, out = self._jit_step(
+                self._carry,
+                jnp.asarray(c2f_host(chunk)),
+                jnp.int32(self._t0),
+            )
+            self._consume_outputs(out, result, dbg)
+            self._t0 += cfg.batch_blocks
+            result.blocks_processed += cfg.batch_blocks
+
+        if dbg:
+            result.debug_spectrum = np.concatenate(dbg)
+        return result
+
+    def _consume_outputs(self, out, result: ProcessResult, dbg: list):
+        t0 = self._t0
+        if self.throughput:
+            for c, s in enumerate(out["throughput"]):
+                result.throughput[c] = np.concatenate(
+                    [result.throughput[c], f2c_host(np.asarray(s))]
+                )
+        if self.power_bank:
+            po = jax.tree.map(np.asarray, out["powact"])
+            po["extract"] = {
+                w: f2c_host(v) for w, v in po["extract"].items()
+            }
+            result.events.extend(self.power_emitter.process_step(po, t0))
+        for i in range(len(self.segments)):
+            so = jax.tree.map(np.asarray, out[f"seg{i}"])
+            so["extract"] = f2c_host(so["extract"])
+            state_np = jax.tree.map(np.asarray, self._carry[f"seg{i}"])
+            events, new_state = self.segment_emitters[i].process_step(
+                so, state_np, t0
+            )
+            result.events.extend(events)
+            # upload host slot recycling back into the carry
+            carry = dict(self._carry)
+            seg_state = dict(state_np)
+            seg_state.update(
+                {
+                    "active": jnp.asarray(new_state["active"]),
+                    "tomb": jnp.asarray(new_state["tomb"]),
+                }
+            )
+            carry[f"seg{i}"] = {
+                k: jnp.asarray(v) for k, v in seg_state.items()
+            }
+            self._carry = carry
+            result.segment_power[i] = np.concatenate(
+                [result.segment_power[i], so["power"]]
+            )
+        if self.config.debug and "debug_spectrum" in out:
+            dbg.append(f2c_host(np.asarray(out["debug_spectrum"])))

@@ -1,0 +1,201 @@
+"""Power-activated burst channels (fixed positions, hysteresis on/off).
+
+TPU-native rebuild of PowerActivationChannel
+(reference: lib/PowerActivationChannel_impl.cc): C configured channels share
+
+1. one MXU matmul for all in-band power measurements,
+2. one cheap ``lax.scan`` over the block axis for the per-channel
+   activation state machine (active flag, last-block power, window phase),
+3. one width-bucketed batched extraction over [B+1] spectra — row 0 is the
+   *previous* batch's last block so a channel activating at the batch start
+   can reach back one block, exactly like the reference's history processing
+   (reference: lib/PowerActivationChannel_impl.cc:198-210).
+
+Extraction runs unconditionally for every channel every block (batched, no
+data-dependent shapes); activity only gates which rows the host-side
+emission layer (fdc_tpu.runtime.emission.PowerActivationEmitter) appends to
+burst buffers. The device returns phase-0 extractions; the scalar
+overlap-save phase rotation is applied by the emitter (see
+fdc_tpu/ops/extract.py docstring for why it factors out).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdc_tpu.config import PowerChannelGeometry, solve_power_channel
+from fdc_tpu.ops.detect import band_power
+from fdc_tpu.ops.extract import extract_bucket
+from fdc_tpu.ops.windows import sine_flank_window_bank
+
+__all__ = ["PowerActivationBank"]
+
+# std::numeric_limits<float>::min() — the reference's zero-power floor
+# (reference: lib/PowerActivationChannel_impl.cc:293-294)
+_FLOAT_MIN = np.float32(1.1754944e-38)
+_FLOAT_MAX = np.float32(3.4028235e38)
+
+
+@dataclass(frozen=True)
+class _Bucket:
+    width: int
+    out_len: int
+    channel_ids: tuple
+    starts: np.ndarray  # [C] int32 extract starts
+    windows: np.ndarray  # [C, width] float32 phase-0 sine-flank windows
+
+
+class PowerActivationBank:
+    """Bank of C power-activated channels with one shared device step."""
+
+    def __init__(
+        self,
+        blocksize: int,
+        relinvovl: int,
+        channels,  # [(cfreq, bw)] in FDC [0,1) coordinates
+        thresh_db: float,
+    ):
+        if thresh_db <= 0.0:
+            raise ValueError("Threshold is dB and must be > 0")
+        self.blocksize = blocksize
+        self.relinvovl = relinvovl
+        # linear threshold (reference: lib/PowerActivationChannel_impl.cc:377-381)
+        self.thresh = float(10.0 ** (thresh_db / 10.0))
+        self.geometry = [
+            solve_power_channel(blocksize, relinvovl, f, bw) for f, bw in channels
+        ]
+
+        # measurement masks: [N, C] 0/1 — one matmul measures all channels
+        n_chan = len(self.geometry)
+        masks = np.zeros((blocksize, n_chan), np.float32)
+        for i, g in enumerate(self.geometry):
+            masks[g.measure_start : g.measure_stop, i] = 1.0
+        self.measure_masks = masks
+
+        by_width = {}
+        for i, g in enumerate(self.geometry):
+            by_width.setdefault(g.extract_width, []).append(i)
+        self.buckets = []
+        for width in sorted(by_width):
+            ids = by_width[width]
+            starts = np.array(
+                [self.geometry[i].extract_start for i in ids], np.int32
+            )
+            wins = np.stack(
+                [
+                    # phase-0 copy of the sine-flank bank
+                    sine_flank_window_bank(
+                        width,
+                        self.geometry[i].measure_stop
+                        - self.geometry[i].measure_start,
+                        relinvovl,
+                    )[0].real
+                    for i in ids
+                ]
+            ).astype(np.float32)
+            self.buckets.append(
+                _Bucket(
+                    width=width,
+                    out_len=width - width // relinvovl,
+                    channel_ids=tuple(ids),
+                    starts=starts,
+                    windows=wins,
+                )
+            )
+
+    @property
+    def num_channels(self) -> int:
+        return len(self.geometry)
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self):
+        """Per-channel carry: active flag, last-block power (initialized to
+        float max to suppress an initial activation, reference:
+        lib/PowerActivationChannel_impl.cc:92), window phase."""
+        c = self.num_channels
+        return {
+            "active": jnp.zeros((c,), bool),
+            "lastpower": jnp.full((c,), _FLOAT_MAX, jnp.float32),
+            "phase": jnp.zeros((c,), jnp.int32),
+        }
+
+    # -- device step ----------------------------------------------------------
+
+    def step(self, spec_ext: jax.Array, state):
+        """Process B blocks.
+
+        Args:
+          spec_ext: [B+1, N] normalized fftshifted spectra; row 0 is the
+            previous batch's last block (history), rows 1..B are this batch.
+          state: see init_state.
+
+        Returns (new_state, outputs) with outputs:
+          rise/fall/processed: [C, B] bool flags per block
+            (rise == activation, fall == deactivation-with-final-process;
+            processed == process_channel ran for that block).
+          phase_used: [C, B] int32 window phase consumed by each processed
+            block (the emitter turns this into a scalar rotation).
+          extract: dict {width: [C_w, B+1, out_len] complex} phase-0
+            extraction of every row (row b is block b-1; row 0 is history).
+        """
+        spectrum = spec_ext[1:]  # [B, N]
+        nb = spectrum.shape[0]
+        sq = jnp.abs(spectrum) ** 2
+        powers = band_power(sq, jnp.asarray(self.measure_masks))  # [B, C]
+        powers = jnp.maximum(powers, _FLOAT_MIN)
+
+        delta = jnp.asarray(
+            [g.delta_phase for g in self.geometry], jnp.int32
+        )  # [C]
+        thresh = jnp.float32(self.thresh)
+        r = self.relinvovl
+
+        def scan_body(carry, pwr):
+            active, lastpower, phase = carry
+            # reference: lib/PowerActivationChannel_impl.cc:286-306
+            rise = (~active) & (pwr / lastpower >= thresh)
+            fall = active & (lastpower / pwr >= thresh)
+            processed = rise | active
+            phase_used = jnp.where(rise, delta, phase)
+            new_phase = jnp.where(
+                rise,
+                (2 * delta) % r,
+                jnp.where(processed, (phase + delta) % r, phase),
+            )
+            new_active = (active | rise) & ~fall
+            return (new_active, pwr, new_phase), (
+                rise,
+                fall,
+                processed,
+                phase_used,
+            )
+
+        (active, lastpower, phase), (rise, fall, processed, phase_used) = (
+            jax.lax.scan(
+                scan_body,
+                (state["active"], state["lastpower"], state["phase"]),
+                powers,
+            )
+        )
+        new_state = {"active": active, "lastpower": lastpower, "phase": phase}
+
+        extract = {}
+        for bucket in self.buckets:
+            y = extract_bucket(
+                spec_ext, jnp.asarray(bucket.starts), jnp.asarray(bucket.windows)
+            )  # [C_w, B+1, width], phase-0, unnormalized-IFFT scale
+            extract[bucket.width] = y[..., bucket.width - bucket.out_len :]
+
+        outputs = {
+            "rise": rise.T,  # [C, B]
+            "fall": fall.T,
+            "processed": processed.T,
+            "phase_used": phase_used.T,
+            "extract": extract,
+        }
+        return new_state, outputs

@@ -1,0 +1,315 @@
+"""Dynamic carrier detection + channelization over one frequency segment.
+
+TPU-native rebuild of SegmentDetection (reference: lib/SegmentDetection_impl.cc).
+The reference's data-dependent channel lifecycle (spawn / track / retire with
+variable widths, std::deque of heap-allocated channels, per-channel FFTW
+plans and std::threads) becomes:
+
+1. a decimated power spectrum for the whole batch at once (``cell_power``),
+2. one ``lax.scan`` over blocks updating a FIXED-CAPACITY slot table
+   (the functional form of ``struct active_channel``,
+   reference: lib/SegmentDetection_impl.h:65-83) — candidates via
+   strongest-first edge pairing, first-match refresh semantics, aging,
+   allocation of new slots, tombstoning of retired ones,
+3. one batched variable-width extraction of ALL slots over the [B+1]-row
+   spectrum batch (row 0 = previous batch's last block for activation
+   history reach-back, reference: lib/SegmentDetection_impl.cc:431-435)
+   via the comb-upsampled single-shape IFFT.
+
+Slots are allocated monotonically within a step and never reused until the
+host emission layer has read retired ("tombstoned") slots and freed them
+between steps; slot exhaustion drops new channels with a counter (the
+reference's philosophy of clamp/skip + log rather than dying,
+reference: lib/SegmentDetection_impl.cc:298-308).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdc_tpu.config import SegmentGeometry, solve_segment
+from fdc_tpu.ops.detect import (
+    ceil_log2,
+    cell_power,
+    detect_candidates,
+    match_candidates,
+)
+from fdc_tpu.ops.extract import extract_dynamic
+from fdc_tpu.ops.windows import flank_window_bank
+
+__all__ = ["SegmentDetector"]
+
+
+class SegmentDetector:
+    """One detection segment with an S-slot dynamic channel table."""
+
+    def __init__(
+        self,
+        segment_id: int,
+        blocksize: int,
+        relinvovl: int,
+        seg_start: float,
+        seg_stop: float,
+        thresh_db: float,
+        minchandist: float,
+        window_flank_puffer: float,
+        channel_deactivation_delay: int = 1,
+        max_slots: int = 32,
+        max_candidates: int = 16,
+        max_extract_width: int = 0,
+        geometry: SegmentGeometry = None,
+    ):
+        if thresh_db < 0.0:
+            raise ValueError("Threshold is dB and must be >= 0")
+        if window_flank_puffer < 0.0:
+            raise ValueError("window_flank_puffer must be >= 0")
+        self.segment_id = segment_id
+        self.blocksize = blocksize
+        self.relinvovl = relinvovl
+        # linear threshold (reference: lib/SegmentDetection_impl.cc:75-77)
+        self.thresh = float(10.0 ** (thresh_db / 10.0))
+        self.flank_puffer = float(window_flank_puffer)
+        self.deactivation_delay = int(channel_deactivation_delay)
+        self.max_slots = int(max_slots)
+        self.max_candidates = int(max_candidates)
+        self.w_cap = int(max_extract_width) or blocksize
+        if self.w_cap & (self.w_cap - 1):
+            raise ValueError("max_extract_width must be a power of 2")
+        self.w_cap = min(self.w_cap, blocksize)
+        self.w_cap_log2 = int(math.log2(self.w_cap))
+
+        self.geometry: SegmentGeometry = geometry or solve_segment(
+            blocksize, seg_start, seg_stop, minchandist
+        )
+
+        # Window table for every power-of-2 width <= w_cap, phase-0 copies,
+        # zero-padded to w_cap (reference builds all widths x all phases,
+        # lib/SegmentDetection_impl.cc:551-583; phases factor out — see
+        # fdc_tpu/ops/extract.py).
+        table = np.zeros((self.w_cap_log2 + 1, self.w_cap), np.float32)
+        for s in range(self.w_cap_log2 + 1):
+            w = 1 << s
+            table[s, :w] = flank_window_bank(w, relinvovl, self.flank_puffer)[
+                0
+            ].real
+        self.window_table = table
+
+    # -- state ----------------------------------------------------------------
+
+    def init_state(self):
+        s = self.max_slots
+        return {
+            "active": jnp.zeros((s,), bool),
+            "tomb": jnp.zeros((s,), bool),
+            "det_start": jnp.zeros((s,), jnp.int32),
+            "det_stop": jnp.zeros((s,), jnp.int32),
+            "ext_start": jnp.zeros((s,), jnp.int32),
+            "wlog2": jnp.zeros((s,), jnp.int32),
+            "phase": jnp.zeros((s,), jnp.int32),
+            "phase_inc": jnp.zeros((s,), jnp.int32),
+            "inactive": jnp.zeros((s,), jnp.int32),
+            "order": jnp.zeros((s,), jnp.int32),  # channel ID (activation seq)
+            "alloc_counter": jnp.int32(0),
+            "dropped": jnp.int32(0),  # channels lost to slot/width limits
+        }
+
+    # -- device step ----------------------------------------------------------
+
+    def step(self, spec_ext: jax.Array, state):
+        """Detect + extract over B blocks.
+
+        Args:
+          spec_ext: [B+1, N] normalized fftshifted spectra (row 0 = previous
+            batch's last block).
+          state: slot table, see init_state.
+
+        Returns (new_state, outputs):
+          activated/processed/emit: [S, B] bool — slot s was activated at
+            block b (hist row b + current row b+1 enter its burst), was
+            processed at block b (row b+1 enters), or aged out at block b
+            (host finalizes its burst, blockend = global block index of b).
+          phase_used: [S, B] int32 phase of each processed block.
+          extract: [S, B+1, w_cap] complex phase-0 extraction of every row
+            (leading 2**wlog2[s] samples valid, w-periodic after).
+          power: [B, n_cells] decimated power spectrum (observability /
+            waterfall).
+          plus the final slot table in new_state (geometry is per-step
+          constant per slot: slots are not reused within a step).
+        """
+        g = self.geometry
+        spectrum = spec_ext[1:]
+        sq = jnp.abs(spectrum) ** 2
+        power = cell_power(sq, g.start, g.n_cells, g.decimation)  # [B, nc]
+
+        r = self.relinvovl
+        n = self.blocksize
+        dec = g.decimation
+        d_start = g.start
+        delay = self.deactivation_delay
+        thresh = self.thresh
+        k = self.max_candidates
+        s_idx = jnp.arange(self.max_slots, dtype=jnp.int32)
+        puffer = self.flank_puffer
+
+        def scan_body(carry, pw):
+            (
+                active,
+                tomb,
+                det_start,
+                det_stop,
+                ext_start,
+                wlog2,
+                phase,
+                phase_inc,
+                inactive,
+                order,
+                alloc_counter,
+                dropped,
+            ) = carry
+
+            live = active & ~tomb
+
+            # 1. candidates (cell coords -> bin coords)
+            c_s, c_e, c_v = detect_candidates(pw, thresh, k)
+            cs = c_s * dec + d_start
+            ce = c_e * dec + d_start
+
+            # 2. match against live slots; age unmatched
+            refreshed, consumed = match_candidates(
+                cs, ce, c_v, live, det_start, det_stop, order
+            )
+            inactive = jnp.where(
+                live, jnp.where(refreshed, 0, inactive + 1), inactive
+            )
+
+            # 3. new-channel geometry (reference: lib/SegmentDetection_impl.cc:290-344)
+            new_mask = c_v & ~consumed
+            det_w = ce - cs
+            ext_w_raw = jnp.ceil(
+                det_w.astype(jnp.float32) * (1.0 + 2.0 * puffer)
+            ).astype(jnp.int32)
+            wl2 = ceil_log2(jnp.maximum(ext_w_raw, 1), self.w_cap_log2 + 1)
+            ext_w = jnp.left_shift(jnp.int32(1), wl2)
+            too_big = ext_w > self.w_cap
+            new_ok = new_mask & ~too_big
+
+            # clamp in-band (reference: lib/SegmentDetection_impl.cc:310-320)
+            mid = cs + det_w // 2
+            es = mid - ext_w // 2
+            ee = mid + ext_w // 2
+            neg = es < 0
+            es = jnp.where(neg, 0, es)
+            ee = jnp.where(neg, ext_w, ee)
+            over = ee > n
+            es = jnp.where(over, n - ext_w, es)
+            ee = jnp.where(over, n, ee)
+
+            # 4. allocate free slots in index order, candidates in
+            #    acceptance order (reference activation order)
+            free = ~active & ~tomb
+            rank = jnp.cumsum(new_ok.astype(jnp.int32)) - 1  # [K]
+            free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # [S]
+            assign = (
+                free[:, None]
+                & new_ok[None, :]
+                & (free_rank[:, None] == rank[None, :])
+            )  # [S, K] (at most one true per row and per column)
+            got = jnp.any(assign, axis=1)  # [S]
+            cand_of_slot = jnp.argmax(assign, axis=1)  # [S]
+
+            n_free = free.sum()
+            n_new = new_ok.sum()
+            n_alloc = jnp.minimum(n_new, n_free)
+            dropped = (
+                dropped
+                + (n_new - n_alloc)
+                + (new_mask & too_big).sum().astype(jnp.int32)
+            )
+
+            def pick(arr_k, current):
+                return jnp.where(got, arr_k[cand_of_slot], current)
+
+            active = active | got
+            det_start = pick(cs, det_start)
+            det_stop = pick(ce, det_stop)
+            ext_start = pick(es, ext_start)
+            wlog2 = pick(wl2, wlog2)
+            phase_inc = pick(es % r, phase_inc)
+            inactive = jnp.where(got, 0, inactive)
+            order = jnp.where(
+                got, alloc_counter + rank[cand_of_slot], order
+            )
+            alloc_counter = alloc_counter + n_alloc
+
+            # 5. processing / retiring flags for this block
+            live = active & ~tomb
+            emit_now = live & ~got & (inactive > delay)
+            tomb = tomb | emit_now
+            processed = live & ~emit_now
+            phase_used = jnp.where(got, phase_inc, phase)
+            phase = jnp.where(
+                got,
+                (2 * phase_inc) % r,
+                jnp.where(processed, (phase + phase_inc) % r, phase),
+            )
+
+            new_carry = (
+                active,
+                tomb,
+                det_start,
+                det_stop,
+                ext_start,
+                wlog2,
+                phase,
+                phase_inc,
+                inactive,
+                order,
+                alloc_counter,
+                dropped,
+            )
+            return new_carry, (got, processed, emit_now, phase_used)
+
+        keys = (
+            "active",
+            "tomb",
+            "det_start",
+            "det_stop",
+            "ext_start",
+            "wlog2",
+            "phase",
+            "phase_inc",
+            "inactive",
+            "order",
+            "alloc_counter",
+            "dropped",
+        )
+        init = tuple(state[kk] for kk in keys)
+        final, (got, processed, emit_now, phase_used) = jax.lax.scan(
+            scan_body, init, power
+        )
+        new_state = dict(zip(keys, final))
+
+        # 6. batched variable-width extraction of every slot over every row
+        windows_pad = jnp.asarray(self.window_table)[new_state["wlog2"]]
+        y = extract_dynamic(
+            spec_ext,
+            new_state["ext_start"],
+            new_state["wlog2"],
+            windows_pad,
+            self.w_cap,
+        )  # [S, B+1, w_cap]
+
+        outputs = {
+            "activated": got.T,  # [S, B]
+            "processed": processed.T,
+            "emit": emit_now.T,
+            "phase_used": phase_used.T,
+            "extract": y,
+            "power": power,
+        }
+        return new_state, outputs

@@ -22,8 +22,8 @@ from fdc_tpu.config import (
     WindowType,
     solve_throughput_channel,
 )
-from fdc_tpu.ops.extract import extract_bucket
-from fdc_tpu.ops.windows import window_bank
+from fdc_tpu.ops.extract import apply_phase, extract_bucket
+from fdc_tpu.ops.windows import base_window
 
 __all__ = ["ThroughputChannelizer"]
 
@@ -34,7 +34,7 @@ class _Bucket:
     out_len: int
     channel_ids: tuple  # original channel indices, in order
     starts: np.ndarray  # [C] int32
-    windows: np.ndarray  # [C, R, width] complex64
+    windows: np.ndarray  # [C, width] float32 phase-0 window amplitudes
 
 
 class ThroughputChannelizer:
@@ -70,17 +70,15 @@ class ThroughputChannelizer:
             )
             wins = np.stack(
                 [
-                    window_bank(
+                    base_window(
                         windowtype,
                         width,
                         self.geometry[i].passband,
                         self.geometry[i].stopband,
-                        relinvovl,
-                        step=1,
                     )
                     for i in ids
                 ]
-            )
+            ).astype(np.float32)
             self.buckets.append(
                 _Bucket(
                     width=width,
@@ -106,16 +104,20 @@ class ThroughputChannelizer:
         b = spectrum.shape[0]
         out = [None] * self.num_channels
         block_index0 = jnp.asarray(block_index0, dtype=jnp.int32)
+        t = block_index0 + jnp.arange(b, dtype=jnp.int32)  # [B] global blocks
         for bucket in self.buckets:
             l = bucket.width
+            starts = jnp.asarray(bucket.starts)
             y = extract_bucket(
                 spectrum,
-                jnp.asarray(bucket.starts),
+                starts,
                 jnp.asarray(bucket.windows),
-                block_index0,
-                self.relinvovl,
                 gain=float(l),  # trailing multiply_const(blocksize/dec) == l
             )  # [C, B, l]
+            # overlap-save phase compensation: window index (t * start) % R
+            # (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83)
+            phase_idx = (t[None, :] * starts[:, None]) % self.relinvovl
+            y = apply_phase(y, phase_idx, self.relinvovl)
             y = y[..., l - bucket.out_len :]  # drop time-domain overlap
             for row, chan in enumerate(bucket.channel_ids):
                 out[chan] = y[row].reshape(b * bucket.out_len)

@@ -1,0 +1,190 @@
+"""Detection primitives: in-band power measurement and carrier edge detection.
+
+Fixed-shape, fully-batched re-expressions of the reference's sequential
+detection code:
+
+- ``band_power``: per-block in-band power sums for many bands at once as one
+  |X|^2 matmul (MXU) — replaces the per-channel scalar accumulation loop
+  (reference: lib/PowerActivationChannel_impl.cc:286-306).
+- ``cell_power``: decimated power spectrum over a segment
+  (reference: lib/SegmentDetection_impl.cc:178-193).
+- ``detect_candidates``: rising/falling power-edge pairing with
+  strongest-first greedy overlap rejection, as static-shape top-k + masked
+  scan (reference: lib/SegmentDetection_impl.cc:195-244).
+- ``match_candidates``: refresh/age matching of candidates against an active
+  slot table with the reference's first-match-consumes semantics
+  (reference: lib/SegmentDetection_impl.cc:246-288).
+- ``ceil_log2``: traced-integer next-power-of-2 exponent.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "band_power",
+    "cell_power",
+    "detect_candidates",
+    "match_candidates",
+    "ceil_log2",
+]
+
+_BIG = jnp.int32(2**30)
+
+
+def band_power(spectrum_sq: jax.Array, band_masks: jax.Array) -> jax.Array:
+    """Per-band power sums: [B, N] |X|^2 x [N, C] 0/1 masks -> [B, C].
+
+    One MXU matmul replaces C scalar accumulation loops
+    (reference: lib/PowerActivationChannel_impl.cc:286-306).
+    """
+    return jnp.dot(
+        spectrum_sq, band_masks, preferred_element_type=jnp.float32
+    )
+
+
+def cell_power(
+    spectrum_sq: jax.Array, start: int, n_cells: int, decimation: int
+) -> jax.Array:
+    """Decimated power spectrum over one segment.
+
+    spectrum_sq: [B, N] |X|^2. Returns [B, n_cells] with
+    cell[i] = sum over bins [start + i*dec, start + (i+1)*dec)
+    (reference: lib/SegmentDetection_impl.cc:178-193).
+    """
+    seg = jax.lax.slice_in_dim(
+        spectrum_sq, start, start + n_cells * decimation, axis=1
+    )
+    return seg.reshape(spectrum_sq.shape[0], n_cells, decimation).sum(axis=-1)
+
+
+def ceil_log2(v: jax.Array, max_log2: int) -> jax.Array:
+    """ceil(log2(v)) for traced positive int32 v, exact integer arithmetic.
+
+    Counts powers of two strictly below v (static unrolled sum, max_log2+1
+    terms)."""
+    v = v.astype(jnp.int32)
+    acc = jnp.zeros_like(v)
+    for j in range(max_log2 + 1):
+        acc = acc + (v > (1 << j)).astype(jnp.int32)
+    return acc
+
+
+def detect_candidates(
+    power: jax.Array,
+    thresh: float,
+    max_candidates: int,
+):
+    """Edge-detect carrier candidates in one block's decimated power spectrum.
+
+    Mirrors get_active_channels (reference: lib/SegmentDetection_impl.cc:195-244):
+    adjacent-cell power ratios; rising edges (> thresh, recorded at the lower
+    cell index i), falling edges (< 1/thresh, recorded at cell i+1); rising
+    edges processed strongest-first, each paired with the nearest following
+    falling edge, rejected if overlapping an already accepted candidate
+    (overlap test: start < acc_end && end >= acc_start).
+
+    Args:
+      power: [n_cells] decimated power values of one block.
+      thresh: linear power-ratio threshold (> 1).
+      max_candidates: K, static number of rising edges considered
+        (strongest-first; the reference considers all — K bounds it, matching
+        the strongest-K subset).
+
+    Returns:
+      (cand_start, cand_end, cand_valid): [K] int32 cell coordinates
+      (start inclusive, end exclusive, in CELL units) and validity mask,
+      in acceptance (strength) order.
+    """
+    n_cells = power.shape[0]
+    n_r = n_cells - 1
+    k = max_candidates
+
+    ratio = power[1:] / power[:-1]  # [n_r]
+    rise = ratio > thresh
+    fall = ratio < (1.0 / thresh)
+
+    # next falling edge at ratio-index >= i (upper_bound equivalent):
+    idx = jnp.arange(n_r, dtype=jnp.int32)
+    fall_idx = jnp.where(fall, idx, _BIG)
+    # reversed cumulative min -> nearest fall at or after each position
+    next_fall = jnp.flip(jax.lax.cummin(jnp.flip(fall_idx)))
+
+    # strongest-first rising edges
+    rise_strength = jnp.where(rise, ratio, -jnp.inf)
+    top_val, top_i = jax.lax.top_k(rise_strength, k)  # [K]
+    has_rise = jnp.isfinite(top_val)
+    nf = next_fall[top_i]
+    has_pair = has_rise & (nf < _BIG)
+
+    cand_s = top_i.astype(jnp.int32)  # start cell (the low cell before rise)
+    cand_e = (nf + 1).astype(jnp.int32)  # end cell (exclusive)
+
+    # greedy overlap rejection in strength order, exact reference test
+    def scan_body(carry, x):
+        acc_s, acc_e, acc_v, j = carry
+        s, e, ok = x
+        overlap = jnp.any(acc_v & (s < acc_e) & (e >= acc_s))
+        accept = ok & ~overlap
+        acc_s = acc_s.at[j].set(jnp.where(accept, s, 0))
+        acc_e = acc_e.at[j].set(jnp.where(accept, e, 0))
+        acc_v = acc_v.at[j].set(accept)
+        return (acc_s, acc_e, acc_v, j + 1), accept
+
+    init = (
+        jnp.zeros(k, jnp.int32),
+        jnp.zeros(k, jnp.int32),
+        jnp.zeros(k, bool),
+        jnp.int32(0),
+    )
+    (acc_s, acc_e, acc_v, _), accepted = jax.lax.scan(
+        scan_body, init, (cand_s, cand_e, has_pair)
+    )
+    return acc_s, acc_e, acc_v
+
+
+def match_candidates(
+    cand_start,
+    cand_end,
+    cand_valid,
+    slot_active,
+    slot_det_start,
+    slot_det_stop,
+    slot_order,
+):
+    """Match candidate intervals (bin coordinates) against the active slot table.
+
+    Implements the reference's sequential consume-on-first-overlap semantics
+    (reference: lib/SegmentDetection_impl.cc:246-288): channels are visited in
+    activation order; each consumes every candidate overlapping it; consumed
+    candidates are invisible to later channels. A slot is refreshed iff some
+    candidate's *earliest-activated* overlapping slot is that slot.
+
+    Args:
+      cand_start/cand_end/cand_valid: [K] candidate bins (end exclusive... the
+        reference's overlap test is start < det_stop && end >= det_start).
+      slot_active: [S] bool (active and not tombstoned).
+      slot_det_start/slot_det_stop: [S] int32 detection bounds.
+      slot_order: [S] int32 activation sequence numbers (lower = earlier).
+
+    Returns:
+      (refreshed [S] bool, consumed [K] bool).
+    """
+    m = (
+        slot_active[:, None]
+        & cand_valid[None, :]
+        & (cand_start[None, :] < slot_det_stop[:, None])
+        & (cand_end[None, :] >= slot_det_start[:, None])
+    )  # [S, K]
+
+    order = jnp.where(slot_active, slot_order, _BIG)  # [S]
+    order_m = jnp.where(m, order[:, None], _BIG)  # [S, K]
+    first = jnp.argmin(order_m, axis=0)  # [K] slot index of earliest match
+    consumed = jnp.any(m, axis=0)  # [K]
+
+    s_idx = jnp.arange(slot_active.shape[0], dtype=jnp.int32)
+    refreshed = jnp.any(
+        m & (first[None, :] == s_idx[:, None]) & consumed[None, :], axis=1
+    )
+    return refreshed, consumed

@@ -1,4 +1,4 @@
-"""Channel extraction: bin-slice gather + phased-window multiply + subband IFFT.
+"""Channel extraction: bin-slice gather + window multiply + subband IFFT.
 
 This single fused path replaces four reference blocks in the throughput chain
 (vector_cut -> phase_shifting_windowing_vcc -> inverse fft_vcc -> vector_cut;
@@ -8,9 +8,16 @@ reference: python/FrequencyDomainChannelizer.py:218-231) and the
 lib/SegmentDetection_impl.cc:399-429).
 
 Channels of equal width are batched into one [C, B, l] tensor so the windowed
-multiply and the IFFT run as single large VPU/FFT ops; the per-block window
-phase index (overlap-save phase compensation) is computed with broadcast
-integer arithmetic instead of the reference's per-block counters.
+multiply and the IFFT run as single large VPU/FFT ops.
+
+Phase compensation: every phase copy in the reference's window banks is the
+base window times a constant scalar e^{j*2pi*p/R} (reference:
+lib/windows.h:69-77 — the polar phase does not depend on the sample index),
+so overlap-save phase-rotation compensation factors out of the IFFT entirely:
+extraction_with_phase_p == e^{j*2pi*p/R} * extraction_with_phase_0. The hot
+path therefore stores ONE real-amplitude window per channel and applies the
+per-block phase as a scalar complex rotation on the IFFT output
+(``apply_phase``), saving an R-times larger window table and a gather.
 """
 
 from __future__ import annotations
@@ -21,7 +28,31 @@ import numpy as np
 
 from fdc_tpu.ops.fft import subband_ifft, comb_subband_ifft
 
-__all__ = ["gather_slices", "extract_bucket", "extract_dynamic"]
+__all__ = [
+    "phase_table",
+    "apply_phase",
+    "gather_slices",
+    "extract_bucket",
+    "extract_dynamic",
+]
+
+
+def phase_table(relinvovl: int) -> jax.Array:
+    """[R] complex64 table of e^{j*2pi*p/R} phase-compensation factors.
+
+    Computed with device ops (not a host complex constant) because some TPU
+    runtimes cannot transfer complex buffers host->device."""
+    ang = (2.0 * np.pi / relinvovl) * jnp.arange(relinvovl, dtype=jnp.float32)
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def apply_phase(y: jax.Array, phase_idx: jax.Array, relinvovl: int) -> jax.Array:
+    """Multiply [..., L] outputs by the scalar phase factor of each row.
+
+    phase_idx: integer array broadcastable against y's batch dims.
+    """
+    table = phase_table(relinvovl)
+    return y * table[phase_idx][..., None]
 
 
 def gather_slices(spectrum: jax.Array, starts: jax.Array, width: int) -> jax.Array:
@@ -44,49 +75,34 @@ def gather_slices(spectrum: jax.Array, starts: jax.Array, width: int) -> jax.Arr
 def extract_bucket(
     spectrum: jax.Array,
     starts: jax.Array,
-    windows: jax.Array,
-    block_index0: jax.Array,
-    relinvovl: int,
+    base_windows: jax.Array,
     gain: float = 1.0,
 ) -> jax.Array:
     """Extract a bucket of equal-width channels from a batch of spectra.
 
     Args:
       spectrum: [B, N] normalized fftshifted spectra.
-      starts: [C] int32 slice start bins (also the per-block phase increment
-        source: window index of channel c at global block t is
-        (t * starts[c]) % relinvovl, the batched equivalent of the
-        reference's counter
-        (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83)).
-      windows: [C, R, l] complex phased window banks.
-      block_index0: scalar int — global index of the first block in the batch.
-      relinvovl: R.
-      gain: final scalar gain (the reference's trailing multiply_const,
+      starts: [C] int32 slice start bins.
+      base_windows: [C, l] window amplitudes (phase-0 copies).
+      gain: scalar gain (the reference's trailing multiply_const,
         reference: python/FrequencyDomainChannelizer.py:231).
 
-    Returns [C, B, l] full-rate subband blocks INCLUDING the leading l//R
-    time-domain overlap samples (callers drop them; keeping the op
-    shape-uniform lets power/throughput paths share it).
+    Returns [C, B, l] phase-0 full-rate subband blocks INCLUDING the leading
+    l//R time-domain overlap samples. Callers drop the overlap and apply
+    per-block phase rotation via ``apply_phase``.
     """
-    c, r, l = windows.shape
-    b = spectrum.shape[0]
+    l = base_windows.shape[-1]
     slices = gather_slices(spectrum, starts, l)  # [C, B, l]
-
-    t = block_index0 + jnp.arange(b, dtype=jnp.int32)  # [B]
-    phase_idx = (t[None, :] * starts[:, None]) % relinvovl  # [C, B]
-    w = jnp.take_along_axis(
-        windows, phase_idx[:, :, None], axis=1
-    )  # windows[c, phase_idx[c,b], :] -> [C, B, l]
-
-    y = subband_ifft(slices * w)
-    return y * jnp.asarray(gain, dtype=y.dtype)
+    y = subband_ifft(slices * base_windows[:, None, :].astype(slices.dtype))
+    if gain != 1.0:
+        y = y * jnp.asarray(gain, dtype=y.dtype)
+    return y
 
 
 def extract_dynamic(
     spectrum: jax.Array,
     starts: jax.Array,
     width_log2: jax.Array,
-    phase_idx: jax.Array,
     windows_pad: jax.Array,
     w_max: int,
 ) -> jax.Array:
@@ -94,23 +110,20 @@ def extract_dynamic(
 
     Args:
       spectrum: [B, N] normalized fftshifted spectra.
-      starts: [S] int32 extraction start bins (traced values; clamped by the
-        caller so start + width <= N).
+      starts: [S] int32 extraction start bins (traced; in [0, N)).
       width_log2: [S] int32 log2 of each slot's extraction width.
-      phase_idx: [S, B] int32 window phase state per slot per block
-        (reference: lib/SegmentDetection_impl.cc:426 ``phase=(phase+phaseincrement)%relinvovl``).
-      windows_pad: [S, R, w_max] complex — each slot's window bank zero-padded
-        to w_max along the last axis.
-      w_max: static maximum extraction width.
+      windows_pad: [S, w_max] real/complex window amplitudes, zero-padded
+        past each slot's true width.
+      w_max: static maximum extraction width (power of 2).
 
-    Returns [S, B, w_max] where the leading 2**width_log2[s] samples of each
-    row hold the slot's full-rate subband block (including the ovl prefix).
+    Returns [S, B, w_max] phase-0 outputs: the leading 2**width_log2[s]
+    samples of each row hold the slot's full-rate subband block (including
+    the ovl prefix); the row repeats with period 2**width_log2[s] after.
     """
     # Zero-pad the spectrum tail so a w_max-long gather starting anywhere in
-    # [0, N) never clamps (slots narrower than w_max may start past N - w_max;
-    # the zero window padding discards the garbage bins).
+    # [0, N) never clamps (slots narrower than w_max may start past
+    # N - w_max; the zero window padding discards the garbage bins).
     spectrum = jnp.pad(spectrum, ((0, 0), (0, w_max)))
     slices = gather_slices(spectrum, starts, w_max)  # [S, B, w_max]
-    w = jnp.take_along_axis(windows_pad, phase_idx[:, :, None], axis=1)
-    z = slices * w  # [S, B, w_max]; bins past the true width are zero (window pad)
+    z = slices * windows_pad[:, None, :].astype(slices.dtype)
     return comb_subband_ifft(z, width_log2[:, None], w_max)

@@ -1,0 +1,299 @@
+"""Host emission layer: turns device step outputs into ChannelEvents.
+
+The devices return dense per-block flags plus phase-0 extraction tensors;
+this layer replays the reference's per-block emission logic exactly —
+burst buffers, part counters, maxblocks partial emission, metadata and ID
+conventions — producing :class:`fdc_tpu.utils.events.ChannelEvent` records
+(the PDU equivalents) and optional raw files.
+
+Block-count conventions differ between the two reference blocks and are
+replicated:
+- PowerActivationChannel: blockcount starts at 1 ("hist is block 0") and the
+  count during handling of global block t is t+1
+  (reference: lib/PowerActivationChannel_impl.cc:96,147-171).
+- SegmentDetection: d_blockcount starts at 0 and is incremented after each
+  block, so emission during block t reads t
+  (reference: lib/SegmentDetection_impl.cc:117,141-154).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from fdc_tpu.utils.events import ChannelEvent, FileSink, make_event_id
+
+__all__ = ["PowerActivationEmitter", "SegmentDetectionEmitter"]
+
+
+def _phase_rot_table(relinvovl: int) -> np.ndarray:
+    return np.exp(2j * np.pi * np.arange(relinvovl) / relinvovl).astype(
+        np.complex64
+    )
+
+
+class PowerActivationEmitter:
+    """Burst assembly + emission for a PowerActivationBank.
+
+    One instance owns the host state of all C channels: burst buffers,
+    part/count counters, message IDs (reference state:
+    lib/PowerActivationChannel_impl.h via :96-110 ctor).
+    """
+
+    def __init__(
+        self,
+        bank,
+        maxblocks: int,
+        file_sink: Optional[FileSink] = None,
+        msg_output: bool = True,
+    ):
+        self.bank = bank
+        self.maxblocks = int(maxblocks)
+        self.file_sink = file_sink
+        self.msg_output = msg_output
+        self.rot = _phase_rot_table(bank.relinvovl)
+
+        c = bank.num_channels
+        self._blocks = [[] for _ in range(c)]
+        self._count = np.zeros(c, np.int64)
+        self._part = np.zeros(c, np.int64)
+        self._msg_id = [""] * c
+        self._finished = np.zeros(c, np.int64)
+
+        # channel -> (bucket width, row inside bucket extraction tensor)
+        self._loc = {}
+        for bucket in bank.buckets:
+            for row, chan in enumerate(bucket.channel_ids):
+                self._loc[chan] = (bucket.width, row)
+
+    def _emit(self, c: int, fin: bool, blockcount: int) -> ChannelEvent:
+        g = self.bank.geometry[c]
+        data = (
+            np.concatenate(self._blocks[c])
+            if self._blocks[c]
+            else np.zeros(0, np.complex64)
+        )
+        self._blocks[c] = []
+        ev = ChannelEvent(
+            # dict ID carries a .fin/.part suffix
+            # (reference: lib/PowerActivationChannel_impl.cc:224)
+            ID=self._msg_id[c] + (".fin" if fin else ".part"),
+            finalized=fin,
+            part=int(self._part[c]),
+            rel_cfreq=(g.extract_start + g.extract_stop) / 2.0 / self.bank.blocksize,
+            rel_bw=g.extract_width / self.bank.blocksize,
+            blockstart=int(blockcount - self._count[c]),
+            blockend=int(blockcount),
+            data=data,
+        )
+        if self.file_sink is not None:
+            # file name uses the bare ID + .fin/.parted.N
+            # (reference: lib/PowerActivationChannel_impl.cc:236-237)
+            fev = ChannelEvent(
+                **{**ev.__dict__, "ID": self._msg_id[c]}
+            )
+            self.file_sink.write(fev)
+        self._part[c] += 1
+        return ev
+
+    def process_step(self, outputs, t0: int) -> List[ChannelEvent]:
+        """Replay B blocks of device flags; returns events in emission order.
+
+        outputs: numpy-converted device outputs of PowerActivationBank.step.
+        t0: global index of the first block of this batch.
+        """
+        rise = np.asarray(outputs["rise"])
+        fall = np.asarray(outputs["fall"])
+        processed = np.asarray(outputs["processed"])
+        phase_used = np.asarray(outputs["phase_used"])
+        ext = {w: np.asarray(v) for w, v in outputs["extract"].items()}
+
+        c_total, nb = rise.shape
+        events: List[ChannelEvent] = []
+        mb = self.maxblocks
+
+        for b in range(nb):
+            blockcount = t0 + b + 1
+            # only touch channels with any flag set this block
+            for c in np.nonzero(rise[:, b] | processed[:, b])[0]:
+                width, row = self._loc[c]
+                rows = ext[width]
+                if rise[c, b]:
+                    # activate: reset burst, process hist + current block
+                    # (reference: lib/PowerActivationChannel_impl.cc:198-210)
+                    self._part[c] = 0
+                    self._count[c] = 0
+                    self._blocks[c] = []
+                    self._msg_id[c] = make_event_id(
+                        "PowActChan", c, int(self._finished[c])
+                    )
+                    self._blocks[c].append(rows[row, b])  # hist, phase 0
+                    self._blocks[c].append(
+                        rows[row, b + 1] * self.rot[phase_used[c, b]]
+                    )
+                    self._count[c] += 2
+                elif processed[c, b]:
+                    self._blocks[c].append(
+                        rows[row, b + 1] * self.rot[phase_used[c, b]]
+                    )
+                    self._count[c] += 1
+
+                if fall[c, b]:
+                    events.append(self._emit(c, True, blockcount))
+                    self._finished[c] += 1
+                elif (
+                    processed[c, b]
+                    and not rise[c, b]
+                    and (
+                        mb == 0
+                        or (mb > 0 and self._count[c] % mb == 0)
+                    )
+                ):
+                    # partial emission while active
+                    # (reference: lib/PowerActivationChannel_impl.cc:159-166)
+                    events.append(self._emit(c, False, blockcount))
+
+        return events
+
+
+class SegmentDetectionEmitter:
+    """Burst assembly + emission + slot recycling for a SegmentDetector."""
+
+    def __init__(
+        self,
+        detector,
+        maxblocks: int,
+        file_sink: Optional[FileSink] = None,
+        msg_output: bool = True,
+    ):
+        self.det = detector
+        self.maxblocks = int(maxblocks)
+        self.file_sink = file_sink
+        self.msg_output = msg_output
+        self.rot = _phase_rot_table(detector.relinvovl)
+
+        s = detector.max_slots
+        self._data = [[] for _ in range(s)]
+        self._count = np.zeros(s, np.int64)
+        self._part = np.zeros(s, np.int64)
+        self._msg_id = [""] * s
+        # cached geometry per slot (filled at activation)
+        self._es = np.zeros(s, np.int64)
+        self._ee = np.zeros(s, np.int64)
+        self._w = np.zeros(s, np.int64)
+        self._live = np.zeros(s, bool)
+
+    def _emit(self, s: int, fin: bool, blockcount: int, ntx: int) -> ChannelEvent:
+        n = self.det.blocksize
+        chunk = self._data[s][:ntx] if ntx else []
+        self._data[s] = self._data[s][ntx:]
+        data = (
+            np.concatenate(chunk) if chunk else np.zeros(0, np.complex64)
+        )
+        part = int(self._part[s])
+        ev = ChannelEvent(
+            ID=self._msg_id[s],
+            finalized=fin,
+            # fin events carry `part` only if partial emissions happened
+            # (reference: lib/SegmentDetection_impl.cc:450-451,506)
+            part=(part if (not fin or part > 0) else None),
+            rel_bw=float(self._w[s]) / n,
+            rel_cfreq=(self._es[s] + self._ee[s]) / 2.0 / n,
+            blockstart=int(blockcount - self._count[s]),
+            blockend=int(blockcount),
+            vectorstart=int(self._es[s]),
+            vectorend=int(self._ee[s]),
+            data=data,
+        )
+        if self.file_sink is not None:
+            self.file_sink.write(ev)
+        if not fin:
+            self._part[s] += 1
+        return ev
+
+    def process_step(self, outputs, state, t0: int):
+        """Replay B blocks; returns (events, updated_state).
+
+        outputs/state: numpy-converted outputs and new state of
+        SegmentDetector.step. Frees tombstoned slots in the returned state
+        copy (host owns slot recycling between steps).
+        """
+        activated = np.asarray(outputs["activated"])
+        processed = np.asarray(outputs["processed"])
+        emit = np.asarray(outputs["emit"])
+        phase_used = np.asarray(outputs["phase_used"])
+        extract = np.asarray(outputs["extract"])  # [S, B+1, w_cap]
+
+        ext_start = np.asarray(state["ext_start"])
+        wlog2 = np.asarray(state["wlog2"])
+        order = np.asarray(state["order"])
+
+        s_total, nb = activated.shape
+        r = self.det.relinvovl
+        events: List[ChannelEvent] = []
+        mb = self.maxblocks
+
+        for b in range(nb):
+            blockcount = t0 + b  # SegmentDetection convention
+            act_s = np.nonzero(activated[:, b])[0]
+            for s in act_s:
+                w = 1 << int(wlog2[s])
+                self._live[s] = True
+                self._data[s] = []
+                self._count[s] = 0
+                self._part[s] = 0
+                self._es[s] = int(ext_start[s])
+                self._ee[s] = int(ext_start[s]) + w
+                self._w[s] = w
+                self._msg_id[s] = make_event_id(
+                    "DETECTED", self.det.segment_id, int(order[s])
+                )
+                ovl = w // r
+                outlen = w - ovl
+                # hist block (phase 0) then current block
+                # (reference: lib/SegmentDetection_impl.cc:431-435)
+                self._data[s].append(extract[s, b, ovl : ovl + outlen])
+                self._data[s].append(
+                    extract[s, b + 1, ovl : ovl + outlen]
+                    * self.rot[phase_used[s, b]]
+                )
+                self._count[s] += 2
+
+            proc_s = np.nonzero(processed[:, b] & ~activated[:, b])[0]
+            for s in proc_s:
+                w = int(self._w[s])
+                ovl = w // r
+                self._data[s].append(
+                    extract[s, b + 1, ovl : w]
+                    * self.rot[phase_used[s, b]]
+                )
+                self._count[s] += 1
+
+            for s in np.nonzero(emit[:, b])[0]:
+                events.append(
+                    self._emit(s, True, blockcount, len(self._data[s]))
+                )
+                self._live[s] = False
+
+            # maxblocks partial emission after all per-block work
+            # (reference: lib/SegmentDetection_impl.cc:359-362)
+            if mb >= 0:
+                for s in np.nonzero(self._live)[0]:
+                    if len(self._data[s]) >= mb:
+                        ntx = len(self._data[s]) if mb == 0 else mb
+                        if ntx > 0:
+                            events.append(
+                                self._emit(s, False, blockcount, ntx)
+                            )
+
+        # free emitted slots for the next step
+        new_state = dict(state)
+        tomb = np.asarray(state["tomb"])
+        active = np.asarray(state["active"])
+        freed = tomb.copy()
+        active = active & ~freed
+        tomb = tomb & ~freed
+        new_state["active"] = active
+        new_state["tomb"] = tomb
+        return events, new_state

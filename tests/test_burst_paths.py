@@ -1,0 +1,168 @@
+"""End-to-end tests of the power-activation and segment-detection paths:
+the full FrequencyDomainChannelizer (device scan + host emission) must
+reproduce the golden sequential reference model's event stream — same
+events, same metadata, same data — including bursts crossing jitted-step
+boundaries."""
+
+import numpy as np
+import pytest
+
+from fdc_tpu import ChannelizerConfig, FrequencyDomainChannelizer
+
+from golden import (
+    golden_overlap_save,
+    golden_forward_fft,
+    golden_power_activation,
+    golden_segment_detection,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def burst_signal(n_blocks, inplen, bursts, noise_amp=1e-3):
+    """bursts: [(block_on, block_off, fdc_freq, amp)] — tone active for
+    blocks in [on, off)."""
+    n = n_blocks * inplen
+    t = np.arange(n)
+    x = (
+        RNG.standard_normal(n) + 1j * RNG.standard_normal(n)
+    ) * noise_amp
+    for on, off, fdc_freq, amp in bursts:
+        gate = np.zeros(n)
+        gate[on * inplen : off * inplen] = 1.0
+        x = x + amp * gate * np.exp(2j * np.pi * (fdc_freq - 0.5) * t)
+    return x.astype(np.complex64)
+
+
+def spectra_of(x, n, r):
+    blocks, _ = golden_overlap_save(x.astype(np.complex128), n, n // r)
+    return golden_forward_fft(blocks)
+
+
+def check_events(ours, ref, atol, check_vector=False):
+    assert len(ours) == len(ref), (
+        f"{len(ours)} events vs golden {len(ref)}:\n"
+        f"ours: {[(e.ID, e.blockstart, e.blockend, e.finalized) for e in ours]}\n"
+        f"ref:  {[(d['blockstart'], d['blockend'], d['finalized']) for d in ref]}"
+    )
+    for i, (ev, g) in enumerate(zip(ours, ref)):
+        assert ev.finalized == g["finalized"], i
+        assert ev.blockstart == g["blockstart"], (i, ev.blockstart, g["blockstart"])
+        assert ev.blockend == g["blockend"], (i, ev.blockend, g["blockend"])
+        np.testing.assert_allclose(ev.rel_cfreq, g["rel_cfreq"], atol=1e-9)
+        np.testing.assert_allclose(ev.rel_bw, g["rel_bw"], atol=1e-9)
+        if g["part"] is not None:
+            assert ev.part == g["part"], i
+        if check_vector:
+            assert ev.vectorstart == g["vectorstart"], i
+            assert ev.vectorend == g["vectorend"], i
+        assert ev.data.shape == g["data"].shape, (
+            i, ev.data.shape, g["data"].shape,
+        )
+        np.testing.assert_allclose(ev.data, g["data"], atol=atol, err_msg=str(i))
+
+
+@pytest.mark.parametrize("batch_blocks", [8, 32])
+def test_power_activation_matches_golden(batch_blocks):
+    n, r = 1024, 4
+    inplen = n - n // r
+    n_blocks = 32
+    cfreq_fdc = 0.75
+    bw = 0.05
+    # two bursts; the first crosses the 8-block step boundary
+    x = burst_signal(
+        n_blocks, inplen,
+        [(5, 13, cfreq_fdc, 1.0), (20, 24, cfreq_fdc, 0.7)],
+    )
+
+    fdc = FrequencyDomainChannelizer(
+        ChannelizerConfig(
+            blocksize=n,
+            relinvovl=r,
+            activity_controlled_channels=[(cfreq_fdc - 0.5, bw)],
+            act_contr_threshold=10.0,
+            pow_act_maxblocks=5,  # exercise partial emission
+            batch_blocks=batch_blocks,
+        )
+    )
+    res = fdc.process(x)
+    assert res.blocks_processed == n_blocks
+
+    ref = golden_power_activation(
+        spectra_of(x, n, r), n, r, cfreq_fdc, bw, 10.0, 5
+    )
+    assert len(ref) >= 4  # 2 fins + partials — sanity of the scenario
+    check_events(res.events, ref, atol=2e-4)
+    # ID convention: timestamp.PowActChan.<chan>.<burst counter>
+    for ev in res.events:
+        parts = ev.ID.split(".")
+        assert parts[1] == "PowActChan"
+
+
+@pytest.mark.parametrize("batch_blocks", [8, 16])
+def test_segment_detection_matches_golden(batch_blocks):
+    n, r = 1024, 4
+    inplen = n - n // r
+    n_blocks = 32
+    seg = (0.1, 0.9)  # FDC coords
+    mcd = 0.04  # -> decimation 20
+    thresh_db = 8.0
+    puffer = 0.2
+    maxblocks = 6
+    delay = 1
+
+    # carrier A spans a batch boundary; carrier B is short; C is wider
+    x = burst_signal(
+        n_blocks, inplen,
+        [
+            (4, 14, 0.30, 1.0),
+            (8, 12, 0.60, 0.8),
+            (18, 26, 0.45, 0.9),
+        ],
+        noise_amp=2e-3,
+    )
+
+    fdc = FrequencyDomainChannelizer(
+        ChannelizerConfig(
+            blocksize=n,
+            relinvovl=r,
+            activity_detection_segments=[(seg[0] - 0.5, seg[1] - 0.5)],
+            act_det_threshold=thresh_db,
+            minchandist=mcd,
+            minchanflankpuffer=puffer,
+            act_det_maxblocks=maxblocks,
+            act_det_deactivation_delay=delay,
+            batch_blocks=batch_blocks,
+        )
+    )
+    res = fdc.process(x)
+
+    ref = golden_segment_detection(
+        spectra_of(x, n, r), n, r, seg[0], seg[1], thresh_db, mcd,
+        puffer, maxblocks, delay,
+    )
+    assert len(ref) >= 3, f"weak scenario: only {len(ref)} golden events"
+    check_events(res.events, ref, atol=3e-4, check_vector=True)
+    # ID convention: timestamp.DETECTED.<segment>.<channel counter>
+    for ev, g in zip(res.events, ref):
+        parts = ev.ID.split(".")
+        assert parts[-2] == "0" and parts[-3] == "DETECTED"
+        assert int(parts[-1]) == g["chan_id"]
+
+
+def test_segment_detection_silence_has_no_events():
+    n, r = 512, 4
+    inplen = n - n // r
+    x = (RNG.standard_normal(16 * inplen) * 1e-3).astype(np.complex64)
+    fdc = FrequencyDomainChannelizer(
+        ChannelizerConfig(
+            blocksize=n,
+            relinvovl=r,
+            activity_detection_segments=[(-0.3, 0.3)],
+            act_det_threshold=10.0,
+            minchandist=0.05,
+            batch_blocks=8,
+        )
+    )
+    res = fdc.process(x)
+    assert res.events == []
