@@ -126,29 +126,21 @@ class PowerActivationBank:
 
     # -- device step ----------------------------------------------------------
 
-    def step(self, spec_ext: jax.Array, state):
-        """Process B blocks.
-
-        Args:
-          spec_ext: [B+1, N] normalized fftshifted spectra; row 0 is the
-            previous batch's last block (history), rows 1..B are this batch.
-          state: see init_state.
-
-        Returns (new_state, outputs) with outputs:
-          rise/fall/processed: [C, B] bool flags per block
-            (rise == activation, fall == deactivation-with-final-process;
-            processed == process_channel ran for that block).
-          phase_used: [C, B] int32 window phase consumed by each processed
-            block (the emitter turns this into a scalar rotation).
-          extract: dict {width: [C_w, B+1, out_len] complex} phase-0
-            extraction of every row (row b is block b-1; row 0 is history).
-        """
-        spectrum = spec_ext[1:]  # [B, N]
-        nb = spectrum.shape[0]
+    def measure(self, spectrum: jax.Array) -> jax.Array:
+        """[B, N] spectra -> [B, C] floored in-band powers (one MXU matmul,
+        reference: lib/PowerActivationChannel_impl.cc:286-306)."""
         sq = jnp.abs(spectrum) ** 2
-        powers = band_power(sq, jnp.asarray(self.measure_masks))  # [B, C]
-        powers = jnp.maximum(powers, _FLOAT_MIN)
+        powers = band_power(sq, jnp.asarray(self.measure_masks))
+        return jnp.maximum(powers, _FLOAT_MIN)
 
+    def scan_flags(self, powers: jax.Array, state):
+        """Activation state machine over [B, C] powers.
+
+        Cheap sequential part of the step, separated out so the parallel
+        layer can run it replicated on all-gathered powers while extraction
+        stays sharded. Returns (new_state, (rise, fall, processed,
+        phase_used)) — all flags [C, B].
+        """
         delta = jnp.asarray(
             [g.delta_phase for g in self.geometry], jnp.int32
         )  # [C]
@@ -183,19 +175,51 @@ class PowerActivationBank:
             )
         )
         new_state = {"active": active, "lastpower": lastpower, "phase": phase}
+        return new_state, (rise.T, fall.T, processed.T, phase_used.T)
 
+    def extract_rows(self, spec_ext: jax.Array, bucket_tables=None):
+        """Width-bucketed extraction of every configured channel over every
+        spectrum row. ``bucket_tables`` optionally overrides each bucket's
+        (starts, windows) arrays — the parallel layer passes channel-sharded
+        views. Returns {width: [C_w, rows, out_len] complex}, phase 0."""
         extract = {}
-        for bucket in self.buckets:
-            y = extract_bucket(
-                spec_ext, jnp.asarray(bucket.starts), jnp.asarray(bucket.windows)
-            )  # [C_w, B+1, width], phase-0, unnormalized-IFFT scale
+        for i, bucket in enumerate(self.buckets):
+            if bucket_tables is not None:
+                starts, windows = bucket_tables[i]
+            else:
+                starts = jnp.asarray(bucket.starts)
+                windows = jnp.asarray(bucket.windows)
+            y = extract_bucket(spec_ext, starts, windows)
+            # [C_w, rows, width], phase-0, unnormalized-IFFT scale
             extract[bucket.width] = y[..., bucket.width - bucket.out_len :]
+        return extract
 
+    def step(self, spec_ext: jax.Array, state):
+        """Process B blocks.
+
+        Args:
+          spec_ext: [B+1, N] normalized fftshifted spectra; row 0 is the
+            previous batch's last block (history), rows 1..B are this batch.
+          state: see init_state.
+
+        Returns (new_state, outputs) with outputs:
+          rise/fall/processed: [C, B] bool flags per block
+            (rise == activation, fall == deactivation-with-final-process;
+            processed == process_channel ran for that block).
+          phase_used: [C, B] int32 window phase consumed by each processed
+            block (the emitter turns this into a scalar rotation).
+          extract: dict {width: [C_w, B+1, out_len] complex} phase-0
+            extraction of every row (row b is block b-1; row 0 is history).
+        """
+        powers = self.measure(spec_ext[1:])  # [B, C]
+        new_state, (rise, fall, processed, phase_used) = self.scan_flags(
+            powers, state
+        )
         outputs = {
-            "rise": rise.T,  # [C, B]
-            "fall": fall.T,
-            "processed": processed.T,
-            "phase_used": phase_used.T,
-            "extract": extract,
+            "rise": rise,  # [C, B]
+            "fall": fall,
+            "processed": processed,
+            "phase_used": phase_used,
+            "extract": self.extract_rows(spec_ext),
         }
         return new_state, outputs

@@ -120,32 +120,22 @@ class SegmentDetector:
 
     # -- device step ----------------------------------------------------------
 
-    def step(self, spec_ext: jax.Array, state):
-        """Detect + extract over B blocks.
+    def measure(self, spectrum: jax.Array) -> jax.Array:
+        """[B, N] spectra -> [B, n_cells] decimated segment power
+        (reference: lib/SegmentDetection_impl.cc:178-193)."""
+        g = self.geometry
+        sq = jnp.abs(spectrum) ** 2
+        return cell_power(sq, g.start, g.n_cells, g.decimation)
 
-        Args:
-          spec_ext: [B+1, N] normalized fftshifted spectra (row 0 = previous
-            batch's last block).
-          state: slot table, see init_state.
+    def scan_slots(self, power: jax.Array, state):
+        """Detection + slot-table lifecycle scan over [B, n_cells] powers.
 
-        Returns (new_state, outputs):
-          activated/processed/emit: [S, B] bool — slot s was activated at
-            block b (hist row b + current row b+1 enter its burst), was
-            processed at block b (row b+1 enters), or aged out at block b
-            (host finalizes its burst, blockend = global block index of b).
-          phase_used: [S, B] int32 phase of each processed block.
-          extract: [S, B+1, w_cap] complex phase-0 extraction of every row
-            (leading 2**wlog2[s] samples valid, w-periodic after).
-          power: [B, n_cells] decimated power spectrum (observability /
-            waterfall).
-          plus the final slot table in new_state (geometry is per-step
-          constant per slot: slots are not reused within a step).
+        The cheap sequential part of the step, separated out so the parallel
+        layer can run it replicated on all-gathered powers while extraction
+        stays sharded. Returns (new_state, (activated, processed, emit,
+        phase_used)) — all flags [B, S] in scan order.
         """
         g = self.geometry
-        spectrum = spec_ext[1:]
-        sq = jnp.abs(spectrum) ** 2
-        power = cell_power(sq, g.start, g.n_cells, g.decimation)  # [B, nc]
-
         r = self.relinvovl
         n = self.blocksize
         dec = g.decimation
@@ -289,20 +279,52 @@ class SegmentDetector:
             "dropped",
         )
         init = tuple(state[kk] for kk in keys)
-        final, (got, processed, emit_now, phase_used) = jax.lax.scan(
-            scan_body, init, power
-        )
-        new_state = dict(zip(keys, final))
+        final, flags = jax.lax.scan(scan_body, init, power)
+        return dict(zip(keys, final)), flags
 
-        # 6. batched variable-width extraction of every slot over every row
-        windows_pad = jnp.asarray(self.window_table)[new_state["wlog2"]]
-        y = extract_dynamic(
-            spec_ext,
-            new_state["ext_start"],
-            new_state["wlog2"],
-            windows_pad,
-            self.w_cap,
-        )  # [S, B+1, w_cap]
+    def extract_slots(self, spec_ext: jax.Array, state, slot_lo=0,
+                      slot_count: int = None):
+        """Batched variable-width extraction of ``slot_count`` slots starting
+        at ``slot_lo`` (may be traced) over every spectrum row. The slot range
+        lets the parallel layer shard the (heavy) extraction over a mesh
+        channel axis while the slot table itself stays replicated.
+        Returns [slot_count, rows, w_cap], phase 0."""
+        slot_count = self.max_slots if slot_count is None else slot_count
+        ext_start = jax.lax.dynamic_slice_in_dim(
+            state["ext_start"], slot_lo, slot_count
+        )
+        wlog2 = jax.lax.dynamic_slice_in_dim(state["wlog2"], slot_lo, slot_count)
+        windows_pad = jnp.asarray(self.window_table)[wlog2]
+        return extract_dynamic(
+            spec_ext, ext_start, wlog2, windows_pad, self.w_cap
+        )
+
+    def step(self, spec_ext: jax.Array, state):
+        """Detect + extract over B blocks.
+
+        Args:
+          spec_ext: [B+1, N] normalized fftshifted spectra (row 0 = previous
+            batch's last block).
+          state: slot table, see init_state.
+
+        Returns (new_state, outputs):
+          activated/processed/emit: [S, B] bool — slot s was activated at
+            block b (hist row b + current row b+1 enter its burst), was
+            processed at block b (row b+1 enters), or aged out at block b
+            (host finalizes its burst, blockend = global block index of b).
+          phase_used: [S, B] int32 phase of each processed block.
+          extract: [S, B+1, w_cap] complex phase-0 extraction of every row
+            (leading 2**wlog2[s] samples valid, w-periodic after).
+          power: [B, n_cells] decimated power spectrum (observability /
+            waterfall).
+          plus the final slot table in new_state (geometry is per-step
+          constant per slot: slots are not reused within a step).
+        """
+        power = self.measure(spec_ext[1:])  # [B, nc]
+        new_state, (got, processed, emit_now, phase_used) = self.scan_slots(
+            power, state
+        )
+        y = self.extract_slots(spec_ext, new_state)  # [S, B+1, w_cap]
 
         outputs = {
             "activated": got.T,  # [S, B]

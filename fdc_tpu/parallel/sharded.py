@@ -1,0 +1,330 @@
+"""Multi-device channelizer: the full step as one shard_map over (time, chan).
+
+Distribution design (BASELINE.json north star; no reference analog — the
+reference is single-process, reference: SURVEY.md §2.4):
+
+- **time axis**: the batch of B FFT blocks is split into T consecutive runs.
+  Each shard frames/FFTs/extracts its own blocks. The two pieces of
+  cross-block state — the overlap-save sample history and the previous
+  block's spectrum (burst reach-back row) — are handed to the right
+  neighbor with one :func:`jax.lax.ppermute` each, the ring-style boundary
+  exchange of the reference's ``hist`` members
+  (reference: lib/overlap_save_impl.cc:70-78, lib/SegmentDetection_impl.cc:585-590).
+
+- **chan axis**: throughput/burst channel rows and detection slots are
+  sharded; each rank extracts only its rows (the model-parallel analog of
+  the reference's per-channel std::threads,
+  reference: lib/SegmentDetection_impl.cc:367-397).
+
+- **detection state machines stay replicated**: the per-block decimated
+  power matrices are tiny ([B, n_cells] / [B, C]), so they are all-gathered
+  over the time axis and every device runs the identical lax.scan. This
+  keeps burst/channel lifecycle semantics EXACTLY equal to the single-chip
+  path — a burst spanning two time shards is one channel, not two — while
+  the heavy windowed-IFFT extraction runs fully sharded.
+
+The public class :class:`ShardedChannelizer` is a drop-in
+FrequencyDomainChannelizer whose jitted step is the shard_map; outputs and
+host emission behavior are bit-identical (same dtype path) to the
+single-device model.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from fdc_tpu.config import ChannelizerConfig
+from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+from fdc_tpu.ops.extract import apply_phase, extract_bucket
+from fdc_tpu.ops.fft import forward_spectrum
+from fdc_tpu.ops.framing import frame_blocks
+from fdc_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
+from fdc_tpu.utils.cplx import c2f, f2c
+
+__all__ = ["ShardedChannelizer"]
+
+
+def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:
+    """Zero-pad axis 0 to a multiple (padded channel rows extract zeros)."""
+    c = a.shape[0]
+    pad = (-c) % multiple
+    if pad == 0:
+        return a
+    return np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)])
+
+
+def _from_last_time_shard(x, tidx, n_time):
+    """Replicate the last time shard's value to all shards (tiny payloads:
+    the ovllen-sample history tail and one spectrum row)."""
+    sel = (tidx == n_time - 1).astype(x.dtype)
+    return jax.lax.psum(x * sel, TIME_AXIS)
+
+
+def _shift_right(x, n_time):
+    """Neighbor handoff: shard t receives shard t-1's value (shard 0: zeros)."""
+    if n_time == 1:
+        return jnp.zeros_like(x)
+    perm = [(i, i + 1) for i in range(n_time - 1)]
+    return jax.lax.ppermute(x, TIME_AXIS, perm)
+
+
+class ShardedChannelizer(FrequencyDomainChannelizer):
+    """FrequencyDomainChannelizer running one shard_map step over a mesh.
+
+    Usage::
+
+        mesh = make_mesh(n_time=4, n_chan=2)
+        fdc = ShardedChannelizer(config, mesh=mesh)
+        result = fdc.process(samples)   # same API/results as single-device
+
+    Requirements: ``config.batch_blocks % n_time == 0``. Channel rows and
+    detection slots are zero-padded to multiples of n_chan internally.
+    """
+
+    def __init__(self, config: Optional[ChannelizerConfig] = None,
+                 mesh: Mesh = None, **kwargs):
+        if mesh is None:
+            raise ValueError("ShardedChannelizer requires a mesh")
+        if set(mesh.axis_names) != {TIME_AXIS, CHAN_AXIS}:
+            raise ValueError(
+                f"mesh must have axes ({TIME_AXIS!r}, {CHAN_AXIS!r}), "
+                f"got {mesh.axis_names}"
+            )
+        self.mesh = mesh
+        self.n_time = mesh.shape[TIME_AXIS]
+        self.n_chan = mesh.shape[CHAN_AXIS]
+
+        if config is None:
+            config = ChannelizerConfig(**kwargs)
+            kwargs = {}
+        if kwargs:
+            config = config.replace(**kwargs)
+        if config.batch_blocks % self.n_time:
+            raise ValueError(
+                f"batch_blocks={config.batch_blocks} must be divisible by "
+                f"the time axis size {self.n_time}"
+            )
+        # round the slot table up so detection slots shard evenly
+        if config.max_slots % self.n_chan:
+            config = config.replace(
+                max_slots=config.max_slots
+                + (-config.max_slots) % self.n_chan
+            )
+        super().__init__(config)
+
+        self.b_local = config.batch_blocks // self.n_time
+        self._build_sharded_tables()
+        self._jit_step = jax.jit(self._device_step)
+
+    # -- channel-sharded constant tables --------------------------------------
+
+    def _build_sharded_tables(self):
+        nc = self.n_chan
+        self._tp_tables = []
+        if self.throughput:
+            for b in self.throughput.buckets:
+                self._tp_tables.append(
+                    (_pad_rows(b.starts, nc), _pad_rows(b.windows, nc))
+                )
+        self._pa_tables = []
+        if self.power_bank:
+            for b in self.power_bank.buckets:
+                self._pa_tables.append(
+                    (_pad_rows(b.starts, nc), _pad_rows(b.windows, nc))
+                )
+
+    # -- device step -----------------------------------------------------------
+
+    def _local_step(self, carry, xf, t0, tp_tables, pa_tables):
+        """Per-shard body (runs under shard_map). Sees the local time run of
+        samples and its chan-rank's channel rows; returns local outputs plus
+        the replicated new carry."""
+        cfg = self.config
+        n_time = self.n_time
+        n = cfg.blocksize
+        tidx = jax.lax.axis_index(TIME_AXIS)
+        cidx = jax.lax.axis_index(CHAN_AXIS)
+        b_local = self.b_local
+
+        x = f2c(xf)  # [b_local * inplen]
+        tail = x[-cfg.ovllen:]
+        recv = _shift_right(tail, n_time)
+        hist_local = jnp.where(tidx == 0, carry["hist"], recv)
+        blocks, _ = frame_blocks(x, hist_local, n)
+        spec = forward_spectrum(blocks)  # [b_local, N]
+
+        last_spec = spec[-1]
+        recv_spec = _shift_right(last_spec, n_time)
+        prev_local = jnp.where(tidx == 0, carry["prev_spec"], recv_spec)
+        spec_ext = jnp.concatenate([prev_local[None], spec])  # [b_local+1, N]
+
+        new_carry = dict(carry)
+        new_carry["hist"] = _from_last_time_shard(tail, tidx, n_time)
+        new_carry["prev_spec"] = _from_last_time_shard(last_spec, tidx, n_time)
+
+        # global block indices of this shard's rows
+        t_local0 = t0 + tidx * b_local
+        t = t_local0 + jnp.arange(b_local, dtype=jnp.int32)
+
+        out = {}
+        if self.throughput:
+            tp = self.throughput
+            mats = []
+            for bucket, (starts, wins) in zip(tp.buckets, tp_tables):
+                l = bucket.width
+                y = extract_bucket(spec, starts, wins, gain=float(l))
+                phase_idx = (t[None, :] * starts[:, None]) % cfg.relinvovl
+                y = apply_phase(y, phase_idx, cfg.relinvovl)
+                y = y[..., l - bucket.out_len:]  # [C_loc, b_local, out_len]
+                c_loc = y.shape[0]
+                mats.append(c2f(y.reshape(c_loc, b_local * bucket.out_len)))
+            out["throughput_mats"] = mats
+
+        if self.power_bank:
+            pa = self.power_bank
+            powers_local = pa.measure(spec)  # [b_local, C]
+            powers = jax.lax.all_gather(
+                powers_local, TIME_AXIS, axis=0, tiled=True
+            )  # [B, C]
+            pa_state, (rise, fall, processed, phase_used) = pa.scan_flags(
+                powers, carry["powact"]
+            )
+            new_carry["powact"] = pa_state
+            bucket_tables = [
+                (s, w) for (s, w) in pa_tables
+            ]
+            ext = pa.extract_rows(spec_ext, bucket_tables)
+            out["powact"] = {
+                "rise": rise,
+                "fall": fall,
+                "processed": processed,
+                "phase_used": phase_used,
+                # keep a leading per-shard axis so time shards concatenate
+                "extract": {w: c2f(v[:, None]) for w, v in ext.items()},
+            }
+
+        for i, sd in enumerate(self.segments):
+            power_local = sd.measure(spec)  # [b_local, n_cells]
+            power = jax.lax.all_gather(
+                power_local, TIME_AXIS, axis=0, tiled=True
+            )  # [B, n_cells]
+            seg_state, (got, processed, emit_now, phase_used) = sd.scan_slots(
+                power, carry[f"seg{i}"]
+            )
+            new_carry[f"seg{i}"] = seg_state
+            s_local = sd.max_slots // self.n_chan
+            y = sd.extract_slots(
+                spec_ext, seg_state, cidx * s_local, s_local
+            )  # [s_local, b_local+1, w_cap]
+            out[f"seg{i}"] = {
+                "activated": got.T,  # [S, B] replicated
+                "processed": processed.T,
+                "emit": emit_now.T,
+                "phase_used": phase_used.T,
+                "extract": c2f(y[:, None]),
+                "power": power_local,
+            }
+
+        if cfg.debug:
+            out["debug_spectrum"] = c2f(spec)
+        return new_carry, out
+
+    def _specs(self):
+        """(in_specs, out_specs) pytrees matching _local_step."""
+        cfg = self.config
+        carry_spec = jax.tree.map(lambda _: P(), self._carry_structure())
+        tp_spec = [(P(CHAN_AXIS), P(CHAN_AXIS, None)) for _ in self._tp_tables]
+        pa_spec = [(P(CHAN_AXIS), P(CHAN_AXIS, None)) for _ in self._pa_tables]
+        in_specs = (carry_spec, P(TIME_AXIS, None), P(), tp_spec, pa_spec)
+
+        out = {}
+        if self.throughput:
+            out["throughput_mats"] = [
+                P(CHAN_AXIS, TIME_AXIS, None) for _ in self.throughput.buckets
+            ]
+        if self.power_bank:
+            out["powact"] = {
+                "rise": P(),
+                "fall": P(),
+                "processed": P(),
+                "phase_used": P(),
+                "extract": {
+                    b.width: P(CHAN_AXIS, TIME_AXIS, None, None, None)
+                    for b in self.power_bank.buckets
+                },
+            }
+        for i in range(len(self.segments)):
+            out[f"seg{i}"] = {
+                "activated": P(),
+                "processed": P(),
+                "emit": P(),
+                "phase_used": P(),
+                "extract": P(CHAN_AXIS, TIME_AXIS, None, None, None),
+                "power": P(TIME_AXIS, None),
+            }
+        if cfg.debug:
+            out["debug_spectrum"] = P(TIME_AXIS, None, None)
+        return in_specs, (carry_spec, out)
+
+    def _carry_structure(self):
+        if self._carry is not None:
+            return self._carry
+        return self._device_init()
+
+    def _device_step(self, carry, xf, t0):
+        """Global jitted step: shard_map body + canonicalization to the
+        single-device output layout, so the host emission layer is shared."""
+        cfg = self.config
+        in_specs, out_specs = self._specs()
+        fn = jax.shard_map(
+            self._local_step,
+            mesh=self.mesh,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        tp_tables = [
+            (jnp.asarray(s), jnp.asarray(w)) for s, w in self._tp_tables
+        ]
+        pa_tables = [
+            (jnp.asarray(s), jnp.asarray(w)) for s, w in self._pa_tables
+        ]
+        new_carry, raw = fn(carry, xf, t0, tp_tables, pa_tables)
+
+        nb = cfg.batch_blocks
+        out = {}
+        if self.throughput:
+            tp = self.throughput
+            streams = [None] * tp.num_channels
+            for bucket, mat in zip(tp.buckets, raw["throughput_mats"]):
+                for row, chan in enumerate(bucket.channel_ids):
+                    streams[chan] = mat[row]
+            out["throughput"] = streams
+
+        def merge_rows(ext):
+            """[C, T, b_local+1, L, 2] -> [C, B+1, L, 2] canonical rows
+            (row 0 = batch history, row b+1 = block b)."""
+            c, t_sh, blp1, ln, two = ext.shape
+            body = ext[:, :, 1:].reshape(c, nb, ln, two)
+            hist0 = ext[:, 0, :1]
+            return jnp.concatenate([hist0, body], axis=1)
+
+        if self.power_bank:
+            po = dict(raw["powact"])
+            po["extract"] = {
+                w: merge_rows(v)[: len(self.power_bank.buckets[i].channel_ids)]
+                for i, (w, v) in enumerate(sorted(po["extract"].items()))
+            }
+            out["powact"] = po
+        for i in range(len(self.segments)):
+            so = dict(raw[f"seg{i}"])
+            so["extract"] = merge_rows(so["extract"])
+            out[f"seg{i}"] = so
+        if cfg.debug:
+            out["debug_spectrum"] = raw["debug_spectrum"]
+        return new_carry, out

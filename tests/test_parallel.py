@@ -1,0 +1,130 @@
+"""Multi-device semantics: ShardedChannelizer == FrequencyDomainChannelizer.
+
+Runs the full three-mode system on a forced 8-device CPU mesh and checks the
+sharded step reproduces the single-device outputs exactly (same fp32 op
+order modulo collective layout — tolerances are tight): throughput streams,
+burst/detection events (including bursts spanning time-shard boundaries),
+and segment power observability.
+"""
+
+import numpy as np
+import pytest
+
+import fdc_tpu
+from fdc_tpu.config import ChannelizerConfig
+from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+from fdc_tpu.parallel.mesh import make_mesh
+from fdc_tpu.parallel.sharded import ShardedChannelizer
+
+
+def make_signal(rng, n_samples):
+    """Wideband test capture: 2 always-on tones, 1 long burst crossing batch
+    and shard boundaries, 1 short burst, plus noise floor."""
+    t = np.arange(n_samples)
+    x = np.zeros(n_samples, np.complex64)
+    # throughput carriers at FDC 0.25 and 0.625 (baseband -0.25, +0.125)
+    x += 1.0 * np.exp(2j * np.pi * (-0.25) * t)
+    x += 0.8 * np.exp(2j * np.pi * 0.125 * t)
+    # burst carrier at baseband +0.3 (FDC 0.8), on in the middle
+    burst = np.zeros(n_samples)
+    burst[n_samples // 4: (3 * n_samples) // 4] = 1.0
+    x += (2.0 * burst) * np.exp(2j * np.pi * 0.3 * t)
+    # detection-segment carrier at baseband -0.4 (FDC 0.1)
+    det = np.zeros(n_samples)
+    det[n_samples // 3: n_samples // 2] = 1.0
+    x += (2.5 * det) * np.exp(2j * np.pi * (-0.4) * t)
+    x += (
+        0.01
+        * (rng.standard_normal(n_samples) + 1j * rng.standard_normal(n_samples))
+    ).astype(np.complex64)
+    return x.astype(np.complex64)
+
+
+def config(**kw):
+    base = dict(
+        blocksize=256,
+        relinvovl=4,
+        throughput_channels=[(-0.25, 0.04), (0.125, 0.08)],
+        activity_controlled_channels=[(0.3, 0.05)],
+        activity_detection_segments=[(-0.47, -0.3)],
+        act_contr_threshold=10.0,
+        act_det_threshold=8.0,
+        minchandist=0.02,
+        freqmode="basebandfs",
+        fs=1.0,
+        batch_blocks=8,
+        max_slots=8,
+        max_candidates=8,
+    )
+    base.update(kw)
+    return ChannelizerConfig(**base)
+
+
+def run(model, x, chunk):
+    events, streams, segpow = [], None, None
+    for lo in range(0, len(x), chunk):
+        r = model.process(x[lo: lo + chunk])
+        events.extend(r.events)
+        if streams is None:
+            streams = [list() for _ in r.throughput]
+            segpow = [list() for _ in r.segment_power]
+        for i, s in enumerate(r.throughput):
+            streams[i].append(s)
+        for i, p in enumerate(r.segment_power):
+            segpow[i].append(p)
+    return (
+        events,
+        [np.concatenate(s) for s in streams],
+        [np.concatenate(p) for p in segpow],
+    )
+
+
+def assert_events_match(ev_a, ev_b):
+    assert len(ev_a) == len(ev_b)
+    for a, b in zip(ev_a, ev_b):
+        # IDs carry a wall-clock timestamp; compare the stable tail
+        assert a.ID.split(".", 1)[1] == b.ID.split(".", 1)[1]
+        assert a.finalized == b.finalized
+        assert a.part == b.part
+        assert a.blockstart == b.blockstart
+        assert a.blockend == b.blockend
+        assert a.rel_cfreq == pytest.approx(b.rel_cfreq)
+        assert a.rel_bw == pytest.approx(b.rel_bw)
+        assert a.vectorstart == b.vectorstart
+        assert a.vectorend == b.vectorend
+        assert a.data.shape == b.data.shape
+        np.testing.assert_allclose(a.data, b.data, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("n_time,n_chan", [(4, 2), (8, 1), (1, 2), (2, 2)])
+def test_sharded_matches_single_device(n_time, n_chan):
+    cfg = config()
+    rng = np.random.default_rng(7)
+    n_batches = 6
+    x = make_signal(rng, n_batches * cfg.batch_blocks * cfg.inplen)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    mesh = make_mesh(n_time=n_time, n_chan=n_chan)
+    sh = ShardedChannelizer(cfg, mesh=mesh)
+
+    chunk = 2 * cfg.batch_blocks * cfg.inplen  # 2 batches per process() call
+    ev_ref, tp_ref, pw_ref = run(ref, x, chunk)
+    ev_sh, tp_sh, pw_sh = run(sh, x, chunk)
+
+    assert len(ev_ref) > 0, "test signal must trigger burst + detection events"
+    assert any(e.vectorstart is not None for e in ev_ref), "need detection events"
+    assert_events_match(ev_ref, ev_sh)
+
+    for a, b in zip(tp_ref, tp_sh):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    for a, b in zip(pw_ref, pw_sh):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=0)
+
+
+def test_slot_rounding_and_batch_divisibility():
+    mesh = make_mesh(n_time=2, n_chan=4)
+    sh = ShardedChannelizer(config(max_slots=6), mesh=mesh)
+    assert sh.config.max_slots == 8  # rounded up to n_chan multiple
+    with pytest.raises(ValueError):
+        ShardedChannelizer(config(batch_blocks=9), mesh=mesh)
