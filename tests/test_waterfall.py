@@ -1,0 +1,92 @@
+"""Waterfall renderer: rescale, decimation, color binning, event overlays."""
+
+import numpy as np
+import pytest
+
+from fdc_tpu.utils.events import ChannelEvent
+from fdc_tpu.utils.waterfall import COLOR_SCHEMES, Waterfall
+
+
+def make_event(blockstart, blockend, cfreq, bw, fin=True):
+    return ChannelEvent(
+        ID="t.DETECTED.0.0",
+        finalized=fin,
+        part=None,
+        rel_cfreq=cfreq,
+        rel_bw=bw,
+        blockstart=blockstart,
+        blockend=blockend,
+    )
+
+
+def test_rescale_mean_reduction():
+    wf = Waterfall(blocklen=2048, width=1024, height=8)
+    p = np.zeros(2048)
+    p[0] = 2.0
+    p[1] = 4.0
+    row = wf._rescale(p)
+    assert row.shape == (1024,)
+    assert row[0] == pytest.approx(3.0)
+    assert row[1] == 0.0
+
+
+def test_rescale_kron_interpolation():
+    wf = Waterfall(blocklen=256, width=1024, height=8)
+    p = np.arange(256, dtype=np.float32)
+    row = wf._rescale(p)
+    assert row.shape == (1024,)
+    assert np.all(row[:4] == 0.0)
+    assert np.all(row[4:8] == 1.0)
+
+
+def test_feed_and_decimate():
+    wf = Waterfall(blocklen=64, width=64, height=4, blockdecimation=2)
+    wf.feed_power(np.full((5, 64), 1.0))  # 5 blocks -> 2 rows, 1 pending
+    assert wf._nrows == 2
+    assert len(wf._pending) == 1
+    # constant power 1.0 -> 0 dB -> top color bin with db_range (-100, 0)
+    img = wf.render(overlay=False)
+    assert img.shape == (4, 64, 3)
+    np.testing.assert_array_equal(img[-1], np.broadcast_to(wf.cmap[-1], (64, 3)))
+    # older (unfed) rows sit at the bottom dB bin
+    np.testing.assert_array_equal(img[0], np.broadcast_to(wf.cmap[0], (64, 3)))
+
+
+def test_event_overlay_rect():
+    wf = Waterfall(blocklen=128, width=128, height=16)
+    wf.feed_power(np.full((16, 128), 1e-5))
+    wf.feed_events([make_event(4, 8, cfreq=0.5, bw=0.25)])
+    img = wf.render()
+    white = np.array([255, 255, 255], np.uint8)
+    left = round((0.5 - 0.125) * 128)
+    right = round((0.5 + 0.125) * 128)
+    np.testing.assert_array_equal(img[4, left], white)
+    np.testing.assert_array_equal(img[8, right], white)
+    np.testing.assert_array_equal(img[6, left], white)  # vertical edge
+    assert not np.array_equal(img[6, left + 2], white)  # interior untouched
+
+
+def test_scrolling_drops_old_rects():
+    wf = Waterfall(blocklen=32, width=32, height=4)
+    wf.feed_events([make_event(0, 1, 0.5, 0.2)])
+    assert len(wf._rects) == 1
+    wf.feed_power(np.full((10, 32), 1.0))
+    wf.feed_events([])  # triggers pruning
+    assert len(wf._rects) == 0
+
+
+@pytest.mark.parametrize("scheme", COLOR_SCHEMES)
+def test_colorschemes(scheme):
+    wf = Waterfall(blocklen=8, width=8, height=2, colorscheme=scheme)
+    assert wf.cmap.shape == (256, 3)
+    assert wf.cmap.dtype == np.uint8
+    # red channel grows dark -> bright in every scheme
+    assert int(wf.cmap[-1][0]) > int(wf.cmap[0][0])
+
+
+def test_png_export(tmp_path):
+    wf = Waterfall(blocklen=32, width=32, height=4)
+    wf.feed_power(np.random.default_rng(0).random((4, 32)))
+    ok = wf.save_png(str(tmp_path / "wf.png"))
+    if ok:
+        assert (tmp_path / "wf.png").stat().st_size > 0
