@@ -1,0 +1,149 @@
+"""Host streaming driver: source -> native ring -> batched device steps.
+
+The framework equivalent of running a GNU Radio flowgraph: a sample source
+(file, socket, or caller pushes) feeds the native SPSC ring on its own
+thread; the driver pops exact device batches and runs the channelizer,
+collecting events and streams. Replaces the reference's
+scheduler/ring-buffer runtime (SURVEY.md §1 — gr::sync_block stream
+buffers) with a double-buffered native ring + one big jitted step.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Callable, List, Optional
+
+import numpy as np
+
+if TYPE_CHECKING:  # break the models <-> runtime import cycle
+    from fdc_tpu.models.channelizer import (
+        FrequencyDomainChannelizer,
+        ProcessResult,
+    )
+
+__all__ = ["StreamDriver", "StreamStats"]
+
+
+@dataclass
+class StreamStats:
+    samples_in: int = 0
+    blocks_processed: int = 0
+    batches: int = 0
+    events: int = 0
+
+
+class StreamDriver:
+    """Drives a channelizer from a native ring buffer.
+
+    Args:
+      channelizer: any FrequencyDomainChannelizer (incl. ShardedChannelizer).
+      ring_batches: ring capacity in units of device batches.
+      use_native: require the native ring (raises if unavailable); with
+        False, a pure-Python deque fallback is used.
+    """
+
+    def __init__(
+        self,
+        channelizer: FrequencyDomainChannelizer,
+        ring_batches: int = 8,
+        use_native: bool = True,
+    ):
+        self.fdc = channelizer
+        self.batch_samples = channelizer.batch_samples
+        self.stats = StreamStats()
+        self._ring = None
+        if use_native:
+            from fdc_tpu.runtime import native
+
+            if native.available():
+                self._ring = native.SampleRing(
+                    ring_batches * self.batch_samples
+                )
+            else:
+                raise RuntimeError(
+                    "native runtime unavailable (g++ build failed); "
+                    "pass use_native=False for the Python fallback"
+                )
+        self._py_buf = np.zeros(0, np.complex64)
+
+    # -- producer side --------------------------------------------------------
+
+    @property
+    def ring(self):
+        return self._ring
+
+    def push(self, samples: np.ndarray, blocking: bool = True) -> int:
+        """Feed samples (producer thread). Returns samples accepted."""
+        self.stats.samples_in += len(samples)
+        if self._ring is not None:
+            return self._ring.push(samples, blocking=blocking)
+        self._py_buf = np.concatenate(
+            [self._py_buf, np.asarray(samples, np.complex64)]
+        )
+        return len(samples)
+
+    def close(self):
+        if self._ring is not None:
+            self._ring.close()
+
+    # -- consumer side --------------------------------------------------------
+
+    def _pop_batch(self, timeout: float) -> Optional[np.ndarray]:
+        if self._ring is not None:
+            got = self._ring.pop(self.batch_samples, blocking=True,
+                                 timeout=timeout)
+            return got if len(got) == self.batch_samples else None
+        if len(self._py_buf) >= self.batch_samples:
+            out = self._py_buf[: self.batch_samples]
+            self._py_buf = self._py_buf[self.batch_samples:]
+            return out
+        return None
+
+    def run_once(self, timeout: float = 10.0) -> Optional[ProcessResult]:
+        """Pop one batch and process it; None if no full batch available."""
+        batch = self._pop_batch(timeout)
+        if batch is None:
+            return None
+        res = self.fdc.process(batch)
+        self.stats.batches += 1
+        self.stats.blocks_processed += res.blocks_processed
+        self.stats.events += len(res.events)
+        return res
+
+    def run_file(
+        self,
+        path: str,
+        on_result: Optional[Callable[[ProcessResult], None]] = None,
+        chunk: int = 65536,
+        timeout: float = 10.0,
+    ) -> List[ProcessResult]:
+        """Stream a complex64 file through the channelizer.
+
+        Starts a native background reader (double-buffered data loader) and
+        consumes batches until the file is drained. Returns all results
+        (or streams them to ``on_result`` if given).
+        """
+        if self._ring is None:
+            raise RuntimeError("run_file requires the native ring")
+        from fdc_tpu.runtime import native
+
+        src = native.FileSource(self._ring, path, chunk=chunk)
+        results: List[ProcessResult] = []
+        try:
+            while True:
+                res = self.run_once(timeout)
+                if res is None:
+                    if src.done and len(self._ring) < self.batch_samples:
+                        break
+                    if src.error:
+                        raise IOError(f"file source failed: {path}")
+                    continue
+                if on_result is not None:
+                    on_result(res)
+                else:
+                    results.append(res)
+        finally:
+            n_read = src.samples_read
+            src.stop()
+        self.stats.samples_in = n_read or self.stats.samples_in
+        return results
