@@ -67,6 +67,23 @@ class PowerActivationEmitter:
             for row, chan in enumerate(bucket.channel_ids):
                 self._loc[chan] = (bucket.width, row)
 
+    def get_state(self) -> dict:
+        """Host-side burst state for checkpointing (fdc_tpu.runtime.checkpoint)."""
+        return {
+            "blocks": [[b.copy() for b in ch] for ch in self._blocks],
+            "count": self._count.copy(),
+            "part": self._part.copy(),
+            "msg_id": list(self._msg_id),
+            "finished": self._finished.copy(),
+        }
+
+    def set_state(self, st: dict):
+        self._blocks = [[np.asarray(b) for b in ch] for ch in st["blocks"]]
+        self._count = np.asarray(st["count"]).copy()
+        self._part = np.asarray(st["part"]).copy()
+        self._msg_id = list(st["msg_id"])
+        self._finished = np.asarray(st["finished"]).copy()
+
     def _emit(self, c: int, fin: bool, blockcount: int) -> ChannelEvent:
         g = self.bank.geometry[c]
         data = (
@@ -183,6 +200,29 @@ class SegmentDetectionEmitter:
         self._ee = np.zeros(s, np.int64)
         self._w = np.zeros(s, np.int64)
         self._live = np.zeros(s, bool)
+
+    def get_state(self) -> dict:
+        """Host-side slot state for checkpointing (fdc_tpu.runtime.checkpoint)."""
+        return {
+            "data": [[b.copy() for b in sl] for sl in self._data],
+            "count": self._count.copy(),
+            "part": self._part.copy(),
+            "msg_id": list(self._msg_id),
+            "es": self._es.copy(),
+            "ee": self._ee.copy(),
+            "w": self._w.copy(),
+            "live": self._live.copy(),
+        }
+
+    def set_state(self, st: dict):
+        self._data = [[np.asarray(b) for b in sl] for sl in st["data"]]
+        self._count = np.asarray(st["count"]).copy()
+        self._part = np.asarray(st["part"]).copy()
+        self._msg_id = list(st["msg_id"])
+        self._es = np.asarray(st["es"]).copy()
+        self._ee = np.asarray(st["ee"]).copy()
+        self._w = np.asarray(st["w"]).copy()
+        self._live = np.asarray(st["live"]).copy()
 
     def _emit(self, s: int, fin: bool, blockcount: int, ntx: int) -> ChannelEvent:
         n = self.det.blocksize
