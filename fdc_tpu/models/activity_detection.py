@@ -19,12 +19,15 @@ the edge ratios and is omitted; segment geometry uses the vcm rounding rules
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from fdc_tpu.config import solve_segment_vcm
 from fdc_tpu.models.segment_detection import SegmentDetector
+from fdc_tpu.utils.cplx import c2f, c2f_host, f2c, f2c_host
 
 __all__ = ["ActivityDetectionChannelizer"]
 
@@ -90,3 +93,84 @@ class ActivityDetectionChannelizer:
             new_states.append(ns)
             outs.append(o)
         return new_states, outs
+
+    # -- host streaming API (vector-in, message-out like the reference block,
+    # reference: grc/FDC_activity_detection_channelizer_vcm.xml io signature) --
+
+    def make_runner(
+        self,
+        maxblocks: int = 256,
+        file_sink=None,
+        msg_output: bool = True,
+    ) -> "ActivityDetectionRunner":
+        return ActivityDetectionRunner(self, maxblocks, file_sink, msg_output)
+
+
+class ActivityDetectionRunner:
+    """Host driver for ActivityDetectionChannelizer: consumes batches of
+    pre-FFT'd (normalized, fftshifted) spectrum vectors, emits ChannelEvents.
+
+    The functional equivalent of feeding the reference vcm block a stream of
+    FFT vectors and reading its msgout port
+    (reference: lib/activity_detection_channelizer_vcm_impl.cc:542-576)."""
+
+    def __init__(self, adc: ActivityDetectionChannelizer, maxblocks: int,
+                 file_sink, msg_output: bool):
+        from fdc_tpu.runtime.emission import SegmentDetectionEmitter
+
+        self.adc = adc
+        self.emitters = [
+            SegmentDetectionEmitter(sd, maxblocks, file_sink, msg_output)
+            for sd in adc.segments
+        ]
+        self._carry = None
+        self._t0 = 0
+        self._jit_step = jax.jit(self._device_step)
+        self._jit_init = jax.jit(self._device_init)
+
+    def _device_init(self):
+        return {
+            "prev_spec": jnp.zeros((self.adc.blocklen,), jnp.complex64),
+            "segs": self.adc.init_state(),
+        }
+
+    def _device_step(self, carry, specf):
+        spec = f2c(specf)  # [B, N]
+        spec_ext = jnp.concatenate([carry["prev_spec"][None], spec])
+        new_states, outs = self.adc.step(spec_ext, carry["segs"])
+        for o in outs:
+            o["extract"] = c2f(o["extract"])
+        return (
+            {"prev_spec": spec[-1], "segs": new_states},
+            outs,
+        )
+
+    def process_spectra(self, spectra: np.ndarray):
+        """[B, blocklen] complex spectra -> list of ChannelEvents."""
+        if self._carry is None:
+            self._carry = self._jit_init()
+        spectra = np.ascontiguousarray(spectra, np.complex64)
+        nb = spectra.shape[0]
+        self._carry, outs = self._jit_step(
+            self._carry, jnp.asarray(c2f_host(spectra))
+        )
+        events = []
+        segs = list(self._carry["segs"])
+        for i, (em, so) in enumerate(zip(self.emitters, outs)):
+            so = jax.tree.map(np.asarray, so)
+            so["extract"] = f2c_host(so["extract"])
+            state_np = jax.tree.map(np.asarray, segs[i])
+            evs, new_state = em.process_step(so, state_np, self._t0)
+            events.extend(evs)
+            st = dict(state_np)
+            st.update(
+                {
+                    "active": jnp.asarray(new_state["active"]),
+                    "tomb": jnp.asarray(new_state["tomb"]),
+                }
+            )
+            segs[i] = {k: jnp.asarray(v) for k, v in st.items()}
+        self._carry = dict(self._carry)
+        self._carry["segs"] = segs
+        self._t0 += nb
+        return events
