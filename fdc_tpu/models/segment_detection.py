@@ -143,10 +143,19 @@ class SegmentDetector:
         delay = self.deactivation_delay
         thresh = self.thresh
         k = self.max_candidates
-        s_idx = jnp.arange(self.max_slots, dtype=jnp.int32)
         puffer = self.flank_puffer
 
-        def scan_body(carry, pw):
+        # 1. candidates for ALL blocks at once (per-block independent; the
+        # top-k / edge pairing / overlap rejection is the expensive part of
+        # detection and vmaps cleanly — only the slot lifecycle below is
+        # sequential).
+        cand_s, cand_e, cand_v = jax.vmap(
+            lambda p: detect_candidates(p, thresh, k)
+        )(power)  # each [B, K], cell coords
+        cand_s = cand_s * dec + d_start  # -> bin coords
+        cand_e = cand_e * dec + d_start
+
+        def scan_body(carry, cand):
             (
                 active,
                 tomb,
@@ -163,11 +172,7 @@ class SegmentDetector:
             ) = carry
 
             live = active & ~tomb
-
-            # 1. candidates (cell coords -> bin coords)
-            c_s, c_e, c_v = detect_candidates(pw, thresh, k)
-            cs = c_s * dec + d_start
-            ce = c_e * dec + d_start
+            cs, ce, c_v = cand
 
             # 2. match against live slots; age unmatched
             refreshed, consumed = match_candidates(
@@ -279,7 +284,9 @@ class SegmentDetector:
             "dropped",
         )
         init = tuple(state[kk] for kk in keys)
-        final, flags = jax.lax.scan(scan_body, init, power)
+        final, flags = jax.lax.scan(
+            scan_body, init, (cand_s, cand_e, cand_v)
+        )
         return dict(zip(keys, final)), flags
 
     def extract_slots(self, spec_ext: jax.Array, state, slot_lo=0,

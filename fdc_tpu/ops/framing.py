@@ -46,6 +46,18 @@ def frame_blocks(x: jax.Array, hist: jax.Array, blocksize: int):
         )
     nblocks = total // inplen
 
+    if ovllen <= inplen:
+        # Fast path (any relinvovl >= 2): each block's history prefix is the
+        # tail of the previous block's input run, so framing is pure layout —
+        # reshape + two concats, no gather (TPU gathers of [B, N] element
+        # indices are orders of magnitude slower than copies).
+        xr = x.reshape(nblocks, inplen)
+        tails = xr[:, inplen - ovllen:]  # [B, ovllen]
+        prev = jnp.concatenate([hist[None], tails[:-1]], axis=0)
+        blocks = jnp.concatenate([prev, xr], axis=1)
+        return blocks, tails[-1]
+
+    # General path (overlap longer than the input run): strided gather.
     ext = jnp.concatenate([hist, x])  # [ovllen + B*inplen]
     idx = (
         jnp.arange(nblocks, dtype=jnp.int32)[:, None] * inplen
