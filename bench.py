@@ -84,21 +84,27 @@ def main():
     def timed(fn, *a):
         r = fn(*a)
         jax.block_until_ready(r)  # includes compile
-        t0 = time.perf_counter()
-        r = fn(*a)
-        jax.block_until_ready(r)
-        return time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = fn(*a)
+            jax.block_until_ready(r)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     k = args.steps
     t_k = timed(make_runner(k), carry0, xf)
     t_2k = timed(make_runner(2 * k), carry0, xf)
-    dt_full = (t_2k - t_k) / k
+    dt_full = max((t_2k - t_k) / k, 1e-9)
 
-    # roofline proxy: overlap-save framing + forward FFT front-end only
+    # roofline proxy: overlap-save framing + forward FFT front-end only.
+    # (History starts as zeros INSIDE jit — the axon tunnel cannot run eager
+    # complex ops, see fdc_tpu/utils/cplx.py.)
     def make_fft_runner(k):
         @jax.jit
-        def run(hist, xf_in):
+        def run(xf_in):
             xx = f2c(xf_in)
+            hist = jnp.zeros((cfg.ovllen,), jnp.complex64)
 
             def body(h, _):
                 blocks, h2 = frame_blocks(xx, h, cfg.blocksize)
@@ -112,10 +118,12 @@ def main():
 
         return run
 
-    hist0 = jnp.zeros((cfg.ovllen,), jnp.complex64)
-    t_k = timed(make_fft_runner(k), hist0, xf)
-    t_2k = timed(make_fft_runner(2 * k), hist0, xf)
-    dt_fft = (t_2k - t_k) / k
+    # the FFT front-end is ~10x faster per batch than the full pipeline, so
+    # scan proportionally more steps to stay above timing noise
+    kf = 8 * k
+    t_k = timed(make_fft_runner(kf), xf)
+    t_2k = timed(make_fft_runner(2 * kf), xf)
+    dt_fft = max((t_2k - t_k) / kf, 1e-9)
 
     samples = cfg.batch_blocks * cfg.inplen
     msps = samples / dt_full / 1e6

@@ -181,16 +181,41 @@ class FrequencyDomainChannelizer:
         if self.throughput:
             streams = self.throughput.extract(spec, t0)
             out["throughput"] = [c2f(s) for s in streams]
+        # one shared |X|^2 pass feeds every detection consumer
+        sq = (
+            jnp.abs(spec) ** 2
+            if (self.power_bank or self.segments)
+            else None
+        )
         if self.power_bank:
-            new_carry["powact"], po = self.power_bank.step(
-                spec_ext, carry["powact"]
+            pa = self.power_bank
+            powers = pa.measure(spec, sq)
+            new_carry["powact"], (rise, fall, processed, phase_used) = (
+                pa.scan_flags(powers, carry["powact"])
             )
-            po["extract"] = {w: c2f(v) for w, v in po["extract"].items()}
-            out["powact"] = po
+            out["powact"] = {
+                "rise": rise,
+                "fall": fall,
+                "processed": processed,
+                "phase_used": phase_used,
+                "extract": {
+                    w: c2f(v) for w, v in pa.extract_rows(spec_ext).items()
+                },
+            }
         for i, sd in enumerate(self.segments):
-            new_carry[f"seg{i}"], so = sd.step(spec_ext, carry[f"seg{i}"])
-            so["extract"] = c2f(so["extract"])
-            out[f"seg{i}"] = so
+            power = sd.measure(spec, sq)
+            seg_state, (got, processed, emit_now, phase_used) = sd.scan_slots(
+                power, carry[f"seg{i}"]
+            )
+            new_carry[f"seg{i}"] = seg_state
+            out[f"seg{i}"] = {
+                "activated": got.T,
+                "processed": processed.T,
+                "emit": emit_now.T,
+                "phase_used": phase_used.T,
+                "extract": c2f(sd.extract_slots(spec_ext, seg_state)),
+                "power": power,
+            }
         if cfg.debug:
             out["debug_spectrum"] = c2f(spec)
         return new_carry, out

@@ -126,10 +126,13 @@ class PowerActivationBank:
 
     # -- device step ----------------------------------------------------------
 
-    def measure(self, spectrum: jax.Array) -> jax.Array:
+    def measure(self, spectrum: jax.Array, sq: jax.Array = None) -> jax.Array:
         """[B, N] spectra -> [B, C] floored in-band powers (one MXU matmul,
-        reference: lib/PowerActivationChannel_impl.cc:286-306)."""
-        sq = jnp.abs(spectrum) ** 2
+        reference: lib/PowerActivationChannel_impl.cc:286-306). Pass ``sq``
+        (= |spectrum|²) when the caller already computed it — the channelizer
+        shares one power pass across all detection consumers."""
+        if sq is None:
+            sq = jnp.abs(spectrum) ** 2
         powers = band_power(sq, jnp.asarray(self.measure_masks))
         return jnp.maximum(powers, _FLOAT_MIN)
 

@@ -120,11 +120,13 @@ class SegmentDetector:
 
     # -- device step ----------------------------------------------------------
 
-    def measure(self, spectrum: jax.Array) -> jax.Array:
+    def measure(self, spectrum: jax.Array, sq: jax.Array = None) -> jax.Array:
         """[B, N] spectra -> [B, n_cells] decimated segment power
-        (reference: lib/SegmentDetection_impl.cc:178-193)."""
+        (reference: lib/SegmentDetection_impl.cc:178-193). Pass ``sq``
+        (= |spectrum|²) when already computed to share the power pass."""
+        if sq is None:
+            sq = jnp.abs(spectrum) ** 2
         g = self.geometry
-        sq = jnp.abs(spectrum) ** 2
         return cell_power(sq, g.start, g.n_cells, g.decimation)
 
     def scan_slots(self, power: jax.Array, state):

@@ -185,9 +185,14 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 mats.append(c2f(y.reshape(c_loc, b_local * bucket.out_len)))
             out["throughput_mats"] = mats
 
+        sq_local = (
+            jnp.abs(spec) ** 2
+            if (self.power_bank or self.segments)
+            else None
+        )
         if self.power_bank:
             pa = self.power_bank
-            powers_local = pa.measure(spec)  # [b_local, C]
+            powers_local = pa.measure(spec, sq_local)  # [b_local, C]
             powers = jax.lax.all_gather(
                 powers_local, TIME_AXIS, axis=0, tiled=True
             )  # [B, C]
@@ -209,7 +214,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             }
 
         for i, sd in enumerate(self.segments):
-            power_local = sd.measure(spec)  # [b_local, n_cells]
+            power_local = sd.measure(spec, sq_local)  # [b_local, n_cells]
             power = jax.lax.all_gather(
                 power_local, TIME_AXIS, axis=0, tiled=True
             )  # [B, n_cells]
