@@ -58,9 +58,13 @@ class PowerActivationBank:
         relinvovl: int,
         channels,  # [(cfreq, bw)] in FDC [0,1) coordinates
         thresh_db: float,
+        lifecycle_backend: str = "auto",
     ):
         if thresh_db <= 0.0:
             raise ValueError("Threshold is dB and must be > 0")
+        if lifecycle_backend not in ("auto", "scan", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown lifecycle_backend {lifecycle_backend!r}")
+        self.lifecycle_backend = lifecycle_backend
         self.blocksize = blocksize
         self.relinvovl = relinvovl
         # linear threshold (reference: lib/PowerActivationChannel_impl.cc:377-381)
@@ -147,6 +151,22 @@ class PowerActivationBank:
         delta = jnp.asarray(
             [g.delta_phase for g in self.geometry], jnp.int32
         )  # [C]
+
+        backend = self.lifecycle_backend
+        if backend == "auto":
+            backend = "scan" if jax.default_backend() == "cpu" else "pallas"
+        if backend in ("pallas", "pallas_interpret"):
+            from fdc_tpu.ops.lifecycle_pallas import powact_flags
+
+            return powact_flags(
+                powers,
+                state,
+                delta,
+                r=self.relinvovl,
+                thresh=self.thresh,
+                interpret=(backend == "pallas_interpret"),
+            )
+
         thresh = jnp.float32(self.thresh)
         r = self.relinvovl
 

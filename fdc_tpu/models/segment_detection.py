@@ -63,6 +63,7 @@ class SegmentDetector:
         max_candidates: int = 16,
         max_extract_width: int = 0,
         geometry: SegmentGeometry = None,
+        lifecycle_backend: str = "auto",
     ):
         if thresh_db < 0.0:
             raise ValueError("Threshold is dB and must be >= 0")
@@ -82,6 +83,10 @@ class SegmentDetector:
             raise ValueError("max_extract_width must be a power of 2")
         self.w_cap = min(self.w_cap, blocksize)
         self.w_cap_log2 = int(math.log2(self.w_cap))
+
+        if lifecycle_backend not in ("auto", "scan", "pallas", "pallas_interpret"):
+            raise ValueError(f"unknown lifecycle_backend {lifecycle_backend!r}")
+        self.lifecycle_backend = lifecycle_backend
 
         self.geometry: SegmentGeometry = geometry or solve_segment(
             blocksize, seg_start, seg_stop, minchandist
@@ -156,6 +161,21 @@ class SegmentDetector:
         )(power)  # each [B, K], cell coords
         cand_s = cand_s * dec + d_start  # -> bin coords
         cand_e = cand_e * dec + d_start
+
+        backend = self.lifecycle_backend
+        if backend == "auto":
+            backend = (
+                "scan" if jax.default_backend() == "cpu" else "pallas"
+            )
+        if backend in ("pallas", "pallas_interpret"):
+            from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle
+
+            return slot_lifecycle(
+                cand_s, cand_e, cand_v, state,
+                n=n, r=r, delay=delay, puffer=puffer,
+                w_cap=self.w_cap, w_cap_log2=self.w_cap_log2,
+                interpret=(backend == "pallas_interpret"),
+            )
 
         def scan_body(carry, cand):
             (

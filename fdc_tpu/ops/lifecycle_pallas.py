@@ -1,0 +1,412 @@
+"""Pallas TPU kernels for the sequential detection state machines.
+
+The detection slot lifecycle (match candidates -> refresh/age -> solve new
+channel geometry -> allocate slots -> retire) is inherently sequential over
+blocks but operates on tiny vectors ([S] slots, [K] candidates). As a
+`lax.scan` it costs ~8.6 us/block on TPU — per-op overhead, not compute.
+This kernel runs the whole batch's lifecycle in ONE kernel invocation with
+all state resident in VMEM/registers, identical semantics to
+``SegmentDetector.scan_slots``'s scan body (reference behavior:
+lib/SegmentDetection_impl.cc:195-344).
+
+Layout notes (TPU): slot state lives as [S, 1] columns, candidate rows as
+[1, K]; their broadcasts form the [S, K] match matrix directly. All
+"gather by index" steps are re-expressed as masked sums (each assignment
+matrix row/column has at most one hit), so the kernel needs no gathers,
+sorts, or transposes. Flags are written as [S, B] column stores.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["slot_lifecycle", "powact_flags"]
+
+_BIG = np.int32(2**30)  # plain scalar: jnp constants can't be kernel-captured
+
+
+def _lifecycle_kernel(
+    # inputs
+    cand_s_ref, cand_e_ref, cand_v_ref,
+    active_ref, tomb_ref, det_start_ref, det_stop_ref, ext_start_ref,
+    wlog2_ref, phase_ref, phase_inc_ref, inactive_ref, order_ref,
+    counters_ref,
+    # outputs
+    o_active, o_tomb, o_det_start, o_det_stop, o_ext_start,
+    o_wlog2, o_phase, o_phase_inc, o_inactive, o_order, o_counters,
+    f_got, f_processed, f_emit, f_phase_used,
+    *,
+    n_blocks: int,
+    n: int,
+    r: int,
+    delay: int,
+    puffer: float,
+    w_cap: int,
+    w_cap_log2: int,
+):
+    s_dim = active_ref.shape[0]
+
+    # Mosaic cannot legalize scf.for with vector loop-carries: all vector
+    # state lives in the output refs (initialized below, mutated per block);
+    # only the two scalar counters ride the fori_loop carry.
+    o_active[:] = active_ref[:]
+    o_tomb[:] = tomb_ref[:]
+    o_det_start[:] = det_start_ref[:]
+    o_det_stop[:] = det_stop_ref[:]
+    o_ext_start[:] = ext_start_ref[:]
+    o_wlog2[:] = wlog2_ref[:]
+    o_phase[:] = phase_ref[:]
+    o_phase_inc[:] = phase_inc_ref[:]
+    o_inactive[:] = inactive_ref[:]
+    o_order[:] = order_ref[:]
+
+    def body(i, carry):
+        alloc_counter, dropped = carry
+        active = o_active[:] != 0
+        tomb = o_tomb[:] != 0
+        det_start = o_det_start[:]
+        det_stop = o_det_stop[:]
+        ext_start = o_ext_start[:]
+        wlog2 = o_wlog2[:]
+        phase = o_phase[:]
+        phase_inc = o_phase_inc[:]
+        inactive = o_inactive[:]
+        order = o_order[:]
+
+        cs = cand_s_ref[pl.ds(i, 1), :]  # [1, K] int32 (bin coords)
+        ce = cand_e_ref[pl.ds(i, 1), :]
+        c_v = cand_v_ref[pl.ds(i, 1), :] != 0  # [1, K] bool
+
+        live = active & ~tomb  # [S, 1]
+
+        # -- matching (reference: lib/SegmentDetection_impl.cc:246-288) -----
+        m = live & c_v & (cs < det_stop) & (ce >= det_start)  # [S, K]
+        order_m = jnp.where(m, order, _BIG)  # [S, K]
+        min_order = jnp.min(order_m, axis=0, keepdims=True)  # [1, K]
+        consumed = jnp.any(m, axis=0, keepdims=True)  # [1, K]
+        refreshed = jnp.any(
+            m & (order == min_order), axis=1, keepdims=True
+        )  # [S, 1]
+        inactive = jnp.where(
+            live, jnp.where(refreshed, 0, inactive + 1), inactive
+        )
+
+        # -- new-channel geometry (reference: :290-344) ---------------------
+        new_mask = c_v & ~consumed  # [1, K]
+        det_w = ce - cs
+        ext_w_raw = jnp.ceil(
+            det_w.astype(jnp.float32) * (1.0 + 2.0 * puffer)
+        ).astype(jnp.int32)
+        vv = jnp.maximum(ext_w_raw, 1)
+        wl2 = jnp.zeros_like(vv)
+        for j in range(w_cap_log2 + 1):
+            wl2 = wl2 + (vv > (1 << j)).astype(jnp.int32)
+        ext_w = jnp.left_shift(jnp.int32(1), wl2)
+        too_big = ext_w > w_cap
+        new_ok = new_mask & ~too_big
+
+        mid = cs + det_w // 2
+        es = mid - ext_w // 2
+        ee = mid + ext_w // 2
+        neg = es < 0
+        es = jnp.where(neg, 0, es)
+        ee = jnp.where(neg, ext_w, ee)
+        over = ee > n
+        es = jnp.where(over, n - ext_w, es)
+        ee = jnp.where(over, n, ee)
+
+        # -- allocation: free slots in index order x accepted candidates in
+        # strength order; masked sums instead of gathers ---------------------
+        free = ~active & ~tomb  # [S, 1]
+        new_ok_i = new_ok.astype(jnp.int32)
+        # prefix sums as triangular matmuls (Mosaic has no cumsum primitive;
+        # counts are tiny so f32 accumulate is exact)
+        k_dim = cs.shape[1]
+        tri_k = (
+            jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 1)
+        ).astype(jnp.float32)
+        rank = jnp.dot(
+            new_ok.astype(jnp.float32), tri_k,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) - 1  # [1, K]
+        tri_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 1)
+            <= jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 0)
+        ).astype(jnp.float32)
+        free_rank = jnp.dot(
+            tri_s, free.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) - 1  # [S, 1]
+        assign = free & new_ok & (free_rank == rank)  # [S, K]
+        got = jnp.any(assign, axis=1, keepdims=True)  # [S, 1]
+        a_i = assign.astype(jnp.int32)
+
+        def pick(arr_k, current):
+            # at most one hit per row -> masked sum == gathered value
+            v = jnp.sum(a_i * arr_k, axis=1, keepdims=True)
+            return jnp.where(got, v, current)
+
+        n_free = jnp.sum(free.astype(jnp.int32))
+        n_new = jnp.sum(new_ok_i)
+        n_alloc = jnp.minimum(n_new, n_free)
+        dropped = (
+            dropped
+            + (n_new - n_alloc)
+            + jnp.sum((new_mask & too_big).astype(jnp.int32))
+        )
+
+        active = active | got
+        det_start = pick(cs, det_start)
+        det_stop = pick(ce, det_stop)
+        ext_start = pick(es, ext_start)
+        wlog2 = pick(wl2, wlog2)
+        phase_inc = pick(es % r, phase_inc)
+        inactive = jnp.where(got, 0, inactive)
+        order = jnp.where(
+            got, alloc_counter + jnp.sum(a_i * rank, axis=1, keepdims=True),
+            order,
+        )
+        alloc_counter = alloc_counter + n_alloc
+
+        # -- processing / retiring flags ------------------------------------
+        live = active & ~tomb
+        emit_now = live & ~got & (inactive > delay)
+        tomb = tomb | emit_now
+        processed = live & ~emit_now
+        phase_used = jnp.where(got, phase_inc, phase)
+        phase = jnp.where(
+            got,
+            (2 * phase_inc) % r,
+            jnp.where(processed, (phase + phase_inc) % r, phase),
+        )
+
+        # Flags are [B, S] row stores: Mosaic only allows dynamic indices on
+        # the sublane dim, so the [S, 1] columns are turned into [1, S] rows
+        # with an identity matmul (values are tiny ints — exact in f32).
+        eye_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 1)
+        ).astype(jnp.float32)
+
+        def to_row(col_vec):
+            return jax.lax.dot_general(
+                col_vec.astype(jnp.float32), eye_s,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        row = pl.ds(i, 1)
+        f_got[row, :] = to_row(got.astype(jnp.int32))
+        f_processed[row, :] = to_row(processed.astype(jnp.int32))
+        f_emit[row, :] = to_row(emit_now.astype(jnp.int32))
+        f_phase_used[row, :] = to_row(phase_used)
+
+        o_active[:] = active.astype(jnp.int32)
+        o_tomb[:] = tomb.astype(jnp.int32)
+        o_det_start[:] = det_start
+        o_det_stop[:] = det_stop
+        o_ext_start[:] = ext_start
+        o_wlog2[:] = wlog2
+        o_phase[:] = phase
+        o_phase_inc[:] = phase_inc
+        o_inactive[:] = inactive
+        o_order[:] = order
+        return alloc_counter, dropped
+
+    alloc_counter, dropped = jax.lax.fori_loop(
+        0, n_blocks, body, (counters_ref[0], counters_ref[1])
+    )
+    o_counters[0] = alloc_counter
+    o_counters[1] = dropped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "r", "delay", "puffer", "w_cap", "w_cap_log2", "interpret"
+    ),
+)
+def slot_lifecycle(
+    cand_s, cand_e, cand_v, state,
+    *, n, r, delay, puffer, w_cap, w_cap_log2, interpret=False,
+):
+    """Run the slot lifecycle over a batch of candidate sets.
+
+    Args:
+      cand_s/cand_e: [B, K] int32 candidate bins; cand_v: [B, K] bool.
+      state: SegmentDetector slot-table dict (see init_state).
+      n, r, delay, puffer, w_cap, w_cap_log2: static config.
+      interpret: run in interpreter mode (CPU testing).
+
+    Returns (new_state, (got, processed, emit, phase_used)), flags [B, S]
+    (scan-order layout, same as the lax.scan path).
+    """
+    nb, k = cand_s.shape
+    s = state["active"].shape[0]
+
+    col = lambda a, dt: a.astype(dt).reshape(s, 1)
+    ins = (
+        cand_s.astype(jnp.int32), cand_e.astype(jnp.int32),
+        cand_v.astype(jnp.int32),
+        col(state["active"], jnp.int32), col(state["tomb"], jnp.int32),
+        col(state["det_start"], jnp.int32), col(state["det_stop"], jnp.int32),
+        col(state["ext_start"], jnp.int32), col(state["wlog2"], jnp.int32),
+        col(state["phase"], jnp.int32), col(state["phase_inc"], jnp.int32),
+        col(state["inactive"], jnp.int32), col(state["order"], jnp.int32),
+        jnp.stack(
+            [state["alloc_counter"], state["dropped"]]
+        ).astype(jnp.int32),
+    )
+
+    sc = jax.ShapeDtypeStruct((s, 1), jnp.int32)
+    fl = jax.ShapeDtypeStruct((nb, s), jnp.int32)
+    out_shape = tuple([sc] * 10) + (
+        jax.ShapeDtypeStruct((2,), jnp.int32),
+        fl, fl, fl, fl,
+    )
+    kernel = functools.partial(
+        _lifecycle_kernel,
+        n_blocks=nb, n=n, r=r, delay=delay, puffer=puffer,
+        w_cap=w_cap, w_cap_log2=w_cap_log2,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[vm] * 13 + [sm],
+        out_specs=tuple([vm] * 10) + (sm, vm, vm, vm, vm),
+        interpret=interpret,
+    )(*ins)
+
+    (o_active, o_tomb, o_det_start, o_det_stop, o_ext_start, o_wlog2,
+     o_phase, o_phase_inc, o_inactive, o_order, o_counters,
+     f_got, f_processed, f_emit, f_phase_used) = outs
+
+    flat = lambda a: a.reshape(s)
+    new_state = {
+        "active": flat(o_active) != 0,
+        "tomb": flat(o_tomb) != 0,
+        "det_start": flat(o_det_start),
+        "det_stop": flat(o_det_stop),
+        "ext_start": flat(o_ext_start),
+        "wlog2": flat(o_wlog2),
+        "phase": flat(o_phase),
+        "phase_inc": flat(o_phase_inc),
+        "inactive": flat(o_inactive),
+        "order": flat(o_order),
+        "alloc_counter": o_counters[0],
+        "dropped": o_counters[1],
+    }
+    flags = (
+        f_got != 0,        # [B, S], scan-order layout
+        f_processed != 0,
+        f_emit != 0,
+        f_phase_used,
+    )
+    return new_state, flags
+
+
+# ---------------------------------------------------------------------------
+# Power-activation hysteresis automaton
+# ---------------------------------------------------------------------------
+
+
+def _powact_kernel(
+    powers_ref, active_ref, lastpower_ref, phase_ref, delta_ref,
+    o_active, o_lastpower, o_phase,
+    f_rise, f_fall, f_processed, f_phase_used,
+    *, n_blocks: int, r: int, thresh: float,
+):
+    delta = delta_ref[:]  # [1, C]
+
+    # vector state lives in the output refs (scf.for cannot carry vectors)
+    o_active[:] = active_ref[:]
+    o_lastpower[:] = lastpower_ref[:]
+    o_phase[:] = phase_ref[:]
+
+    def body(i, _):
+        active = o_active[:] != 0
+        lastpower = o_lastpower[:]
+        phase = o_phase[:]
+        pwr = powers_ref[pl.ds(i, 1), :]  # [1, C]
+        # reference: lib/PowerActivationChannel_impl.cc:286-306
+        rise = ~active & (pwr / lastpower >= thresh)
+        fall = active & (lastpower / pwr >= thresh)
+        processed = rise | active
+        phase_used = jnp.where(rise, delta, phase)
+        phase = jnp.where(
+            rise,
+            (2 * delta) % r,
+            jnp.where(processed, (phase + delta) % r, phase),
+        )
+        active = (active | rise) & ~fall
+
+        row = pl.ds(i, 1)
+        f_rise[row, :] = rise.astype(jnp.int32)
+        f_fall[row, :] = fall.astype(jnp.int32)
+        f_processed[row, :] = processed.astype(jnp.int32)
+        f_phase_used[row, :] = phase_used
+
+        o_active[:] = active.astype(jnp.int32)
+        o_lastpower[:] = pwr
+        o_phase[:] = phase
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r", "thresh", "interpret")
+)
+def powact_flags(powers, state, delta, *, r, thresh, interpret=False):
+    """Run the burst hysteresis automaton over [B, C] powers in one kernel.
+
+    Same semantics as PowerActivationBank.scan_flags's lax.scan. Returns
+    (new_state, (rise, fall, processed, phase_used)) with flags [C, B].
+    """
+    nb, c = powers.shape
+    row = lambda a, dt: a.astype(dt).reshape(1, c)
+    ins = (
+        powers.astype(jnp.float32),
+        row(state["active"], jnp.int32),
+        row(state["lastpower"], jnp.float32),
+        row(state["phase"], jnp.int32),
+        delta.astype(jnp.int32).reshape(1, c),
+    )
+    rc = lambda dt: jax.ShapeDtypeStruct((1, c), dt)
+    fl = lambda dt: jax.ShapeDtypeStruct((nb, c), dt)
+    kernel = functools.partial(
+        _powact_kernel, n_blocks=nb, r=r, thresh=thresh
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(
+            rc(jnp.int32), rc(jnp.float32), rc(jnp.int32),
+            fl(jnp.int32), fl(jnp.int32), fl(jnp.int32), fl(jnp.int32),
+        ),
+        in_specs=[vm] * 5,
+        out_specs=tuple([vm] * 7),
+        interpret=interpret,
+    )(*ins)
+    o_active, o_lastpower, o_phase, f_rise, f_fall, f_proc, f_pu = outs
+    new_state = {
+        "active": o_active.reshape(c) != 0,
+        "lastpower": o_lastpower.reshape(c),
+        "phase": o_phase.reshape(c),
+    }
+    flags = (
+        (f_rise != 0).T,  # [C, B]
+        (f_fall != 0).T,
+        (f_proc != 0).T,
+        f_pu.T,
+    )
+    return new_state, flags

@@ -1,0 +1,134 @@
+"""Pallas slot-lifecycle kernel == lax.scan reference, on random streams."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fdc_tpu.models.segment_detection import SegmentDetector
+
+
+def make_detector(backend, max_slots=16, max_candidates=8):
+    return SegmentDetector(
+        0, 1024, 4, 0.1, 0.6, 6.0, 0.02, 0.2,
+        channel_deactivation_delay=1,
+        max_slots=max_slots,
+        max_candidates=max_candidates,
+        max_extract_width=256,
+        lifecycle_backend=backend,
+    )
+
+
+def random_state(sd, rng, occupancy=0.3):
+    s = sd.max_slots
+    active = rng.random(s) < occupancy
+    wlog2 = rng.integers(2, sd.w_cap_log2 + 1, s)
+    ext_start = rng.integers(sd.geometry.start, sd.geometry.stop - 256, s)
+    det_start = ext_start + 5
+    det_stop = det_start + rng.integers(5, 50, s)
+    return {
+        "active": jnp.asarray(active),
+        "tomb": jnp.zeros((s,), bool),
+        "det_start": jnp.asarray(det_start, jnp.int32),
+        "det_stop": jnp.asarray(det_stop, jnp.int32),
+        "ext_start": jnp.asarray(ext_start, jnp.int32),
+        "wlog2": jnp.asarray(wlog2, jnp.int32),
+        "phase": jnp.asarray(rng.integers(0, 4, s), jnp.int32),
+        "phase_inc": jnp.asarray(rng.integers(0, 4, s), jnp.int32),
+        "inactive": jnp.asarray(rng.integers(0, 3, s), jnp.int32),
+        "order": jnp.asarray(np.arange(s), jnp.int32),
+        "alloc_counter": jnp.int32(s),
+        "dropped": jnp.int32(0),
+    }
+
+
+def random_power(sd, rng, nb=24, n_carriers=3):
+    """Power spectra with moving random carriers so candidates/slots churn."""
+    nc = sd.geometry.n_cells
+    p = np.full((nb, nc), 1e-6)
+    for _ in range(n_carriers):
+        c = rng.integers(2, nc - 10)
+        w = rng.integers(1, 6)
+        on = rng.integers(0, nb - 2)
+        off = rng.integers(on + 1, nb)
+        p[on:off, c: c + w] += rng.random() * 2.0
+    p += rng.random((nb, nc)) * 2e-6
+    return jnp.asarray(p, jnp.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("occupancy", [0.0, 0.4, 1.0])
+def test_pallas_matches_scan(seed, occupancy):
+    rng = np.random.default_rng(seed)
+    sd_scan = make_detector("scan")
+    sd_pal = make_detector("pallas_interpret")
+    state = random_state(sd_scan, rng, occupancy)
+    power = random_power(sd_scan, rng)
+
+    ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, state)
+    ns_b, fl_b = sd_pal.scan_slots(power, state)
+
+    for k in ns_a:
+        np.testing.assert_array_equal(
+            np.asarray(ns_a[k]), np.asarray(ns_b[k]), err_msg=f"state[{k}]"
+        )
+    names = ("got", "processed", "emit", "phase_used")
+    for nm, a, b in zip(names, fl_a, fl_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"flags[{nm}]"
+        )
+
+
+def test_pallas_slot_exhaustion():
+    """More simultaneous carriers than slots -> dropped counter matches."""
+    rng = np.random.default_rng(9)
+    sd_scan = make_detector("scan", max_slots=4)
+    sd_pal = make_detector("pallas_interpret", max_slots=4)
+    state_a = sd_scan.init_state()
+    state_b = sd_pal.init_state()
+    power = random_power(sd_scan, rng, nb=16, n_carriers=8)
+
+    ns_a, _ = jax.jit(sd_scan.scan_slots)(power, state_a)
+    ns_b, _ = sd_pal.scan_slots(power, state_b)
+    assert int(ns_a["dropped"]) == int(ns_b["dropped"])
+    assert int(ns_a["alloc_counter"]) == int(ns_b["alloc_counter"])
+
+
+# ---------------------------------------------------------------------------
+# powact automaton kernel
+# ---------------------------------------------------------------------------
+
+from fdc_tpu.models.power_activation import PowerActivationBank
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_powact_pallas_matches_scan(seed):
+    rng = np.random.default_rng(seed)
+    chans = [(0.2, 0.03), (0.45, 0.05), (0.7, 0.02), (0.85, 0.04)]
+    pa_scan = PowerActivationBank(1024, 4, chans, 10.0, "scan")
+    pa_pal = PowerActivationBank(1024, 4, chans, 10.0, "pallas_interpret")
+
+    c = pa_scan.num_channels
+    nb = 32
+    # powers that rise/fall by factors straddling the threshold
+    powers = np.exp(rng.normal(0, 2.0, (nb, c))).astype(np.float32)
+    powers = jnp.asarray(powers)
+    state = {
+        "active": jnp.asarray(rng.random(c) < 0.5),
+        "lastpower": jnp.asarray(
+            np.exp(rng.normal(0, 2.0, c)).astype(np.float32)
+        ),
+        "phase": jnp.asarray(rng.integers(0, 4, c), jnp.int32),
+    }
+
+    ns_a, fl_a = jax.jit(pa_scan.scan_flags)(powers, state)
+    ns_b, fl_b = pa_pal.scan_flags(powers, state)
+    for k in ns_a:
+        np.testing.assert_array_equal(
+            np.asarray(ns_a[k]), np.asarray(ns_b[k]), err_msg=f"state[{k}]"
+        )
+    for nm, a, b in zip(("rise", "fall", "proc", "pu"), fl_a, fl_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=nm
+        )

@@ -128,3 +128,29 @@ def test_slot_rounding_and_batch_divisibility():
     assert sh.config.max_slots == 8  # rounded up to n_chan multiple
     with pytest.raises(ValueError):
         ShardedChannelizer(config(batch_blocks=9), mesh=mesh)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process path of the multi-host helpers (pod path needs real
+    multi-process; the sharding/feeding logic is identical)."""
+    import jax
+    import numpy as np
+    from fdc_tpu.parallel.multihost import (
+        global_mesh,
+        host_local_batch,
+        initialize_multihost,
+    )
+
+    assert initialize_multihost() == 0
+    mesh = global_mesh(n_chan=2)
+    assert mesh.shape == {"time": 4, "chan": 2}
+
+    cfg = config(batch_blocks=8)
+    sh = ShardedChannelizer(cfg, mesh=mesh)
+    xf = np.zeros((cfg.batch_blocks * cfg.inplen, 2), np.float32)
+    arr = host_local_batch(mesh, xf)
+    assert arr.shape == xf.shape
+    # feeds straight into the sharded step
+    carry = sh._jit_init()
+    carry2, out = sh._jit_step(carry, arr, 0)
+    jax.block_until_ready(out)
