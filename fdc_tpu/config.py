@@ -473,3 +473,31 @@ class ChannelizerConfig:
 
     def replace(self, **kw) -> "ChannelizerConfig":
         return dataclasses.replace(self, **kw)
+
+    # -- declarative form (the GRC XML schema role, reference:
+    # grc/FDC_FrequencyDomainChannelizer.xml param blocks) -------------------
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        d["freqmode"] = self.freqmode.name
+        d["windowtype"] = self.windowtype.name
+        d["verbose"] = self.verbose.name
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ChannelizerConfig":
+        d = dict(d)
+        if isinstance(d.get("verbose"), str):
+            d["verbose"] = VerboseMode[d["verbose"]]
+        return cls(**d)
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ChannelizerConfig":
+        import json
+
+        return cls.from_dict(json.loads(s))

@@ -130,3 +130,20 @@ def test_comb_subband_ifft_mixed_widths():
         zs = np.roll(z[i, :w], -w // 2)
         ref = np.fft.ifft(zs) * w
         np.testing.assert_allclose(ours[i, :w], ref, atol=1e-3)
+
+
+def test_config_json_roundtrip():
+    from fdc_tpu.config import ChannelizerConfig, FreqMode, WindowType
+
+    cfg = ChannelizerConfig(
+        blocksize=1024,
+        throughput_channels=[(0.1, 0.02)],
+        activity_detection_segments=[(0.3, 0.4)],
+        freqmode="basebandfs",
+        windowtype="hann",
+        fs=2e6,
+    )
+    cfg2 = ChannelizerConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+    assert cfg2.freqmode == FreqMode.basebandfs
+    assert cfg2.windowtype == WindowType.HANN
