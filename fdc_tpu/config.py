@@ -394,6 +394,9 @@ class ChannelizerConfig:
     slot_capacity_blocks: int = 0  # 0 => derived: maxblocks + 2*batch_blocks
     max_extract_width: int = 0  # 0 => blocksize (dynamic channels)
     use_mxu_fft: bool = False  # matmul-based FFT on the MXU (perf path)
+    # "auto" = C++ emission engine when the native toolchain is available;
+    # True forces it (raises if unavailable), False forces pure Python
+    native_emission: object = "auto"
 
     def __post_init__(self):
         object.__setattr__(self, "blocksize", nextpow2(self.blocksize))

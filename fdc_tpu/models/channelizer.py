@@ -116,15 +116,30 @@ class FrequencyDomainChannelizer:
 
         # -- host emission layer ----------------------------------------------
         sink = FileSink(cfg.outputpath, self.log) if cfg.fileoutput else None
-        self.power_emitter = (
-            PowerActivationEmitter(
-                self.power_bank, cfg.pow_act_maxblocks, sink, cfg.msgoutput
+        use_native = cfg.native_emission
+        if use_native == "auto":
+            from fdc_tpu.runtime import native
+
+            use_native = native.available()
+        if use_native:
+            from fdc_tpu.runtime.emission import (
+                NativePowerActivationEmitter,
+                NativeSegmentDetectionEmitter,
             )
+
+            pa_cls, sd_cls = (
+                NativePowerActivationEmitter,
+                NativeSegmentDetectionEmitter,
+            )
+        else:
+            pa_cls, sd_cls = PowerActivationEmitter, SegmentDetectionEmitter
+        self.power_emitter = (
+            pa_cls(self.power_bank, cfg.pow_act_maxblocks, sink, cfg.msgoutput)
             if self.power_bank
             else None
         )
         self.segment_emitters = [
-            SegmentDetectionEmitter(sd, cfg.act_det_maxblocks, sink, cfg.msgoutput)
+            sd_cls(sd, cfg.act_det_maxblocks, sink, cfg.msgoutput)
             for sd in self.segments
         ]
 

@@ -22,9 +22,19 @@ from typing import List, Optional
 
 import numpy as np
 
-from fdc_tpu.utils.events import ChannelEvent, FileSink, make_event_id
+from fdc_tpu.utils.events import (
+    ChannelEvent,
+    FileSink,
+    current_timestamp,
+    make_event_id,
+)
 
-__all__ = ["PowerActivationEmitter", "SegmentDetectionEmitter"]
+__all__ = [
+    "PowerActivationEmitter",
+    "SegmentDetectionEmitter",
+    "NativePowerActivationEmitter",
+    "NativeSegmentDetectionEmitter",
+]
 
 
 def _phase_rot_table(relinvovl: int) -> np.ndarray:
@@ -337,3 +347,173 @@ class SegmentDetectionEmitter:
         new_state["active"] = active
         new_state["tomb"] = tomb
         return events, new_state
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) fast-path emitters — drop-in replacements backed by
+# fdc_tpu/runtime/native/emission.cc. The Python classes above are the
+# reference implementation; these replay identical logic without the
+# per-(block x channel) Python loop (the host bottleneck at pod scale).
+# ---------------------------------------------------------------------------
+
+
+def _native():
+    from fdc_tpu.runtime import native
+
+    return native
+
+
+class NativePowerActivationEmitter:
+    """C++-backed PowerActivationEmitter (same interface and events)."""
+
+    def __init__(self, bank, maxblocks, file_sink=None, msg_output=True):
+        native = _native()
+        self.bank = bank
+        self.file_sink = file_sink
+        self.msg_output = msg_output
+        self.engine = native.EmissionEngine(
+            native.EmissionEngine.MODE_PA,
+            bank.num_channels,
+            bank.relinvovl,
+            bank.blocksize,
+            int(maxblocks),
+        )
+        self._loc = {}
+        self.out_cap = 0
+        for bucket in bank.buckets:
+            for row, chan in enumerate(bucket.channel_ids):
+                self._loc[chan] = (bucket.width, row, bucket.out_len)
+            self.out_cap = max(self.out_cap, bucket.out_len)
+        for c, g in enumerate(bank.geometry):
+            self.engine.pa_set_channel(
+                c,
+                self._loc[c][2],
+                (g.extract_start + g.extract_stop) / 2.0 / bank.blocksize,
+                g.extract_width / bank.blocksize,
+            )
+
+    def _flatten_extract(self, ext: dict) -> np.ndarray:
+        some = next(iter(ext.values()))
+        rows = some.shape[1]
+        out = np.zeros(
+            (self.bank.num_channels, rows, self.out_cap), np.complex64
+        )
+        for c, (width, row, out_len) in self._loc.items():
+            out[c, :, :out_len] = ext[width][row]
+        return out
+
+    def process_step(self, outputs, t0: int) -> List[ChannelEvent]:
+        ext = {w: np.asarray(v) for w, v in outputs["extract"].items()}
+        prefix = f"{current_timestamp()}.PowActChan".encode()
+        raw = self.engine.pa_step(
+            np.asarray(outputs["rise"]),
+            np.asarray(outputs["fall"]),
+            np.asarray(outputs["processed"]),
+            np.asarray(outputs["phase_used"]),
+            self._flatten_extract(ext),
+            prefix,
+            int(t0),
+        )
+        events = []
+        for ev in raw:
+            ce = ChannelEvent(
+                ID=ev.ID,
+                finalized=ev.finalized,
+                part=ev.part,
+                rel_cfreq=ev.rel_cfreq,
+                rel_bw=ev.rel_bw,
+                blockstart=ev.blockstart,
+                blockend=ev.blockend,
+                data=ev.data,
+            )
+            if self.file_sink is not None:
+                bare = ChannelEvent(**{**ce.__dict__,
+                                       "ID": ce.ID.rsplit(".", 1)[0]})
+                self.file_sink.write(bare)
+            events.append(ce)
+        return events
+
+    def get_state(self) -> dict:
+        return {"native_blob": self.engine.save_state()}
+
+    def set_state(self, st: dict):
+        if "native_blob" not in st:
+            raise ValueError(
+                "checkpoint was written by the pure-Python emitter; "
+                "restore with use_native_emission=False"
+            )
+        self.engine.load_state(st["native_blob"])
+
+
+class NativeSegmentDetectionEmitter:
+    """C++-backed SegmentDetectionEmitter (same interface and events)."""
+
+    def __init__(self, detector, maxblocks, file_sink=None, msg_output=True):
+        native = _native()
+        self.det = detector
+        self.file_sink = file_sink
+        self.msg_output = msg_output
+        self.engine = native.EmissionEngine(
+            native.EmissionEngine.MODE_SEG,
+            detector.max_slots,
+            detector.relinvovl,
+            detector.blocksize,
+            int(maxblocks),
+        )
+
+    def process_step(self, outputs, state, t0: int):
+        order = np.asarray(state["order"])
+        ts = current_timestamp()
+        ids = b"".join(
+            make_event_id(
+                "DETECTED", self.det.segment_id, int(order[s]), ts
+            ).encode() + b"\0"
+            for s in range(self.det.max_slots)
+        )
+        raw = self.engine.seg_step(
+            np.asarray(outputs["activated"]),
+            np.asarray(outputs["processed"]),
+            np.asarray(outputs["emit"]),
+            np.asarray(outputs["phase_used"]),
+            np.asarray(outputs["extract"]),
+            np.asarray(state["ext_start"]),
+            np.asarray(state["wlog2"]),
+            ids,
+            int(t0),
+        )
+        events = []
+        for ev in raw:
+            ce = ChannelEvent(
+                ID=ev.ID,
+                finalized=ev.finalized,
+                part=ev.part,
+                rel_cfreq=ev.rel_cfreq,
+                rel_bw=ev.rel_bw,
+                blockstart=ev.blockstart,
+                blockend=ev.blockend,
+                vectorstart=ev.vectorstart,
+                vectorend=ev.vectorend,
+                data=ev.data,
+            )
+            if self.file_sink is not None:
+                self.file_sink.write(ce)
+            events.append(ce)
+
+        # free emitted slots for the next step (same as the Python path)
+        new_state = dict(state)
+        tomb = np.asarray(state["tomb"])
+        active = np.asarray(state["active"]) & ~tomb
+        new_state["active"] = active
+        new_state["tomb"] = tomb & ~tomb
+        return events, new_state
+
+    def get_state(self) -> dict:
+        return {"native_blob": self.engine.save_state()}
+
+    def set_state(self, st: dict):
+        if "native_blob" not in st:
+            raise ValueError(
+                "checkpoint was written by the pure-Python emitter; "
+                "restore with use_native_emission=False"
+            )
+        self.engine.load_state(st["native_blob"])

@@ -16,10 +16,17 @@ import threading
 
 import numpy as np
 
-__all__ = ["available", "SampleRing", "FileSource", "NativeBuildError"]
+__all__ = [
+    "available",
+    "SampleRing",
+    "FileSource",
+    "EmissionEngine",
+    "RawEvent",
+    "NativeBuildError",
+]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "ring.cc")
+_SRCS = [os.path.join(_HERE, "ring.cc"), os.path.join(_HERE, "emission.cc")]
 _LIB = os.path.join(_HERE, "_fdc_native.so")
 
 _lock = threading.Lock()
@@ -34,7 +41,7 @@ class NativeBuildError(RuntimeError):
 def _build():
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        _SRC, "-o", _LIB,
+        *_SRCS, "-o", _LIB,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True)
     if proc.returncode != 0:
@@ -51,8 +58,9 @@ def _load():
         if _build_error is not None:
             raise _build_error
         try:
+            src_mtime = max(os.path.getmtime(s) for s in _SRCS)
             if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                    or os.path.getmtime(_LIB) < src_mtime):
                 _build()
             lib = ctypes.CDLL(_LIB)
         except (OSError, NativeBuildError) as e:
@@ -97,6 +105,48 @@ def _load():
         lib.fdc_filesource_done.argtypes = [ctypes.c_void_p]
         lib.fdc_filesource_error.restype = ctypes.c_int
         lib.fdc_filesource_error.argtypes = [ctypes.c_void_p]
+
+        # emission engine
+        c = ctypes
+        lib.fdc_emit_create.restype = c.c_void_p
+        lib.fdc_emit_create.argtypes = [
+            c.c_int, c.c_int, c.c_int, c.c_longlong, c.c_longlong,
+        ]
+        lib.fdc_emit_destroy.argtypes = [c.c_void_p]
+        lib.fdc_emit_pa_set_channel.argtypes = [
+            c.c_void_p, c.c_int, c.c_longlong, c.c_double, c.c_double,
+        ]
+        lib.fdc_emit_pa_finished.restype = c.c_longlong
+        lib.fdc_emit_pa_finished.argtypes = [c.c_void_p, c.c_int]
+        u8p = c.POINTER(c.c_uint8)
+        i32p = c.POINTER(c.c_int32)
+        f32p = c.POINTER(c.c_float)
+        lib.fdc_emit_seg_step.restype = c.c_int
+        lib.fdc_emit_seg_step.argtypes = [
+            c.c_void_p, c.c_int, c.c_int,
+            u8p, u8p, u8p, i32p, f32p, i32p, i32p,
+            c.c_char_p, c.c_longlong,
+        ]
+        lib.fdc_emit_pa_step.restype = c.c_int
+        lib.fdc_emit_pa_step.argtypes = [
+            c.c_void_p, c.c_int, c.c_int,
+            u8p, u8p, u8p, i32p, f32p,
+            c.c_char_p, c.c_longlong,
+        ]
+        lib.fdc_emit_next_event.restype = c.c_int
+        lib.fdc_emit_next_event.argtypes = [
+            c.c_void_p,
+            c.POINTER(c.c_char_p), c.POINTER(c.c_int),
+            c.POINTER(c.c_longlong),
+            c.POINTER(c.c_double), c.POINTER(c.c_double),
+            c.POINTER(c.c_longlong), c.POINTER(c.c_longlong),
+            c.POINTER(c.c_longlong), c.POINTER(c.c_longlong),
+            c.POINTER(f32p), c.POINTER(c.c_longlong),
+        ]
+        lib.fdc_emit_save_state.restype = c.c_longlong
+        lib.fdc_emit_save_state.argtypes = [c.c_void_p, u8p]
+        lib.fdc_emit_load_state.restype = c.c_int
+        lib.fdc_emit_load_state.argtypes = [c.c_void_p, u8p, c.c_longlong]
         _lib = lib
         return _lib
 
@@ -195,3 +245,157 @@ class FileSource:
             self.stop()
         except Exception:
             pass
+
+
+class RawEvent:
+    """One drained native event (metadata + copied complex64 samples)."""
+
+    __slots__ = ("ID", "finalized", "part", "rel_cfreq", "rel_bw",
+                 "blockstart", "blockend", "vectorstart", "vectorend", "data")
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+
+class EmissionEngine:
+    """Native burst-assembly engine (one SegmentDetector's slots or one
+    PowerActivationBank's channels). See runtime/native/emission.cc."""
+
+    MODE_SEG = 0
+    MODE_PA = 1
+
+    def __init__(self, mode, n_units, relinvovl, blocksize, maxblocks):
+        self._lib = _load()
+        self.mode = mode
+        self.n_units = n_units
+        self._h = self._lib.fdc_emit_create(
+            mode, n_units, relinvovl, blocksize, maxblocks
+        )
+        if not self._h:
+            raise MemoryError("fdc_emit_create failed")
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.fdc_emit_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    def pa_set_channel(self, c, out_len, rel_cfreq, rel_bw):
+        self._lib.fdc_emit_pa_set_channel(
+            self._h, c, out_len, rel_cfreq, rel_bw
+        )
+
+    def pa_finished(self, c) -> int:
+        return self._lib.fdc_emit_pa_finished(self._h, c)
+
+    @staticmethod
+    def _u8(a):
+        return np.ascontiguousarray(a, np.uint8).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint8)
+        )
+
+    @staticmethod
+    def _i32(a):
+        return np.ascontiguousarray(a, np.int32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        )
+
+    def seg_step(self, activated, processed, emit, phase_used, extract,
+                 ext_start, wlog2, ids: bytes, t0: int):
+        """All flag arrays [S, B]; extract complex64 [S, B+1, l_cap]."""
+        s, nb = activated.shape
+        assert s == self.n_units
+        ex = np.ascontiguousarray(extract, np.complex64)
+        l_cap = ex.shape[2]
+        # hold temporaries so ctypes pointers stay valid through the call
+        tmp = [np.ascontiguousarray(a, np.uint8) for a in
+               (activated, processed, emit)]
+        pu = np.ascontiguousarray(phase_used, np.int32)
+        es = np.ascontiguousarray(ext_start, np.int32)
+        wl = np.ascontiguousarray(wlog2, np.int32)
+        self._lib.fdc_emit_seg_step(
+            self._h, nb, l_cap,
+            self._u8(tmp[0]), self._u8(tmp[1]), self._u8(tmp[2]),
+            self._i32(pu),
+            ex.view(np.float32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)
+            ),
+            self._i32(es), self._i32(wl),
+            ids, t0,
+        )
+        return self.drain()
+
+    def pa_step(self, rise, fall, processed, phase_used, extract,
+                id_prefix: bytes, t0: int):
+        """All flag arrays [C, B]; extract complex64 [C, B+1, out_cap]."""
+        c, nb = rise.shape
+        assert c == self.n_units
+        ex = np.ascontiguousarray(extract, np.complex64)
+        out_cap = ex.shape[2]
+        tmp = [np.ascontiguousarray(a, np.uint8) for a in
+               (rise, fall, processed)]
+        pu = np.ascontiguousarray(phase_used, np.int32)
+        self._lib.fdc_emit_pa_step(
+            self._h, nb, out_cap,
+            self._u8(tmp[0]), self._u8(tmp[1]), self._u8(tmp[2]),
+            self._i32(pu),
+            ex.view(np.float32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)
+            ),
+            id_prefix, t0,
+        )
+        return self.drain()
+
+    def drain(self):
+        c = ctypes
+        out = []
+        id_p = c.c_char_p()
+        fin = c.c_int()
+        part = c.c_longlong()
+        cf = c.c_double()
+        bw = c.c_double()
+        bs = c.c_longlong()
+        be = c.c_longlong()
+        vs = c.c_longlong()
+        ve = c.c_longlong()
+        dp = c.POINTER(c.c_float)()
+        ns = c.c_longlong()
+        while self._lib.fdc_emit_next_event(
+            self._h, c.byref(id_p), c.byref(fin), c.byref(part),
+            c.byref(cf), c.byref(bw), c.byref(bs), c.byref(be),
+            c.byref(vs), c.byref(ve), c.byref(dp), c.byref(ns),
+        ):
+            n = ns.value
+            data = np.ctypeslib.as_array(dp, shape=(2 * n,)).copy().view(
+                np.complex64
+            ) if n else np.zeros(0, np.complex64)
+            out.append(RawEvent(
+                ID=id_p.value.decode(),
+                finalized=bool(fin.value),
+                part=(None if part.value < 0 else int(part.value)),
+                rel_cfreq=cf.value,
+                rel_bw=bw.value,
+                blockstart=bs.value,
+                blockend=be.value,
+                vectorstart=(None if vs.value < 0 else int(vs.value)),
+                vectorend=(None if ve.value < 0 else int(ve.value)),
+                data=data,
+            ))
+        return out
+
+    # -- checkpoint support ----------------------------------------------------
+
+    def save_state(self) -> bytes:
+        n = self._lib.fdc_emit_save_state(self._h, None)
+        buf = np.empty(n, np.uint8)
+        self._lib.fdc_emit_save_state(self._h, self._u8(buf))
+        return buf.tobytes()
+
+    def load_state(self, blob: bytes):
+        buf = np.frombuffer(blob, np.uint8)
+        ok = self._lib.fdc_emit_load_state(self._h, self._u8(buf), len(buf))
+        if not ok:
+            raise ValueError("corrupt native emission state")
