@@ -149,6 +149,7 @@ class FrequencyDomainChannelizer:
         self._pending = np.zeros(0, np.complex64)  # host sample buffer
 
         self._jit_step = jax.jit(self._device_step)
+        self._jit_step_spectra = jax.jit(self._device_step_spectra)
         self._jit_init = jax.jit(self._device_init)
 
         if cfg.verbose:
@@ -186,10 +187,20 @@ class FrequencyDomainChannelizer:
         x = f2c(xf)
         blocks, hist = frame_blocks(x, carry["hist"], cfg.blocksize)
         spec = forward_spectrum(blocks)  # [B, N]
-        spec_ext = jnp.concatenate([carry["prev_spec"][None], spec])
-
         new_carry = dict(carry)
         new_carry["hist"] = hist
+        return self._step_from_spec(new_carry, spec, t0)
+
+    def _device_step_spectra(self, carry, specf, t0):
+        """Pre-FFT'd entry point (the reference's inpveclen>1 mode,
+        reference: python/FrequencyDomainChannelizer.py:201-216): specf is
+        [B, N, 2] float32 — already normalized fftshifted spectra."""
+        return self._step_from_spec(dict(carry), f2c(specf), t0)
+
+    def _step_from_spec(self, new_carry, spec, t0):
+        cfg = self.config
+        carry = new_carry
+        spec_ext = jnp.concatenate([carry["prev_spec"][None], spec])
         new_carry["prev_spec"] = spec[-1]
 
         out = {}
@@ -282,6 +293,47 @@ class FrequencyDomainChannelizer:
             self._t0 += cfg.batch_blocks
             result.blocks_processed += cfg.batch_blocks
 
+        if dbg:
+            result.debug_spectrum = np.concatenate(dbg)
+        return result
+
+    def process_spectra(self, spectra: np.ndarray) -> ProcessResult:
+        """Pre-FFT'd streaming entry point (reference inpveclen>1 mode):
+        consumes [B, blocksize] normalized fftshifted complex spectra
+        directly — B must be a multiple of batch_blocks."""
+        cfg = self.config
+        if self._carry is None:
+            self._carry = self._jit_init()
+        spectra = np.ascontiguousarray(spectra, np.complex64)
+        if spectra.ndim != 2 or spectra.shape[1] != cfg.blocksize:
+            raise ValueError(
+                f"spectra must be [B, {cfg.blocksize}], got {spectra.shape}"
+            )
+        if spectra.shape[0] % cfg.batch_blocks:
+            raise ValueError(
+                f"B={spectra.shape[0]} must be a multiple of "
+                f"batch_blocks={cfg.batch_blocks}"
+            )
+        result = ProcessResult(
+            throughput=[
+                np.zeros(0, np.complex64)
+                for _ in range(self.throughput.num_channels if self.throughput else 0)
+            ],
+            segment_power=[np.zeros((0, sd.geometry.n_cells), np.float32)
+                           for sd in self.segments],
+        )
+        dbg = []
+        bb = cfg.batch_blocks
+        for i in range(spectra.shape[0] // bb):
+            chunk = spectra[i * bb: (i + 1) * bb]
+            self._carry, out = self._jit_step_spectra(
+                self._carry,
+                jnp.asarray(c2f_host(chunk)),
+                jnp.int32(self._t0),
+            )
+            self._consume_outputs(out, result, dbg)
+            self._t0 += bb
+            result.blocks_processed += bb
         if dbg:
             result.debug_spectrum = np.concatenate(dbg)
         return result

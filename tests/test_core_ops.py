@@ -147,3 +147,20 @@ def test_config_json_roundtrip():
     assert cfg2 == cfg
     assert cfg2.freqmode == FreqMode.basebandfs
     assert cfg2.windowtype == WindowType.HANN
+
+
+def test_frame_blocks_type_generic():
+    """overlap_save is type-generic in the reference (itemsize bytes);
+    frame_blocks must handle real dtypes identically."""
+    import jax.numpy as jnp
+    from fdc_tpu.ops.framing import frame_blocks
+
+    x = jnp.arange(24.0, dtype=jnp.float32)
+    hist = jnp.full((4,), -1.0, jnp.float32)
+    blocks, new_hist = frame_blocks(x, hist, 12)
+    assert blocks.shape == (3, 12)
+    np.testing.assert_array_equal(np.asarray(blocks[0][:4]), -np.ones(4))
+    np.testing.assert_array_equal(
+        np.asarray(blocks[1]), np.arange(4.0, 16.0)
+    )
+    np.testing.assert_array_equal(np.asarray(new_hist), np.arange(20.0, 24.0))

@@ -140,3 +140,52 @@ def test_jit_extract_is_pure():
     outs2, _ = step(x, initial_history(n // r), 0)
     for a, b in zip(outs1, outs2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_process_spectra_equals_process():
+    """Pre-FFT'd entry point (reference inpveclen>1) == sample entry point."""
+    import jax
+    import jax.numpy as jnp
+    from fdc_tpu.config import ChannelizerConfig
+    from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+    from fdc_tpu.ops.fft import forward_spectrum
+    from fdc_tpu.ops.framing import frame_blocks
+
+    cfg = ChannelizerConfig(
+        blocksize=256,
+        relinvovl=4,
+        throughput_channels=[(-0.2, 0.05)],
+        activity_controlled_channels=[(0.25, 0.05)],
+        freqmode="basebandfs",
+        batch_blocks=4,
+    )
+    a = FrequencyDomainChannelizer(cfg)
+    b = FrequencyDomainChannelizer(cfg)
+
+    rng = np.random.default_rng(0)
+    n = 3 * a.batch_samples
+    t = np.arange(n)
+    x = (np.exp(2j * np.pi * -0.2 * t)
+         + 2.0 * np.exp(2j * np.pi * 0.25 * t)
+         + 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+
+    ra = a.process(x)
+
+    @jax.jit
+    def fe(xx):
+        blocks, _ = frame_blocks(
+            xx, jnp.zeros((cfg.ovllen,), jnp.complex64), cfg.blocksize
+        )
+        return forward_spectrum(blocks)
+
+    spectra = np.asarray(fe(jnp.asarray(x)))
+    rb = b.process_spectra(spectra)
+
+    np.testing.assert_allclose(
+        ra.throughput[0], rb.throughput[0], rtol=2e-4, atol=2e-5
+    )
+    assert len(ra.events) == len(rb.events)
+    for p, q in zip(ra.events, rb.events):
+        assert p.blockstart == q.blockstart and p.blockend == q.blockend
+        np.testing.assert_allclose(p.data, q.data, rtol=2e-4, atol=2e-5)
