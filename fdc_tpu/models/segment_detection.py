@@ -323,7 +323,16 @@ class SegmentDetector:
             state["ext_start"], slot_lo, slot_count
         )
         wlog2 = jax.lax.dynamic_slice_in_dim(state["wlog2"], slot_lo, slot_count)
-        windows_pad = jnp.asarray(self.window_table)[wlog2]
+        # traced-index row lookup as a one-hot matmul (TPU gathers with
+        # traced indices are a slow path; the table is tiny)
+        n_tables = self.w_cap_log2 + 1
+        onehot = (
+            wlog2[:, None] == jnp.arange(n_tables, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        windows_pad = jnp.dot(
+            onehot, jnp.asarray(self.window_table),
+            preferred_element_type=jnp.float32,
+        )
         return extract_dynamic(
             spec_ext, ext_start, wlog2, windows_pad, self.w_cap
         )

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fdc_tpu.ops.fft import subband_ifft, comb_subband_ifft
+from fdc_tpu.ops.fft import interp_subband_ifft, subband_ifft
 
 __all__ = [
     "phase_table",
@@ -111,19 +111,24 @@ def extract_dynamic(
     Args:
       spectrum: [B, N] normalized fftshifted spectra.
       starts: [S] int32 extraction start bins (traced; in [0, N)).
-      width_log2: [S] int32 log2 of each slot's extraction width.
+      width_log2: [S] int32 log2 of each slot's extraction width (only used
+        by consumers to pick the sampling stride; extraction itself is
+        width-oblivious thanks to the zero-padded windows).
       windows_pad: [S, w_max] real/complex window amplitudes, zero-padded
         past each slot's true width.
       w_max: static maximum extraction width (power of 2).
 
-    Returns [S, B, w_max] phase-0 outputs: the leading 2**width_log2[s]
-    samples of each row hold the slot's full-rate subband block (including
-    the ovl prefix); the row repeats with period 2**width_log2[s] after.
+    Returns [S, B, w_max] phase-0 INTERPOLATED outputs: with
+    w = 2**width_log2[s] and q = w_max // w, sample ``y[s, b, m*q]`` equals
+    the slot's w-point unnormalized subband IFFT at time index m (including
+    the ovl prefix), without fftshift sign compensation — consumers stride
+    by q and apply ``(-1)^m`` (see interp_subband_ifft).
     """
-    # Zero-pad the spectrum tail so a w_max-long gather starting anywhere in
+    del width_log2  # shape-static path; kept for API symmetry
+    # Zero-pad the spectrum tail so a w_max-long slice starting anywhere in
     # [0, N) never clamps (slots narrower than w_max may start past
     # N - w_max; the zero window padding discards the garbage bins).
     spectrum = jnp.pad(spectrum, ((0, 0), (0, w_max)))
     slices = gather_slices(spectrum, starts, w_max)  # [S, B, w_max]
     z = slices * windows_pad[:, None, :].astype(slices.dtype)
-    return comb_subband_ifft(z, width_log2[:, None], w_max)
+    return interp_subband_ifft(z, w_max)

@@ -25,7 +25,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["forward_spectrum", "subband_ifft", "comb_subband_ifft"]
+__all__ = [
+    "forward_spectrum",
+    "subband_ifft",
+    "comb_subband_ifft",
+    "interp_subband_ifft",
+]
 
 
 def forward_spectrum(blocks: jax.Array) -> jax.Array:
@@ -88,3 +93,28 @@ def comb_subband_ifft(z_pad: jax.Array, width_log2: jax.Array, w_max: int) -> ja
     comb = jnp.where(on_comb, jnp.take_along_axis(z_pad, src, axis=-1), 0.0)
     y = jnp.fft.ifft(comb, axis=-1)
     return y * (_alternating_signs(w_max) * w_max).astype(y.dtype)
+
+
+def interp_subband_ifft(z_pad: jax.Array, w_max: int) -> jax.Array:
+    """Variable-width subband IFFT, gather-free (the production hot path).
+
+    Sampling identity: a W-point unnormalized IFFT of the ZERO-PADDED slice,
+    read at stride q = W/w, equals the w-point unnormalized IFFT —
+    ``p[m*q] == w * ifft_w(z)[m]`` — so variable widths need no comb
+    upsampling (``comb_subband_ifft``'s traced-index gather is a slow path
+    on TPU) and no data-dependent shapes. The consumer (host emitter)
+    strides by q and applies the fftshift sign compensation
+    ``(-1)^m`` (see fdc_tpu/runtime/emission.py), both free on host.
+
+    Args:
+      z_pad: [..., w_max] complex; the leading w entries of each row hold
+        the windowed UNSHIFTED bin slice, the rest are zero (the zero-padded
+        window guarantees this).
+      w_max: static maximum width W (power of two).
+
+    Returns p: [..., w_max] complex with ``p[..., m*q] == w-point
+    unnormalized IFFT(slice)[m]``; positions between comb samples hold the
+    band-limited interpolation (ignored by consumers).
+    """
+    y = jnp.fft.ifft(z_pad, axis=-1)
+    return y * jnp.asarray(w_max, dtype=y.dtype)

@@ -283,6 +283,20 @@ class SegmentDetectionEmitter:
         r = self.det.relinvovl
         events: List[ChannelEvent] = []
         mb = self.maxblocks
+        l_cap = extract.shape[-1]
+
+        def take_row(s, b_row, w, gain=None):
+            """Decode one block from the interpolated extraction row: sample
+            at stride q = l_cap//w and apply the fftshift sign compensation
+            (-1)^m (see fdc_tpu.ops.fft.interp_subband_ifft)."""
+            ovl = w // r
+            q = l_cap // w
+            row = extract[s, b_row, ovl * q:: q][: w - ovl]
+            signs = 1.0 - 2.0 * ((np.arange(ovl, w) & 1).astype(np.float32))
+            out = row * signs
+            if gain is not None:
+                out = out * gain
+            return out
 
         for b in range(nb):
             blockcount = t0 + b  # SegmentDetection convention
@@ -299,24 +313,19 @@ class SegmentDetectionEmitter:
                 self._msg_id[s] = make_event_id(
                     "DETECTED", self.det.segment_id, int(order[s])
                 )
-                ovl = w // r
-                outlen = w - ovl
                 # hist block (phase 0) then current block
                 # (reference: lib/SegmentDetection_impl.cc:431-435)
-                self._data[s].append(extract[s, b, ovl : ovl + outlen])
+                self._data[s].append(take_row(s, b, w))
                 self._data[s].append(
-                    extract[s, b + 1, ovl : ovl + outlen]
-                    * self.rot[phase_used[s, b]]
+                    take_row(s, b + 1, w, self.rot[phase_used[s, b]])
                 )
                 self._count[s] += 2
 
             proc_s = np.nonzero(processed[:, b] & ~activated[:, b])[0]
             for s in proc_s:
                 w = int(self._w[s])
-                ovl = w // r
                 self._data[s].append(
-                    extract[s, b + 1, ovl : w]
-                    * self.rot[phase_used[s, b]]
+                    take_row(s, b + 1, w, self.rot[phase_used[s, b]])
                 )
                 self._count[s] += 1
 

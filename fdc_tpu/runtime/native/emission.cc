@@ -209,19 +209,26 @@ int fdc_emit_seg_step(
             st.msg_id = idp[s];
             long long ovl = w / r;
             long long outlen = w - ovl;
-            // hist block (phase 0) then current block
-            // (reference: lib/SegmentDetection_impl.cc:431-435)
-            const float* h = row(s, b);
+            long long q = l_cap / w;  // interpolated-row sampling stride
+            // hist block (phase 0) then current block; rows are the
+            // interpolated W-rate IFFT output — sample at stride q and
+            // apply the fftshift sign compensation (-1)^m
+            // (see fdc_tpu/ops/fft.py interp_subband_ifft;
+            // reference behavior: lib/SegmentDetection_impl.cc:431-435)
+            const cfloat* h = reinterpret_cast<const cfloat*>(row(s, b));
             std::vector<cfloat> hv(outlen);
-            std::memcpy(hv.data(), h + 2 * ovl,
-                        sizeof(cfloat) * outlen);
+            for (long long i = 0; i < outlen; ++i) {
+                float sign = ((ovl + i) & 1) ? -1.0f : 1.0f;
+                hv[i] = h[(ovl + i) * q] * sign;
+            }
             st.blocks.push_back(std::move(hv));
-            const float* cur = row(s, b + 1);
+            const cfloat* cc = reinterpret_cast<const cfloat*>(row(s, b + 1));
             cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
             std::vector<cfloat> cv(outlen);
-            const cfloat* cc = reinterpret_cast<const cfloat*>(cur);
-            for (long long i = 0; i < outlen; ++i)
-                cv[i] = cc[ovl + i] * ph;
+            for (long long i = 0; i < outlen; ++i) {
+                float sign = ((ovl + i) & 1) ? -1.0f : 1.0f;
+                cv[i] = cc[(ovl + i) * q] * (ph * sign);
+            }
             st.blocks.push_back(std::move(cv));
             st.count += 2;
         }
@@ -231,12 +238,14 @@ int fdc_emit_seg_step(
             long long w = st.w;
             long long ovl = w / r;
             long long outlen = w - ovl;
-            const float* cur = row(s, b + 1);
+            long long q = l_cap / w;
+            const cfloat* cc = reinterpret_cast<const cfloat*>(row(s, b + 1));
             cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
             std::vector<cfloat> cv(outlen);
-            const cfloat* cc = reinterpret_cast<const cfloat*>(cur);
-            for (long long i = 0; i < outlen; ++i)
-                cv[i] = cc[ovl + i] * ph;
+            for (long long i = 0; i < outlen; ++i) {
+                float sign = ((ovl + i) & 1) ? -1.0f : 1.0f;
+                cv[i] = cc[(ovl + i) * q] * (ph * sign);
+            }
             st.blocks.push_back(std::move(cv));
             st.count += 1;
         }

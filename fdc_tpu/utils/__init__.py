@@ -1,1 +1,19 @@
 """Host-side utilities: events, logging, file sinks, waterfall rendering."""
+
+from fdc_tpu.utils.events import (
+    ChannelEvent,
+    FileSink,
+    current_timestamp,
+    make_event_id,
+)
+from fdc_tpu.utils.logging import make_logger
+from fdc_tpu.utils.waterfall import Waterfall
+
+__all__ = [
+    "ChannelEvent",
+    "FileSink",
+    "current_timestamp",
+    "make_event_id",
+    "make_logger",
+    "Waterfall",
+]

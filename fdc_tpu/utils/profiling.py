@@ -1,0 +1,98 @@
+"""Device-step timing utilities.
+
+The tunneled single-chip environment (and any high-latency host link) makes
+per-dispatch wall-clock timing useless: host<->device transfer costs dwarf
+compute. These helpers time a step function with the iteration loop INSIDE
+jit — ``lax.scan`` over K steps, outputs kept live through a checksum
+reduction — and difference K against 2K runs to cancel dispatch overhead.
+
+This is also how bench.py measures the headline number; exposed here so
+users can profile their own configurations the same way.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["checksum", "time_scanned", "measure_samples_per_sec"]
+
+
+def checksum(tree) -> jax.Array:
+    """Tiny scalar that keeps every array leaf of a pytree live."""
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "dtype")]
+    acc = jnp.float32(0.0)
+    for x in leaves:
+        acc = acc + jnp.sum(jnp.abs(x).astype(jnp.float32))
+    return acc
+
+
+def time_scanned(
+    step: Callable,
+    carry,
+    *args,
+    k: int = 8,
+    repeats: int = 3,
+) -> float:
+    """Seconds per step of ``carry, out = step(carry, *args, t_index)``.
+
+    Runs jitted scans of K and 2K steps (carry threaded, outputs
+    checksummed) and returns the per-step difference, best of ``repeats``.
+    """
+
+    def make(kk):
+        @jax.jit
+        def run(c0):
+            def body(c, t):
+                c2, out = step(c, *args, t)
+                return c2, checksum(out)
+
+            ts = jnp.arange(kk, dtype=jnp.int32)
+            c_fin, sums = lax.scan(body, c0, ts)
+            return checksum(c_fin) + jnp.sum(sums)
+
+        return run
+
+    r1, r2 = make(k), make(2 * k)
+    jax.block_until_ready(r1(carry))
+    jax.block_until_ready(r2(carry))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(r1(carry))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(r2(carry))
+        tb = time.perf_counter() - t0
+        best = min(best, (tb - ta) / k)
+    return max(best, 1e-9)
+
+
+def measure_samples_per_sec(channelizer, k: int = 8) -> float:
+    """Steady-state device throughput (samples/s) of a channelizer's step.
+
+    Feeds unit-amplitude noise; detection activity is whatever the noise
+    triggers (matching the bench methodology).
+    """
+    import numpy as np
+
+    from fdc_tpu.utils.cplx import c2f_host
+
+    cfg = channelizer.config
+    rng = np.random.default_rng(0)
+    n = cfg.batch_blocks * cfg.inplen
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+        np.complex64
+    )
+    xf = jax.device_put(jnp.asarray(c2f_host(x)))
+    carry = channelizer._jit_init()
+
+    def step(c, t_idx):
+        return channelizer._device_step(c, xf, t_idx * cfg.batch_blocks)
+
+    dt = time_scanned(step, carry, k=k)
+    return n / dt

@@ -164,3 +164,17 @@ def test_frame_blocks_type_generic():
         np.asarray(blocks[1]), np.arange(4.0, 16.0)
     )
     np.testing.assert_array_equal(np.asarray(new_hist), np.arange(20.0, 24.0))
+
+
+def test_profiling_utils_cpu():
+    from fdc_tpu.config import ChannelizerConfig
+    from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+    from fdc_tpu.utils.profiling import measure_samples_per_sec
+
+    fdc = FrequencyDomainChannelizer(ChannelizerConfig(
+        blocksize=128, relinvovl=4,
+        throughput_channels=[(0.2, 0.05)],
+        batch_blocks=2,
+    ))
+    sps = measure_samples_per_sec(fdc, k=2)
+    assert sps > 0
