@@ -14,7 +14,28 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["frame_blocks", "initial_history"]
+__all__ = ["frame_blocks", "initial_history", "vector_cut"]
+
+
+def vector_cut(x: jax.Array, veclen: int, offset: int, blocklen: int) -> jax.Array:
+    """Per-item slice: from each length-``veclen`` vector of a flat stream,
+    keep ``blocklen`` items starting at ``offset``.
+
+    Standalone equivalent of the reference's type-generic vector_cut_vxx
+    block (reference: lib/vector_cut_vxx_impl.cc:59-72); inside the fused
+    extraction paths this is just a slice, but the public op mirrors the
+    reference API for direct use.
+
+    x: [..., n*veclen] -> [..., n*blocklen]
+    """
+    if not (0 <= offset and offset + blocklen <= veclen):
+        raise ValueError(
+            f"invalid cut: offset={offset} blocklen={blocklen} veclen={veclen}"
+        )
+    lead = x.shape[:-1]
+    n = x.shape[-1] // veclen
+    v = x.reshape(*lead, n, veclen)[..., offset: offset + blocklen]
+    return v.reshape(*lead, n * blocklen)
 
 
 def initial_history(ovllen: int, dtype=jnp.complex64) -> jax.Array:

@@ -178,3 +178,14 @@ def test_profiling_utils_cpu():
     ))
     sps = measure_samples_per_sec(fdc, k=2)
     assert sps > 0
+
+
+def test_vector_cut():
+    import jax.numpy as jnp
+    from fdc_tpu.ops.framing import vector_cut
+
+    x = jnp.arange(24)
+    y = np.asarray(vector_cut(x, veclen=8, offset=2, blocklen=3))
+    np.testing.assert_array_equal(y, [2, 3, 4, 10, 11, 12, 18, 19, 20])
+    with pytest.raises(ValueError):
+        vector_cut(x, 8, 6, 3)
