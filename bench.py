@@ -43,7 +43,7 @@ def _checksum(tree):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=8, help="K (timed as 2K-K)")
+    ap.add_argument("--steps", type=int, default=16, help="K (timed as 2K-K)")
     ap.add_argument("--batch-blocks", type=int, default=128)
     args = ap.parse_args()
 
@@ -85,7 +85,7 @@ def main():
         r = fn(*a)
         jax.block_until_ready(r)  # includes compile
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             r = fn(*a)
             jax.block_until_ready(r)
