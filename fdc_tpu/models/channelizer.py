@@ -31,6 +31,7 @@ from fdc_tpu.config import ChannelizerConfig, VerboseMode
 from fdc_tpu.models.power_activation import PowerActivationBank
 from fdc_tpu.models.segment_detection import SegmentDetector
 from fdc_tpu.models.throughput import ThroughputChannelizer
+from fdc_tpu.ops.extract import extract_bucket
 from fdc_tpu.ops.framing import frame_blocks
 from fdc_tpu.ops.fft import forward_spectrum
 from fdc_tpu.runtime.emission import (
@@ -143,6 +144,24 @@ class FrequencyDomainChannelizer:
             for sd in self.segments
         ]
 
+        # -- fused extraction plan ---------------------------------------------
+        # throughput + burst channels sharing an FFT width extract as ONE
+        # bucketed slice-window-IFFT pass (fewer kernel chains per step)
+        self._fused_widths = {}
+        if self.throughput and self.power_bank:
+            tp_by_w = {b.width: b for b in self.throughput.buckets}
+            pa_by_w = {b.width: b for b in self.power_bank.buckets}
+            for w in set(tp_by_w) & set(pa_by_w):
+                tb, pb = tp_by_w[w], pa_by_w[w]
+                starts = np.concatenate([tb.starts, pb.starts])
+                # gain folds into the (linear) window
+                wins = np.concatenate(
+                    [tb.windows * np.float32(w), pb.windows]
+                )
+                self._fused_widths[w] = (
+                    starts, wins, len(tb.channel_ids), tb, pb
+                )
+
         # -- streaming state ---------------------------------------------------
         self._carry = None
         self._t0 = 0  # global index of next block
@@ -204,8 +223,33 @@ class FrequencyDomainChannelizer:
         new_carry["prev_spec"] = spec[-1]
 
         out = {}
+        # fused extraction: throughput + burst channels of equal width run
+        # as one bucketed slice-window-IFFT over spec_ext
+        fused_streams = {}
+        fused_pa_ext = {}
+        for w, (starts, wins, n_tp, tb, pb) in self._fused_widths.items():
+            y = extract_bucket(
+                spec_ext, jnp.asarray(starts), jnp.asarray(wins)
+            )  # [C_tp + C_pa, B+1, w]
+            for chan, stream in self.throughput.finish_bucket(
+                tb, y[:n_tp, 1:], t0
+            ):
+                fused_streams[chan] = stream
+            fused_pa_ext[w] = y[n_tp:, :, w - pb.out_len:]
+
         if self.throughput:
-            streams = self.throughput.extract(spec, t0)
+            streams = [None] * self.throughput.num_channels
+            for bucket in self.throughput.buckets:
+                if bucket.width in self._fused_widths:
+                    continue
+                y = extract_bucket(
+                    spec, jnp.asarray(bucket.starts),
+                    jnp.asarray(bucket.windows), gain=float(bucket.width),
+                )
+                for chan, s in self.throughput.finish_bucket(bucket, y, t0):
+                    streams[chan] = s
+            for chan, s in fused_streams.items():
+                streams[chan] = s
             out["throughput"] = [c2f(s) for s in streams]
         # one shared |X|^2 pass feeds every detection consumer
         sq = (
@@ -219,14 +263,21 @@ class FrequencyDomainChannelizer:
             new_carry["powact"], (rise, fall, processed, phase_used) = (
                 pa.scan_flags(powers, carry["powact"])
             )
+            pa_ext = dict(fused_pa_ext)
+            for bucket in pa.buckets:
+                if bucket.width in pa_ext:
+                    continue
+                y = extract_bucket(
+                    spec_ext, jnp.asarray(bucket.starts),
+                    jnp.asarray(bucket.windows),
+                )
+                pa_ext[bucket.width] = y[..., bucket.width - bucket.out_len:]
             out["powact"] = {
                 "rise": rise,
                 "fall": fall,
                 "processed": processed,
                 "phase_used": phase_used,
-                "extract": {
-                    w: c2f(v) for w, v in pa.extract_rows(spec_ext).items()
-                },
+                "extract": {w: c2f(v) for w, v in pa_ext.items()},
             }
         for i, sd in enumerate(self.segments):
             power = sd.measure(spec, sq)

@@ -101,24 +101,35 @@ class ThroughputChannelizer:
         that channel for this batch, overlap samples dropped
         (reference: python/FrequencyDomainChannelizer.py:229-231).
         """
-        b = spectrum.shape[0]
         out = [None] * self.num_channels
-        block_index0 = jnp.asarray(block_index0, dtype=jnp.int32)
-        t = block_index0 + jnp.arange(b, dtype=jnp.int32)  # [B] global blocks
         for bucket in self.buckets:
-            l = bucket.width
-            starts = jnp.asarray(bucket.starts)
             y = extract_bucket(
                 spectrum,
-                starts,
+                jnp.asarray(bucket.starts),
                 jnp.asarray(bucket.windows),
-                gain=float(l),  # trailing multiply_const(blocksize/dec) == l
+                gain=float(bucket.width),  # trailing multiply_const == l
             )  # [C, B, l]
-            # overlap-save phase compensation: window index (t * start) % R
-            # (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83)
-            phase_idx = (t[None, :] * starts[:, None]) % self.relinvovl
-            y = apply_phase(y, phase_idx, self.relinvovl)
-            y = y[..., l - bucket.out_len :]  # drop time-domain overlap
-            for row, chan in enumerate(bucket.channel_ids):
-                out[chan] = y[row].reshape(b * bucket.out_len)
+            for chan, stream in self.finish_bucket(bucket, y, block_index0):
+                out[chan] = stream
         return out
+
+    def finish_bucket(self, bucket: _Bucket, y: jax.Array, block_index0):
+        """Phase-compensate, trim overlap, and split a bucket's raw
+        extraction [C, B, l] into per-channel streams.
+
+        Separated from ``extract`` so the channelizer's fused extraction
+        path (shared slice-window-IFFT with the burst bank) can reuse the
+        post-processing. Yields (channel_id, [B*out_len] stream) pairs.
+        """
+        b = y.shape[1]
+        l = bucket.width
+        block_index0 = jnp.asarray(block_index0, dtype=jnp.int32)
+        t = block_index0 + jnp.arange(b, dtype=jnp.int32)  # [B] global blocks
+        starts = jnp.asarray(bucket.starts)
+        # overlap-save phase compensation: window index (t * start) % R
+        # (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83)
+        phase_idx = (t[None, :] * starts[:, None]) % self.relinvovl
+        y = apply_phase(y, phase_idx, self.relinvovl)
+        y = y[..., l - bucket.out_len:]  # drop time-domain overlap
+        for row, chan in enumerate(bucket.channel_ids):
+            yield chan, y[row].reshape(b * bucket.out_len)
