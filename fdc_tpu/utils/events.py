@@ -97,3 +97,63 @@ class FileSink:
         except OSError:
             self._log(f"Cannot write to file {filename}")
             return False
+
+
+def parse_event_filename(name: str):
+    """Parse the reference's burst-file naming back into metadata:
+    ``<ID>.fin`` or ``<ID>.parted.<N>`` with ID = ts.SRC.UNIT.COUNTER
+    (reference: lib/SegmentDetection_impl.cc:463,519). Returns a dict or
+    None if the name does not match."""
+    parts = name.split(".")
+    if len(parts) >= 5 and parts[-1] == "fin":
+        event_id, fin, part = ".".join(parts[:-1]), True, None
+    elif len(parts) >= 6 and parts[-2] == "parted":
+        try:
+            part = int(parts[-1])
+        except ValueError:
+            return None
+        event_id, fin = ".".join(parts[:-2]), False
+    else:
+        return None
+    idp = event_id.split(".")
+    if len(idp) < 4:
+        return None
+    return {
+        "ID": event_id,
+        "finalized": fin,
+        "part": part,
+        "timestamp": ".".join(idp[:-3]),
+        "source": idp[-3],
+        "unit": int(idp[-2]) if idp[-2].isdigit() else idp[-2],
+        "counter": int(idp[-1]) if idp[-1].isdigit() else idp[-1],
+    }
+
+
+def read_event_file(path: str) -> np.ndarray:
+    """Load one burst file (raw interleaved complex64, the reference's
+    fwrite format)."""
+    return np.fromfile(path, dtype=np.complex64)
+
+
+def scan_output_dir(path: str):
+    """Enumerate burst files in an output directory in (ID, part) order.
+
+    Returns a list of dicts (parse_event_filename fields plus ``path``),
+    finalized parts last per ID — the order a downstream consumer should
+    concatenate ``.parted.N`` chunks and the ``.fin`` tail.
+    """
+    entries = []
+    for name in os.listdir(path):
+        meta = parse_event_filename(name)
+        if meta is None:
+            continue
+        meta["path"] = os.path.join(path, name)
+        entries.append(meta)
+    entries.sort(
+        key=lambda m: (
+            m["ID"],
+            1 if m["finalized"] else 0,
+            m["part"] if m["part"] is not None else 1 << 60,
+        )
+    )
+    return entries
