@@ -141,3 +141,42 @@ def test_stream_driver_python_fallback():
     assert drv.run_once() is not None
     assert drv.run_once(timeout=0.01) is None
     assert drv.stats.batches == 2
+
+
+def test_stream_driver_with_sharded_channelizer(tmp_path):
+    """Config-5 streaming shape: file -> native ring -> sharded step."""
+    import jax
+
+    from fdc_tpu.parallel.mesh import make_mesh
+    from fdc_tpu.parallel.sharded import ShardedChannelizer
+
+    cfg = ChannelizerConfig(
+        blocksize=256,
+        relinvovl=4,
+        throughput_channels=[(-0.2, 0.05)],
+        activity_detection_segments=[(0.1, 0.4)],
+        act_det_threshold=8.0,
+        minchandist=0.02,
+        freqmode="basebandfs",
+        batch_blocks=8,
+    )
+    fdc = ShardedChannelizer(cfg, mesh=make_mesh(n_time=4, n_chan=2))
+    n = 4 * fdc.batch_samples
+    t = np.arange(n)
+    rng = np.random.default_rng(8)
+    x = (np.exp(2j * np.pi * -0.2 * t)
+         + 0.02 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    m = np.zeros(n)
+    m[10 * cfg.inplen: 20 * cfg.inplen] = 1.0
+    x += (2.0 * m * np.exp(2j * np.pi * 0.25 * t)).astype(np.complex64)
+    path = tmp_path / "pod.c64"
+    x.astype(np.complex64).tofile(path)
+
+    drv = StreamDriver(fdc, ring_batches=2)
+    results = drv.run_file(str(path))
+    assert drv.stats.batches == 4
+    events = [e for r in results for e in r.events]
+    assert any(e.finalized for e in events)
+    y = np.concatenate([r.throughput[0] for r in results])
+    assert np.abs(y[200:]).mean() == pytest.approx(1.0, abs=0.07)
