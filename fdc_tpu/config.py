@@ -15,9 +15,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from dataclasses import dataclass, field
-from typing import Sequence
-
+from dataclasses import dataclass
 
 def nextpow2(k) -> int:
     """Smallest power of two >= k (reference: python/FrequencyDomainChannelizer.py:37-40)."""

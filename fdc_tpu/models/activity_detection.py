@@ -19,7 +19,7 @@ the edge ratios and is omitted; segment geometry uses the vcm rounding rules
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fdc_tpu.config import ChannelizerConfig, VerboseMode
+from fdc_tpu.config import ChannelizerConfig
 from fdc_tpu.models.power_activation import PowerActivationBank
 from fdc_tpu.models.segment_detection import SegmentDetector
 from fdc_tpu.models.throughput import ThroughputChannelizer

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fdc_tpu.config import PowerChannelGeometry, solve_power_channel
+from fdc_tpu.config import solve_power_channel
 from fdc_tpu.ops.detect import band_power
 from fdc_tpu.ops.extract import extract_bucket
 from fdc_tpu.ops.windows import sine_flank_window_bank

@@ -26,7 +26,6 @@ reference: lib/SegmentDetection_impl.cc:298-308).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

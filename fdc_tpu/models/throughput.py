@@ -16,12 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fdc_tpu.config import (
-    ChannelizerConfig,
-    ThroughputChannelGeometry,
-    WindowType,
-    solve_throughput_channel,
-)
+from fdc_tpu.config import WindowType, solve_throughput_channel
 from fdc_tpu.ops.extract import apply_phase, extract_bucket
 from fdc_tpu.ops.windows import base_window
 

@@ -10,7 +10,6 @@ and segment power observability.
 import numpy as np
 import pytest
 
-import fdc_tpu
 from fdc_tpu.config import ChannelizerConfig
 from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
 from fdc_tpu.parallel.mesh import make_mesh

@@ -145,8 +145,6 @@ def test_stream_driver_python_fallback():
 
 def test_stream_driver_with_sharded_channelizer(tmp_path):
     """Config-5 streaming shape: file -> native ring -> sharded step."""
-    import jax
-
     from fdc_tpu.parallel.mesh import make_mesh
     from fdc_tpu.parallel.sharded import ShardedChannelizer
 

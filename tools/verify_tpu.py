@@ -1,11 +1,9 @@
 """Verify flow 1: single-carrier extraction on the real TPU chip."""
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from fdc_tpu.config import ChannelizerConfig
 from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
-from fdc_tpu.utils.cplx import c2f_host, f2c_host
 
 print("devices:", jax.devices())
 
