@@ -189,3 +189,32 @@ def test_vector_cut():
     np.testing.assert_array_equal(y, [2, 3, 4, 10, 11, 12, 18, 19, 20])
     with pytest.raises(ValueError):
         vector_cut(x, 8, 6, 3)
+
+
+def test_centerfreqfs_mode_end_to_end():
+    """centerfreqfs frequency mode: absolute RF frequencies with fs + center
+    (reference: python/FrequencyDomainChannelizer.py:84-89)."""
+    from fdc_tpu.config import ChannelizerConfig
+    from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+
+    fs = 2_000_000.0
+    fc = 433_000_000.0
+    f_rf = fc + 250_000.0  # +0.125 of fs
+    cfg = ChannelizerConfig(
+        blocksize=256,
+        relinvovl=4,
+        throughput_channels=[(f_rf, 80_000.0)],
+        freqmode="centerfreqfs",
+        fs=fs,
+        centerfrequency=fc,
+        batch_blocks=4,
+    )
+    fdc = FrequencyDomainChannelizer(cfg)
+    n = 4 * fdc.batch_samples
+    t = np.arange(n)
+    rng = np.random.default_rng(0)
+    x = (np.exp(2j * np.pi * 0.125 * t)  # baseband-equivalent of f_rf
+         + 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    y = fdc.process(x).throughput[0]
+    assert np.abs(y[len(y) // 4:]).mean() == pytest.approx(1.0, abs=0.07)
