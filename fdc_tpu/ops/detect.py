@@ -100,6 +100,8 @@ def detect_candidates(
     n_cells = power.shape[0]
     n_r = n_cells - 1
     k = max_candidates
+    # a segment can have fewer ratio cells than the candidate cap
+    k_eff = min(k, n_r)
 
     ratio = power[1:] / power[:-1]  # [n_r]
     rise = ratio > thresh
@@ -113,13 +115,18 @@ def detect_candidates(
 
     # strongest-first rising edges
     rise_strength = jnp.where(rise, ratio, -jnp.inf)
-    top_val, top_i = jax.lax.top_k(rise_strength, k)  # [K]
+    top_val, top_i = jax.lax.top_k(rise_strength, k_eff)  # [k_eff]
     has_rise = jnp.isfinite(top_val)
     nf = next_fall[top_i]
     has_pair = has_rise & (nf < _BIG)
 
     cand_s = top_i.astype(jnp.int32)  # start cell (the low cell before rise)
     cand_e = (nf + 1).astype(jnp.int32)  # end cell (exclusive)
+    if k_eff < k:  # pad back to the static candidate shape
+        pad = k - k_eff
+        cand_s = jnp.pad(cand_s, (0, pad))
+        cand_e = jnp.pad(cand_e, (0, pad))
+        has_pair = jnp.pad(has_pair, (0, pad))
 
     # greedy overlap rejection in strength order, exact reference test
     def scan_body(carry, x):

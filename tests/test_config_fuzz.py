@@ -1,0 +1,78 @@
+"""Seeded config fuzzing: random valid configurations must construct and
+process a batch without shape errors, and respect basic output invariants."""
+
+import numpy as np
+import pytest
+
+from fdc_tpu.config import ChannelizerConfig
+from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+
+
+def random_config(rng):
+    blocksize = int(2 ** rng.integers(7, 12))
+    relinvovl = int(2 ** rng.integers(1, 4))
+    n_tp = int(rng.integers(0, 4))
+    n_pa = int(rng.integers(0, 3))
+    n_seg = int(rng.integers(0, 3))
+
+    def rand_chan():
+        bw = float(rng.uniform(0.01, 0.08))
+        f = float(rng.uniform(-0.5 + bw, 0.5 - bw))
+        return (f, bw)
+
+    segs = []
+    for _ in range(n_seg):
+        a = float(rng.uniform(-0.45, 0.25))
+        b = a + float(rng.uniform(0.08, 0.2))
+        segs.append((a, min(b, 0.45)))
+
+    return ChannelizerConfig(
+        blocksize=blocksize,
+        relinvovl=relinvovl,
+        throughput_channels=[rand_chan() for _ in range(n_tp)],
+        activity_controlled_channels=[rand_chan() for _ in range(n_pa)],
+        activity_detection_segments=segs,
+        act_contr_threshold=float(rng.uniform(3.0, 15.0)),
+        act_det_threshold=float(rng.uniform(3.0, 12.0)),
+        minchandist=float(rng.uniform(0.005, 0.05)),
+        minchanflankpuffer=float(rng.uniform(0.0, 0.4)),
+        freqmode="basebandfs",
+        batch_blocks=int(rng.choice([2, 4, 8])),
+        max_slots=int(rng.choice([4, 8, 16])),
+        max_candidates=int(rng.choice([4, 8])),
+        pow_act_maxblocks=int(rng.choice([0, 4, 64])),
+        act_det_maxblocks=int(rng.choice([4, 64, 256])),
+    )
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_random_config_processes(seed):
+    rng = np.random.default_rng(seed)
+    cfg = random_config(rng)
+    if not (cfg.throughput_channels or cfg.activity_controlled_channels
+            or cfg.activity_detection_segments):
+        cfg = cfg.replace(throughput_channels=[(0.1, 0.05)])
+    fdc = FrequencyDomainChannelizer(cfg)
+
+    n = 2 * fdc.batch_samples + int(rng.integers(0, 100))
+    t = np.arange(n)
+    x = (0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    for f, _ in (list(cfg.throughput_channels)
+                 + list(cfg.activity_controlled_channels))[:3]:
+        x += np.exp(2j * np.pi * f * t).astype(np.complex64)
+
+    res = fdc.process(x)
+    assert res.blocks_processed == 2 * cfg.batch_blocks
+    assert len(res.throughput) == len(cfg.throughput_channels)
+    for i, y in enumerate(res.throughput):
+        g = fdc.throughput.geometry[i]
+        assert len(y) == 2 * cfg.batch_blocks * g.out_len
+        assert np.all(np.isfinite(y.view(np.float32)))
+    for e in res.events:
+        assert e.blockend >= e.blockstart
+        assert 0.0 <= e.rel_cfreq <= 1.0
+        assert np.all(np.isfinite(e.data.view(np.float32)))
+    # second call continues the stream without error
+    res2 = fdc.process(x[: fdc.batch_samples])
+    assert res2.blocks_processed == cfg.batch_blocks
