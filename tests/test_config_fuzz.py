@@ -76,3 +76,49 @@ def test_random_config_processes(seed):
     # second call continues the stream without error
     res2 = fdc.process(x[: fdc.batch_samples])
     assert res2.blocks_processed == cfg.batch_blocks
+
+
+@pytest.mark.parametrize("seed", range(100, 105))
+def test_random_config_sharded_equivalence(seed):
+    """Random configs: sharded step must reproduce single-device events and
+    streams exactly (the most failure-prone composition in the framework)."""
+    from fdc_tpu.parallel.mesh import make_mesh
+    from fdc_tpu.parallel.sharded import ShardedChannelizer
+
+    rng = np.random.default_rng(seed)
+    cfg = random_config(rng).replace(batch_blocks=8)
+    if not (cfg.throughput_channels or cfg.activity_controlled_channels
+            or cfg.activity_detection_segments):
+        cfg = cfg.replace(activity_detection_segments=[(-0.3, -0.1)])
+
+    n = 3 * cfg.batch_blocks * cfg.inplen
+    t = np.arange(n)
+    x = (0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    # drive bursts across every configured band
+    for f, _ in (list(cfg.throughput_channels)
+                 + list(cfg.activity_controlled_channels)):
+        on = int(rng.integers(0, 12)) * cfg.inplen
+        off = on + int(rng.integers(4, 12)) * cfg.inplen
+        m = np.zeros(n)
+        m[on:off] = 1.0
+        x += (2.0 * m * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+    for a, b in cfg.activity_detection_segments:
+        f = (a + b) / 2.0
+        on = int(rng.integers(0, 12)) * cfg.inplen
+        off = on + int(rng.integers(4, 12)) * cfg.inplen
+        m = np.zeros(n)
+        m[on:off] = 1.0
+        x += (2.0 * m * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    sh = ShardedChannelizer(cfg, mesh=make_mesh(n_time=2, n_chan=2))
+    ra = ref.process(x)
+    rb = sh.process(x)
+    assert len(ra.events) == len(rb.events)
+    for a, b in zip(ra.events, rb.events):
+        assert a.ID.split(".", 1)[1] == b.ID.split(".", 1)[1]
+        assert a.blockstart == b.blockstart and a.blockend == b.blockend
+        np.testing.assert_allclose(a.data, b.data, rtol=3e-4, atol=3e-5)
+    for ya, yb in zip(ra.throughput, rb.throughput):
+        np.testing.assert_allclose(ya, yb, rtol=3e-4, atol=3e-5)
