@@ -102,8 +102,11 @@ class ActivityDetectionChannelizer:
         maxblocks: int = 256,
         file_sink=None,
         msg_output: bool = True,
+        native_emission="auto",
     ) -> "ActivityDetectionRunner":
-        return ActivityDetectionRunner(self, maxblocks, file_sink, msg_output)
+        return ActivityDetectionRunner(
+            self, maxblocks, file_sink, msg_output, native_emission
+        )
 
 
 class ActivityDetectionRunner:
@@ -115,12 +118,24 @@ class ActivityDetectionRunner:
     (reference: lib/activity_detection_channelizer_vcm_impl.cc:542-576)."""
 
     def __init__(self, adc: ActivityDetectionChannelizer, maxblocks: int,
-                 file_sink, msg_output: bool):
+                 file_sink, msg_output: bool, native_emission="auto"):
         from fdc_tpu.runtime.emission import SegmentDetectionEmitter
+
+        use_native = native_emission
+        if use_native == "auto":
+            from fdc_tpu.runtime import native
+
+            use_native = native.available()
+        if use_native:
+            from fdc_tpu.runtime.emission import (
+                NativeSegmentDetectionEmitter as emitter_cls,
+            )
+        else:
+            emitter_cls = SegmentDetectionEmitter
 
         self.adc = adc
         self.emitters = [
-            SegmentDetectionEmitter(sd, maxblocks, file_sink, msg_output)
+            emitter_cls(sd, maxblocks, file_sink, msg_output)
             for sd in adc.segments
         ]
         self._carry = None

@@ -122,3 +122,36 @@ def test_extracted_burst_snr():
     snr_db = -10 * np.log10(np.mean(np.abs(resid) ** 2) + 1e-30)
     assert amp == pytest.approx(1.0, abs=0.1)
     assert snr_db > 20.0, snr_db
+
+
+def test_runner_native_matches_python_emission():
+    from fdc_tpu.runtime import native as native_mod
+
+    if not native_mod.available():
+        import pytest as _pytest
+
+        _pytest.skip("native toolchain unavailable")
+
+    blocklen, r = 512, 4
+    kw = dict(
+        blocklen=blocklen, segments=[[0.05, 0.45]], thresh_db=8.0,
+        relinvovl=r, minchandist=0.02, channel_deactivation_delay=1,
+        window_flank_puffer=0.1, max_slots=8, max_candidates=8,
+    )
+    spectra = make_spectra(40, blocklen, r, [(0.25, 1.0, 8, 32)])
+
+    ev = {}
+    for mode in (False, True):
+        runner = ActivityDetectionChannelizer(**kw).make_runner(
+            native_emission=mode
+        )
+        events = []
+        for lo in range(0, len(spectra), 8):
+            events.extend(runner.process_spectra(spectra[lo: lo + 8]))
+        ev[mode] = events
+
+    assert len(ev[False]) == len(ev[True])
+    for a, b in zip(ev[False], ev[True]):
+        assert a.ID.split(".", 1)[1] == b.ID.split(".", 1)[1]
+        assert a.blockstart == b.blockstart and a.blockend == b.blockend
+        np.testing.assert_allclose(a.data, b.data, rtol=1e-5, atol=1e-7)
