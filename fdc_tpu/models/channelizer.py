@@ -225,32 +225,29 @@ class FrequencyDomainChannelizer:
         out = {}
         # fused extraction: throughput + burst channels of equal width run
         # as one bucketed slice-window-IFFT over spec_ext
-        fused_streams = {}
+        fused_mats = {}
         fused_pa_ext = {}
         for w, (starts, wins, n_tp, tb, pb) in self._fused_widths.items():
             y = extract_bucket(
                 spec_ext, jnp.asarray(starts), jnp.asarray(wins)
             )  # [C_tp + C_pa, B+1, w]
-            for chan, stream in self.throughput.finish_bucket(
-                tb, y[:n_tp, 1:], t0
-            ):
-                fused_streams[chan] = stream
+            fused_mats[w] = self.throughput.finish_bucket(tb, y[:n_tp, 1:], t0)
             fused_pa_ext[w] = y[n_tp:, :, w - pb.out_len:]
 
         if self.throughput:
-            streams = [None] * self.throughput.num_channels
+            # one [C_l, B*out_len] matrix per bucket (the host splits rows;
+            # device-side per-channel splitting costs a kernel per channel)
+            mats = []
             for bucket in self.throughput.buckets:
                 if bucket.width in self._fused_widths:
+                    mats.append(c2f(fused_mats[bucket.width]))
                     continue
                 y = extract_bucket(
                     spec, jnp.asarray(bucket.starts),
                     jnp.asarray(bucket.windows), gain=float(bucket.width),
                 )
-                for chan, s in self.throughput.finish_bucket(bucket, y, t0):
-                    streams[chan] = s
-            for chan, s in fused_streams.items():
-                streams[chan] = s
-            out["throughput"] = [c2f(s) for s in streams]
+                mats.append(c2f(self.throughput.finish_bucket(bucket, y, t0)))
+            out["throughput_buckets"] = mats
         # one shared |X|^2 pass feeds every detection consumer
         sq = (
             jnp.abs(spec) ** 2
@@ -392,10 +389,14 @@ class FrequencyDomainChannelizer:
     def _consume_outputs(self, out, result: ProcessResult, dbg: list):
         t0 = self._t0
         if self.throughput:
-            for c, s in enumerate(out["throughput"]):
-                result.throughput[c] = np.concatenate(
-                    [result.throughput[c], f2c_host(np.asarray(s))]
-                )
+            for bucket, mat in zip(
+                self.throughput.buckets, out["throughput_buckets"]
+            ):
+                m = f2c_host(np.asarray(mat))  # [C_l, B*out_len]
+                for row, chan in enumerate(bucket.channel_ids):
+                    result.throughput[chan] = np.concatenate(
+                        [result.throughput[chan], m[row]]
+                    )
         if self.power_bank:
             po = jax.tree.map(np.asarray, out["powact"])
             po["extract"] = {

@@ -104,17 +104,20 @@ class ThroughputChannelizer:
                 jnp.asarray(bucket.windows),
                 gain=float(bucket.width),  # trailing multiply_const == l
             )  # [C, B, l]
-            for chan, stream in self.finish_bucket(bucket, y, block_index0):
-                out[chan] = stream
+            mat = self.finish_bucket(bucket, y, block_index0)
+            for row, chan in enumerate(bucket.channel_ids):
+                out[chan] = mat[row]
         return out
 
     def finish_bucket(self, bucket: _Bucket, y: jax.Array, block_index0):
-        """Phase-compensate, trim overlap, and split a bucket's raw
-        extraction [C, B, l] into per-channel streams.
+        """Phase-compensate and trim a bucket's raw extraction [C, B, l]
+        into the per-channel stream matrix [C, B*out_len].
 
         Separated from ``extract`` so the channelizer's fused extraction
         path (shared slice-window-IFFT with the burst bank) can reuse the
-        post-processing. Yields (channel_id, [B*out_len] stream) pairs.
+        post-processing. Kept as ONE matrix: per-channel splitting belongs
+        on the host — splitting on device turns every channel into its own
+        XLA kernel (64 extra launches per step on the flagship workload).
         """
         b = y.shape[1]
         l = bucket.width
@@ -126,5 +129,4 @@ class ThroughputChannelizer:
         phase_idx = (t[None, :] * starts[:, None]) % self.relinvovl
         y = apply_phase(y, phase_idx, self.relinvovl)
         y = y[..., l - bucket.out_len:]  # drop time-domain overlap
-        for row, chan in enumerate(bucket.channel_ids):
-            yield chan, y[row].reshape(b * bucket.out_len)
+        return y.reshape(len(bucket.channel_ids), b * bucket.out_len)

@@ -117,8 +117,16 @@ def detect_candidates(
     rise_strength = jnp.where(rise, ratio, -jnp.inf)
     top_val, top_i = jax.lax.top_k(rise_strength, k_eff)  # [k_eff]
     has_rise = jnp.isfinite(top_val)
-    nf = next_fall[top_i]
-    has_pair = has_rise & (nf < _BIG)
+    # next_fall[top_i] as a one-hot matmul (traced-index gathers are a slow
+    # TPU path); sentinel clamped to n_r so the f32 accumulate stays exact
+    nf_clamped = jnp.minimum(next_fall, n_r).astype(jnp.float32)
+    onehot = (
+        top_i[:, None] == jnp.arange(n_r, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    nf = jnp.dot(
+        onehot, nf_clamped, preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    has_pair = has_rise & (nf < n_r)
 
     cand_s = top_i.astype(jnp.int32)  # start cell (the low cell before rise)
     cand_e = (nf + 1).astype(jnp.int32)  # end cell (exclusive)

@@ -305,11 +305,12 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         out = {}
         if self.throughput:
             tp = self.throughput
-            streams = [None] * tp.num_channels
-            for bucket, mat in zip(tp.buckets, raw["throughput_mats"]):
-                for row, chan in enumerate(bucket.channel_ids):
-                    streams[chan] = mat[row]
-            out["throughput"] = streams
+            # canonical layout: one [C_l, B*out_len, 2] matrix per bucket
+            # (padded rows dropped); the host splits per channel
+            out["throughput_buckets"] = [
+                mat[: len(bucket.channel_ids)]
+                for bucket, mat in zip(tp.buckets, raw["throughput_mats"])
+            ]
 
         def merge_rows(ext):
             """[C, T, b_local+1, L, 2] -> [C, B+1, L, 2] canonical rows
