@@ -77,6 +77,8 @@ class Waterfall:
       colorscheme: one of COLOR_SCHEMES.
     """
 
+    TAGMODES = ("none", "id", "part")
+
     def __init__(
         self,
         blocklen: int,
@@ -86,9 +88,15 @@ class Waterfall:
         db_range=(-100.0, 0.0),
         colorscheme: str = "rainbow",
         n_bins: int = 256,
+        tagmode: str = "none",
     ):
         if blockdecimation < 1:
             raise ValueError("blockdecimation must be >= 1")
+        if tagmode not in self.TAGMODES:
+            raise ValueError(f"tagmode must be one of {self.TAGMODES}")
+        # the reference declares this enum but never renders it
+        # (grc/FDC_WaterfallMsgTagging.xml:96-116); here it feeds labels()
+        self.tagmode = tagmode
         self.blocklen = blocklen
         self.width = width
         self.height = height
@@ -141,6 +149,13 @@ class Waterfall:
         for e in events:
             left = int(round((e.rel_cfreq - e.rel_bw / 2.0) * self.width))
             right = int(round((e.rel_cfreq + e.rel_bw / 2.0) * self.width))
+            label = ""
+            if self.tagmode == "id":
+                label = e.ID
+            elif self.tagmode == "part":
+                label = (
+                    f"{e.ID} fin" if e.finalized else f"{e.ID} part {e.part}"
+                )
             self._rects.append(
                 _Rect(
                     row_start=e.blockstart // self.blockdecimation,
@@ -148,12 +163,26 @@ class Waterfall:
                     col_left=np.clip(left, 0, self.width - 1),
                     col_right=np.clip(right, 0, self.width - 1),
                     finalized=e.finalized,
-                    ID=e.ID,
+                    ID=label or e.ID,
                 )
             )
         # drop rects scrolled fully out of view
         lo = self._nrows - self.height
         self._rects = [r for r in self._rects if r.row_end >= lo]
+
+    def labels(self):
+        """Visible (row, col, text) anchors for the current tagmode — the
+        hook a GUI embedder uses to draw event labels next to the overlay
+        rectangles. Empty when tagmode='none'."""
+        if self.tagmode == "none":
+            return []
+        base = self._nrows - self.height
+        out = []
+        for r in self._rects:
+            top = r.row_start - base
+            if 0 <= top < self.height:
+                out.append((int(top), int(r.col_left), r.ID))
+        return out
 
     # -- rendering -------------------------------------------------------------
 

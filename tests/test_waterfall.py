@@ -90,3 +90,17 @@ def test_png_export(tmp_path):
     ok = wf.save_png(str(tmp_path / "wf.png"))
     if ok:
         assert (tmp_path / "wf.png").stat().st_size > 0
+
+
+def test_tagmode_labels():
+    wf = Waterfall(blocklen=64, width=64, height=16, tagmode="part")
+    wf.feed_power(np.full((16, 64), 1e-5))
+    wf.feed_events([make_event(4, 8, 0.5, 0.25, fin=False)])
+    wf.feed_events([make_event(10, 12, 0.3, 0.1, fin=True)])
+    labels = wf.labels()
+    assert len(labels) == 2
+    assert any("part" in text for _, _, text in labels)
+    assert any(text.endswith("fin") for _, _, text in labels)
+    with pytest.raises(ValueError):
+        Waterfall(blocklen=64, tagmode="bogus")
+    assert Waterfall(blocklen=64, tagmode="none").labels() == []
