@@ -47,7 +47,20 @@ def main():
     ap.add_argument("--batch-blocks", type=int, default=512)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # persistent compilation cache: tunnel compiles take minutes; a warm
+    # cache makes repeat bench runs near-instant
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from jax import lax
 
