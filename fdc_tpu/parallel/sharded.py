@@ -125,22 +125,44 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
 
     def _build_sharded_tables(self):
         nc = self.n_chan
-        self._tp_tables = []
+        fused_widths = set(self._fused_widths)
+        self._tp_unfused = []  # (bucket, starts_pad, wins_pad)
         if self.throughput:
             for b in self.throughput.buckets:
-                self._tp_tables.append(
-                    (_pad_rows(b.starts, nc), _pad_rows(b.windows, nc))
+                if b.width in fused_widths:
+                    continue
+                self._tp_unfused.append(
+                    (b, _pad_rows(b.starts, nc), _pad_rows(b.windows, nc))
                 )
-        self._pa_tables = []
+        self._pa_unfused = []
         if self.power_bank:
             for b in self.power_bank.buckets:
-                self._pa_tables.append(
-                    (_pad_rows(b.starts, nc), _pad_rows(b.windows, nc))
+                if b.width in fused_widths:
+                    continue
+                self._pa_unfused.append(
+                    (b, _pad_rows(b.starts, nc), _pad_rows(b.windows, nc))
                 )
+        # fused widths: shared tp+pa row family (same trim for equal width);
+        # phase_sel = tp start bins for tp rows, 0 for pa rows (rot^0 == 1,
+        # the burst emitter applies its phases host-side)
+        self._sh_fused = []
+        for w, (starts, wins, n_tp, tb, pb) in sorted(
+            self._fused_widths.items()
+        ):
+            psel = np.concatenate(
+                [tb.starts, np.zeros(len(pb.channel_ids), np.int32)]
+            )
+            self._sh_fused.append(
+                (
+                    w, tb, pb, n_tp, len(pb.channel_ids),
+                    _pad_rows(starts, nc), _pad_rows(wins, nc),
+                    _pad_rows(psel.astype(np.int32), nc),
+                )
+            )
 
     # -- device step -----------------------------------------------------------
 
-    def _local_step(self, carry, xf, t0, tp_tables, pa_tables):
+    def _local_step(self, carry, xf, t0, tp_tables, pa_tables, fused_tables):
         """Per-shard body (runs under shard_map). Sees the local time run of
         samples and its chan-rank's channel rows; returns local outputs plus
         the replicated new carry."""
@@ -172,10 +194,11 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         t = t_local0 + jnp.arange(b_local, dtype=jnp.int32)
 
         out = {}
-        if self.throughput:
-            tp = self.throughput
+        if self._tp_unfused:
             mats = []
-            for bucket, (starts, wins) in zip(tp.buckets, tp_tables):
+            for (bucket, _, _), (starts, wins) in zip(
+                self._tp_unfused, tp_tables
+            ):
                 l = bucket.width
                 y = extract_bucket(spec, starts, wins, gain=float(l))
                 phase_idx = (t[None, :] * starts[:, None]) % cfg.relinvovl
@@ -184,6 +207,23 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 c_loc = y.shape[0]
                 mats.append(c2f(y.reshape(c_loc, b_local * bucket.out_len)))
             out["throughput_mats"] = mats
+
+        if self._sh_fused:
+            # shared tp+burst extraction: rows 0..b_local are blocks
+            # t_local0-1 .. (row 0 = burst history row, discarded by tp)
+            t_rows = t_local0 - 1 + jnp.arange(b_local + 1, dtype=jnp.int32)
+            fused_out = []
+            for (w, tb, pb, n_tp, n_pa, *_), (starts, wins, psel) in zip(
+                self._sh_fused, fused_tables
+            ):
+                y = extract_bucket(spec_ext, starts, wins)  # [C_loc, b+1, w]
+                phase_idx = (
+                    t_rows[None, :] * psel[:, None]
+                ) % cfg.relinvovl
+                y = apply_phase(y, phase_idx, cfg.relinvovl)
+                y = y[..., w - tb.out_len:]
+                fused_out.append(c2f(y[:, None]))  # [C_loc, 1, b+1, L, 2]
+            out["fused"] = fused_out
 
         sq_local = (
             jnp.abs(spec) ** 2
@@ -200,10 +240,12 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 powers, carry["powact"]
             )
             new_carry["powact"] = pa_state
-            bucket_tables = [
-                (s, w) for (s, w) in pa_tables
-            ]
-            ext = pa.extract_rows(spec_ext, bucket_tables)
+            ext = {}
+            for (bucket, _, _), (s, wmat) in zip(
+                self._pa_unfused, pa_tables
+            ):
+                y = extract_bucket(spec_ext, s, wmat)
+                ext[bucket.width] = y[..., bucket.width - bucket.out_len:]
             out["powact"] = {
                 "rise": rise,
                 "fall": fall,
@@ -243,14 +285,29 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         """(in_specs, out_specs) pytrees matching _local_step."""
         cfg = self.config
         carry_spec = jax.tree.map(lambda _: P(), self._carry_structure())
-        tp_spec = [(P(CHAN_AXIS), P(CHAN_AXIS, None)) for _ in self._tp_tables]
-        pa_spec = [(P(CHAN_AXIS), P(CHAN_AXIS, None)) for _ in self._pa_tables]
-        in_specs = (carry_spec, P(TIME_AXIS, None), P(), tp_spec, pa_spec)
+        tp_spec = [
+            (P(CHAN_AXIS), P(CHAN_AXIS, None)) for _ in self._tp_unfused
+        ]
+        pa_spec = [
+            (P(CHAN_AXIS), P(CHAN_AXIS, None)) for _ in self._pa_unfused
+        ]
+        fused_spec = [
+            (P(CHAN_AXIS), P(CHAN_AXIS, None), P(CHAN_AXIS))
+            for _ in self._sh_fused
+        ]
+        in_specs = (
+            carry_spec, P(TIME_AXIS, None), P(), tp_spec, pa_spec, fused_spec
+        )
 
         out = {}
-        if self.throughput:
+        if self._tp_unfused:
             out["throughput_mats"] = [
-                P(CHAN_AXIS, TIME_AXIS, None) for _ in self.throughput.buckets
+                P(CHAN_AXIS, TIME_AXIS, None) for _ in self._tp_unfused
+            ]
+        if self._sh_fused:
+            out["fused"] = [
+                P(CHAN_AXIS, TIME_AXIS, None, None, None)
+                for _ in self._sh_fused
             ]
         if self.power_bank:
             out["powact"] = {
@@ -259,8 +316,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 "processed": P(),
                 "phase_used": P(),
                 "extract": {
-                    b.width: P(CHAN_AXIS, TIME_AXIS, None, None, None)
-                    for b in self.power_bank.buckets
+                    bucket.width: P(CHAN_AXIS, TIME_AXIS, None, None, None)
+                    for (bucket, _, _) in self._pa_unfused
                 },
             }
         for i in range(len(self.segments)):
@@ -294,23 +351,20 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             check_vma=False,
         )
         tp_tables = [
-            (jnp.asarray(s), jnp.asarray(w)) for s, w in self._tp_tables
+            (jnp.asarray(s), jnp.asarray(w))
+            for (_, s, w) in self._tp_unfused
         ]
         pa_tables = [
-            (jnp.asarray(s), jnp.asarray(w)) for s, w in self._pa_tables
+            (jnp.asarray(s), jnp.asarray(w))
+            for (_, s, w) in self._pa_unfused
         ]
-        new_carry, raw = fn(carry, xf, t0, tp_tables, pa_tables)
+        fused_tables = [
+            (jnp.asarray(s), jnp.asarray(w), jnp.asarray(p))
+            for (*_, s, w, p) in self._sh_fused
+        ]
+        new_carry, raw = fn(carry, xf, t0, tp_tables, pa_tables, fused_tables)
 
         nb = cfg.batch_blocks
-        out = {}
-        if self.throughput:
-            tp = self.throughput
-            # canonical layout: one [C_l, B*out_len, 2] matrix per bucket
-            # (padded rows dropped); the host splits per channel
-            out["throughput_buckets"] = [
-                mat[: len(bucket.channel_ids)]
-                for bucket, mat in zip(tp.buckets, raw["throughput_mats"])
-            ]
 
         def merge_rows(ext):
             """[C, T, b_local+1, L, 2] -> [C, B+1, L, 2] canonical rows
@@ -320,12 +374,42 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             hist0 = ext[:, 0, :1]
             return jnp.concatenate([hist0, body], axis=1)
 
+        # split the fused row families back into tp stream mats + pa rows
+        fused_tp_mats = {}
+        fused_pa_ext = {}
+        for (w, tb, pb, n_tp, n_pa, *_), g in zip(
+            self._sh_fused, raw.get("fused", [])
+        ):
+            merged = merge_rows(g)  # [C_pad, B+1, L, 2]
+            fused_tp_mats[w] = merged[:n_tp, 1:].reshape(
+                n_tp, nb * tb.out_len, 2
+            )
+            fused_pa_ext[w] = merged[n_tp: n_tp + n_pa]
+
+        out = {}
+        if self.throughput:
+            # canonical layout: one [C_l, B*out_len, 2] matrix per bucket
+            # (padded rows dropped); the host splits per channel
+            unfused_iter = iter(raw.get("throughput_mats", []))
+            mats = []
+            for bucket in self.throughput.buckets:
+                if bucket.width in fused_tp_mats:
+                    mats.append(fused_tp_mats[bucket.width])
+                else:
+                    mats.append(
+                        next(unfused_iter)[: len(bucket.channel_ids)]
+                    )
+            out["throughput_buckets"] = mats
+
         if self.power_bank:
             po = dict(raw["powact"])
-            po["extract"] = {
-                w: merge_rows(v)[: len(self.power_bank.buckets[i].channel_ids)]
-                for i, (w, v) in enumerate(sorted(po["extract"].items()))
-            }
+            ext = {}
+            for bucket, _, _ in self._pa_unfused:
+                ext[bucket.width] = merge_rows(
+                    po["extract"][bucket.width]
+                )[: len(bucket.channel_ids)]
+            ext.update(fused_pa_ext)
+            po["extract"] = ext
             out["powact"] = po
         for i in range(len(self.segments)):
             so = dict(raw[f"seg{i}"])
