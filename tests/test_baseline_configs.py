@@ -209,3 +209,37 @@ def test_config5_pod_scale_burst_hunter_scaled():
         assert a.ID.split(".", 1)[1] == b.ID.split(".", 1)[1]
         assert a.blockstart == b.blockstart and a.blockend == b.blockend
         np.testing.assert_allclose(a.data, b.data, rtol=3e-4, atol=3e-5)
+
+
+def test_config5_512_slot_table_smoke():
+    """Full-scale slot table (512 dynamic channels, the config-5 number):
+    one streaming step must construct and run with finite outputs."""
+    cfg = ChannelizerConfig(
+        blocksize=1024,
+        relinvovl=4,
+        activity_detection_segments=[(-0.45, 0.45)],
+        act_det_threshold=8.0,
+        minchandist=0.002,
+        freqmode="basebandfs",
+        batch_blocks=2,
+        max_slots=512,
+        max_candidates=32,
+        max_extract_width=128,
+    )
+    fdc = FrequencyDomainChannelizer(cfg)
+    rng = np.random.default_rng(0)
+    n = 2 * fdc.batch_samples
+    t = np.arange(n)
+    x = (0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    for i in range(40):  # a crowded band
+        f = -0.44 + 0.88 * (i + 0.5) / 40
+        x += (1.5 * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+    res = fdc.process(x)
+    assert res.blocks_processed == 4
+    st = fdc._carry["seg0"]
+    # shape smoke: the 512-slot table allocates and tracks (edge pairing in
+    # a crowded band merges neighbors, so exact counts are signal-dependent)
+    assert int(np.asarray(st["active"]).sum()) >= 8
+    assert int(np.asarray(st["alloc_counter"])) >= 8
+    assert np.all(np.isfinite(np.asarray(res.segment_power[0])))
