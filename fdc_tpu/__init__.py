@@ -39,21 +39,34 @@ __all__ = [
     "VerboseMode",
     "ChannelizerConfig",
     "FrequencyDomainChannelizer",
+    "ShardedChannelizer",
+    "ActivityDetectionChannelizer",
+    "StreamDriver",
+    "Waterfall",
     "ChannelEvent",
+    "make_mesh",
     "nextpow2",
     "is_pow2",
 ]
 
+# Lazy imports keep `import fdc_tpu` light and avoid import cycles.
+_LAZY = {
+    "FrequencyDomainChannelizer": ("fdc_tpu.models.channelizer",
+                                   "FrequencyDomainChannelizer"),
+    "ShardedChannelizer": ("fdc_tpu.parallel.sharded", "ShardedChannelizer"),
+    "ActivityDetectionChannelizer": ("fdc_tpu.models.activity_detection",
+                                     "ActivityDetectionChannelizer"),
+    "StreamDriver": ("fdc_tpu.runtime.stream", "StreamDriver"),
+    "Waterfall": ("fdc_tpu.utils.waterfall", "Waterfall"),
+    "ChannelEvent": ("fdc_tpu.utils.events", "ChannelEvent"),
+    "make_mesh": ("fdc_tpu.parallel.mesh", "make_mesh"),
+}
+
 
 def __getattr__(name):
-    # Lazy imports keep `import fdc_tpu` light and avoid import cycles while
-    # submodules are under construction.
-    if name == "FrequencyDomainChannelizer":
-        from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+    if name in _LAZY:
+        import importlib
 
-        return FrequencyDomainChannelizer
-    if name == "ChannelEvent":
-        from fdc_tpu.utils.events import ChannelEvent
-
-        return ChannelEvent
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(f"module 'fdc_tpu' has no attribute {name!r}")
