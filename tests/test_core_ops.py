@@ -218,3 +218,28 @@ def test_centerfreqfs_mode_end_to_end():
          ).astype(np.complex64)
     y = fdc.process(x).throughput[0]
     assert np.abs(y[len(y) // 4:]).mean() == pytest.approx(1.0, abs=0.07)
+
+
+@pytest.mark.parametrize("wlog2", [2, 4, 6, 9])
+def test_interp_identity_matches_comb(wlog2):
+    """interp_subband_ifft sampled at stride q with (-1)^m compensation ==
+    comb_subband_ifft's first w outputs (the identity behind the gather-free
+    extraction hot path)."""
+    import jax.numpy as jnp
+    from fdc_tpu.ops.fft import comb_subband_ifft, interp_subband_ifft
+
+    w_max = 512
+    w = 1 << wlog2
+    q = w_max // w
+    rng = np.random.default_rng(wlog2)
+    z = np.zeros((3, w_max), np.complex64)
+    z[:, :w] = (rng.standard_normal((3, w))
+                + 1j * rng.standard_normal((3, w))).astype(np.complex64)
+
+    ref = np.asarray(comb_subband_ifft(
+        jnp.asarray(z), jnp.full((3,), wlog2, jnp.int32), w_max
+    ))[:, :w]
+    p = np.asarray(interp_subband_ifft(jnp.asarray(z), w_max))
+    signs = np.where(np.arange(w) % 2 == 0, 1.0, -1.0)
+    ours = p[:, ::q][:, :w] * signs
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=1e-5)
