@@ -348,7 +348,12 @@ class FrequencyDomainChannelizer:
     def process_spectra(self, spectra: np.ndarray) -> ProcessResult:
         """Pre-FFT'd streaming entry point (reference inpveclen>1 mode):
         consumes [B, blocksize] normalized fftshifted complex spectra
-        directly — B must be a multiple of batch_blocks."""
+        directly — B must be a multiple of batch_blocks.
+
+        Use either this or ``process`` for a given stream, not both: in
+        this mode the overlap-save front-end (and its sample history) is
+        bypassed entirely, exactly like the reference's vector-input mode
+        (reference: python/FrequencyDomainChannelizer.py:201-216)."""
         cfg = self.config
         if self._carry is None:
             self._carry = self._jit_init()

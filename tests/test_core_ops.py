@@ -243,3 +243,28 @@ def test_interp_identity_matches_comb(wlog2):
     signs = np.where(np.arange(w) % 2 == 0, 1.0, -1.0)
     ours = p[:, ::q][:, :w] * signs
     np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=1e-5)
+
+
+def test_frame_blocks_single_block():
+    import jax.numpy as jnp
+    from fdc_tpu.ops.framing import frame_blocks
+
+    x = jnp.arange(6.0)
+    hist = jnp.full((2,), -1.0)
+    blocks, new_hist = frame_blocks(x, hist, 8)
+    assert blocks.shape == (1, 8)
+    np.testing.assert_array_equal(
+        np.asarray(blocks[0]), [-1, -1, 0, 1, 2, 3, 4, 5]
+    )
+    np.testing.assert_array_equal(np.asarray(new_hist), [4, 5])
+
+
+def test_waterfall_handles_nonfinite_power():
+    from fdc_tpu.utils.waterfall import Waterfall
+
+    wf = Waterfall(blocklen=16, width=16, height=4, db_range=(-20.0, 20.0))
+    p = np.full((2, 16), np.nan)
+    p[1] = np.inf
+    wf.feed_power(np.nan_to_num(p, nan=0.0, posinf=1e30))
+    img = wf.render()
+    assert img.shape == (4, 16, 3)
