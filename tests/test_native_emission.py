@@ -129,3 +129,59 @@ def test_native_checkpoint_roundtrip(tmp_path):
         assert p.blockstart == q.blockstart
         assert p.blockend == q.blockend
         np.testing.assert_allclose(p.data, q.data, rtol=1e-5, atol=1e-7)
+
+
+def test_native_emission_scale_stress():
+    """256 slots x 64 blocks of churn: native == Python, event for event."""
+    from fdc_tpu.models.segment_detection import SegmentDetector
+    from fdc_tpu.runtime.emission import (
+        NativeSegmentDetectionEmitter,
+        SegmentDetectionEmitter,
+    )
+
+    S, B, l_cap = 256, 64, 256
+    rng = np.random.default_rng(0)
+    det = SegmentDetector(
+        0, 1024, 4, 0.05, 0.95, 6.0, 0.002, 0.2,
+        max_slots=S, max_candidates=32, max_extract_width=l_cap,
+        lifecycle_backend="scan",
+    )
+    state = {
+        "ext_start": rng.integers(0, 700, S).astype(np.int32),
+        "wlog2": rng.integers(3, 8, S).astype(np.int32),
+        "order": np.arange(S, dtype=np.int32),
+        "active": np.ones(S, bool),
+        "tomb": np.zeros(S, bool),
+    }
+    activated = np.zeros((S, B), bool)
+    processed = np.zeros((S, B), bool)
+    emit = np.zeros((S, B), bool)
+    phase_used = rng.integers(0, 4, (S, B)).astype(np.int32)
+    for s in range(S):
+        on = int(rng.integers(0, B // 2))
+        off = on + int(rng.integers(2, B // 2))
+        activated[s, on] = True
+        processed[s, on + 1: off] = True
+        if off < B:
+            emit[s, off] = True
+    extract = (
+        rng.standard_normal((S, B + 1, l_cap))
+        + 1j * rng.standard_normal((S, B + 1, l_cap))
+    ).astype(np.complex64)
+    outputs = {
+        "activated": activated, "processed": processed, "emit": emit,
+        "phase_used": phase_used, "extract": extract,
+    }
+
+    ev_py, _ = SegmentDetectionEmitter(det, 8).process_step(
+        outputs, dict(state), 0
+    )
+    ev_nat, _ = NativeSegmentDetectionEmitter(det, 8).process_step(
+        outputs, dict(state), 0
+    )
+    assert len(ev_py) == len(ev_nat) > 400
+    for a, b in zip(ev_py, ev_nat):
+        assert a.ID.split(".", 1)[1] == b.ID.split(".", 1)[1]
+        assert a.blockstart == b.blockstart and a.blockend == b.blockend
+        assert a.part == b.part and a.finalized == b.finalized
+        np.testing.assert_allclose(a.data, b.data, rtol=1e-5, atol=1e-6)
