@@ -145,10 +145,6 @@ class ThroughputChannelGeometry:
     passband: float
     stopband: float
 
-    @property
-    def decimation(self) -> int:
-        return -1  # filled by solver via blocksize; see solve_throughput_channel
-
 
 def solve_throughput_channel(
     blocksize: int, relinvovl: int, freq: float, bw: float
