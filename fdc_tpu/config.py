@@ -384,7 +384,11 @@ class ChannelizerConfig:
     # --- TPU-specific knobs ------------------------------------------------
     batch_blocks: int = 32  # FFT blocks processed per jitted step
     max_slots: int = 32  # per-segment fixed-capacity dynamic-channel table
-    max_candidates: int = 16  # per-block detection candidates considered
+    # Per-block detection candidates considered, strongest rising edges
+    # first. 0 = exact: consider EVERY possible rising edge (K = n_cells-1),
+    # matching the reference (lib/SegmentDetection_impl.cc:208-243); a
+    # positive value bounds detection work to the strongest K edges per block.
+    max_candidates: int = 0
     slot_capacity_blocks: int = 0  # 0 => derived: maxblocks + 2*batch_blocks
     max_extract_width: int = 0  # 0 => blocksize (dynamic channels)
     use_mxu_fft: bool = False  # matmul-based FFT on the MXU (perf path)

@@ -51,7 +51,7 @@ class ActivityDetectionChannelizer:
         channel_deactivation_delay: int = 1,
         window_flank_puffer: float = 0.2,
         max_slots: int = 32,
-        max_candidates: int = 16,
+        max_candidates: int = 0,
         max_extract_width: int = 0,
     ):
         if blocklen < 2 or blocklen & (blocklen - 1):

@@ -59,7 +59,7 @@ class SegmentDetector:
         window_flank_puffer: float,
         channel_deactivation_delay: int = 1,
         max_slots: int = 32,
-        max_candidates: int = 16,
+        max_candidates: int = 0,
         max_extract_width: int = 0,
         geometry: SegmentGeometry = None,
         lifecycle_backend: str = "auto",
@@ -76,7 +76,7 @@ class SegmentDetector:
         self.flank_puffer = float(window_flank_puffer)
         self.deactivation_delay = int(channel_deactivation_delay)
         self.max_slots = int(max_slots)
-        self.max_candidates = int(max_candidates)
+        self.max_candidates = int(max_candidates)  # 0 = exact (all edges)
         self.w_cap = int(max_extract_width) or blocksize
         if self.w_cap & (self.w_cap - 1):
             raise ValueError("max_extract_width must be a power of 2")
@@ -148,7 +148,11 @@ class SegmentDetector:
         d_start = g.start
         delay = self.deactivation_delay
         thresh = self.thresh
-        k = self.max_candidates
+        # 0 = exact: every ratio position is a potential rising edge, so
+        # K = n_cells - 1 covers ALL of them — identical semantics to the
+        # reference's unbounded edge list
+        # (reference: lib/SegmentDetection_impl.cc:208-243).
+        k = self.max_candidates or (g.n_cells - 1)
         puffer = self.flank_puffer
 
         # 1. candidates for ALL blocks at once (per-block independent; the

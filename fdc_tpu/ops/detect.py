@@ -88,9 +88,11 @@ def detect_candidates(
     Args:
       power: [n_cells] decimated power values of one block.
       thresh: linear power-ratio threshold (> 1).
-      max_candidates: K, static number of rising edges considered
-        (strongest-first; the reference considers all — K bounds it, matching
-        the strongest-K subset).
+      max_candidates: K, static number of rising edges considered,
+        strongest first. With K >= n_cells - 1 (callers pass this for
+        max_candidates=0 "exact" mode) every possible rising edge is
+        considered — identical to the reference's unbounded edge list;
+        smaller K bounds the work to the strongest-K subset.
 
     Returns:
       (cand_start, cand_end, cand_valid): [K] int32 cell coordinates
@@ -113,10 +115,14 @@ def detect_candidates(
     # reversed cumulative min -> nearest fall at or after each position
     next_fall = jnp.flip(jax.lax.cummin(jnp.flip(fall_idx)))
 
-    # strongest-first rising edges
+    # strongest-first rising edges. An infinite ratio (signal next to an
+    # exactly-zero cell, e.g. zero-padded input) is a VALID rise and ranks
+    # strongest, matching the reference's pwr[i+1]/pwr[i] > v comparison
+    # (reference: lib/SegmentDetection_impl.cc:203-207) — so validity is
+    # "> thresh", not isfinite.
     rise_strength = jnp.where(rise, ratio, -jnp.inf)
     top_val, top_i = jax.lax.top_k(rise_strength, k_eff)  # [k_eff]
-    has_rise = jnp.isfinite(top_val)
+    has_rise = top_val > jnp.float32(thresh)
     # next_fall[top_i] as a one-hot matmul (traced-index gathers are a slow
     # TPU path); sentinel clamped to n_r so the f32 accumulate stays exact
     nf_clamped = jnp.minimum(next_fall, n_r).astype(jnp.float32)

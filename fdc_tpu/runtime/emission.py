@@ -279,6 +279,14 @@ class SegmentDetectionEmitter:
         wlog2 = np.asarray(state["wlog2"])
         order = np.asarray(state["order"])
 
+        # The reference iterates channels in ACTIVATION order (its channel
+        # deque is append-ordered, lib/SegmentDetection_impl.cc:346-365);
+        # after slot recycling a newer channel can occupy a lower slot index,
+        # so every per-block loop below walks slots sorted by their
+        # occupant's activation sequence number. Slots are never recycled
+        # within a step, so state["order"] is authoritative for the step.
+        slot_rank = np.argsort(order, kind="stable").astype(np.int64)
+
         s_total, nb = activated.shape
         r = self.det.relinvovl
         events: List[ChannelEvent] = []
@@ -300,7 +308,7 @@ class SegmentDetectionEmitter:
 
         for b in range(nb):
             blockcount = t0 + b  # SegmentDetection convention
-            act_s = np.nonzero(activated[:, b])[0]
+            act_s = slot_rank[activated[slot_rank, b]]
             for s in act_s:
                 w = 1 << int(wlog2[s])
                 self._live[s] = True
@@ -321,7 +329,7 @@ class SegmentDetectionEmitter:
                 )
                 self._count[s] += 2
 
-            proc_s = np.nonzero(processed[:, b] & ~activated[:, b])[0]
+            proc_s = slot_rank[(processed & ~activated)[slot_rank, b]]
             for s in proc_s:
                 w = int(self._w[s])
                 self._data[s].append(
@@ -329,7 +337,7 @@ class SegmentDetectionEmitter:
                 )
                 self._count[s] += 1
 
-            for s in np.nonzero(emit[:, b])[0]:
+            for s in slot_rank[emit[slot_rank, b]]:
                 events.append(
                     self._emit(s, True, blockcount, len(self._data[s]))
                 )
@@ -338,7 +346,7 @@ class SegmentDetectionEmitter:
             # maxblocks partial emission after all per-block work
             # (reference: lib/SegmentDetection_impl.cc:359-362)
             if mb >= 0:
-                for s in np.nonzero(self._live)[0]:
+                for s in slot_rank[self._live[slot_rank]]:
                     if len(self._data[s]) >= mb:
                         ntx = len(self._data[s]) if mb == 0 else mb
                         if ntx > 0:
@@ -487,6 +495,7 @@ class NativeSegmentDetectionEmitter:
             np.asarray(outputs["extract"]),
             np.asarray(state["ext_start"]),
             np.asarray(state["wlog2"]),
+            order,
             ids,
             int(t0),
         )

@@ -124,7 +124,7 @@ def _load():
         lib.fdc_emit_seg_step.restype = c.c_int
         lib.fdc_emit_seg_step.argtypes = [
             c.c_void_p, c.c_int, c.c_int,
-            u8p, u8p, u8p, i32p, f32p, i32p, i32p,
+            u8p, u8p, u8p, i32p, f32p, i32p, i32p, i32p,
             c.c_char_p, c.c_longlong,
         ]
         lib.fdc_emit_pa_step.restype = c.c_int
@@ -304,8 +304,9 @@ class EmissionEngine:
         )
 
     def seg_step(self, activated, processed, emit, phase_used, extract,
-                 ext_start, wlog2, ids: bytes, t0: int):
-        """All flag arrays [S, B]; extract complex64 [S, B+1, l_cap]."""
+                 ext_start, wlog2, order, ids: bytes, t0: int):
+        """All flag arrays [S, B]; extract complex64 [S, B+1, l_cap];
+        order [S] activation sequence numbers (slot iteration order)."""
         s, nb = activated.shape
         assert s == self.n_units
         ex = np.ascontiguousarray(extract, np.complex64)
@@ -316,6 +317,7 @@ class EmissionEngine:
         pu = np.ascontiguousarray(phase_used, np.int32)
         es = np.ascontiguousarray(ext_start, np.int32)
         wl = np.ascontiguousarray(wlog2, np.int32)
+        od = np.ascontiguousarray(order, np.int32)
         self._lib.fdc_emit_seg_step(
             self._h, nb, l_cap,
             self._u8(tmp[0]), self._u8(tmp[1]), self._u8(tmp[2]),
@@ -323,7 +325,7 @@ class EmissionEngine:
             ex.view(np.float32).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_float)
             ),
-            self._i32(es), self._i32(wl),
+            self._i32(es), self._i32(wl), self._i32(od),
             ids, t0,
         )
         return self.drain()

@@ -13,6 +13,7 @@
 // buffers, counters, message ids. Events are drained through a poll call;
 // event sample data pointers stay valid until the next drain or step call.
 
+#include <algorithm>
 #include <cmath>
 #include <complex>
 #include <cstdint>
@@ -169,6 +170,7 @@ int fdc_emit_seg_step(
     const uint8_t* emit_flags, const int32_t* phase_used,
     const float* extract,
     const int32_t* ext_start, const int32_t* wlog2,
+    const int32_t* order,
     const char* ids,
     long long t0) {
     const int s_total = e->n_units;
@@ -185,6 +187,16 @@ int fdc_emit_seg_step(
         }
     }
 
+    // The reference iterates channels in ACTIVATION order (append-ordered
+    // deque, lib/SegmentDetection_impl.cc:346-365); after slot recycling a
+    // newer channel can sit at a lower slot index, so all per-block loops
+    // walk slots ranked by their occupant's activation sequence number
+    // (slots are never recycled within a step).
+    std::vector<int> rank(s_total);
+    for (int i = 0; i < s_total; ++i) rank[i] = i;
+    std::stable_sort(rank.begin(), rank.end(),
+                     [&](int a, int b) { return order[a] < order[b]; });
+
     auto flag = [n_blocks](const uint8_t* a, int s, int b) {
         return a[(size_t)s * n_blocks + b] != 0;
     };
@@ -195,7 +207,7 @@ int fdc_emit_seg_step(
 
     for (int b = 0; b < n_blocks; ++b) {
         long long blockcount = t0 + b;  // SegmentDetection convention
-        for (int s = 0; s < s_total; ++s) {
+        for (int s : rank) {
             if (!flag(activated, s, b)) continue;
             SlotState& st = e->units[s];
             long long w = 1LL << wlog2[s];
@@ -232,7 +244,7 @@ int fdc_emit_seg_step(
             st.blocks.push_back(std::move(cv));
             st.count += 2;
         }
-        for (int s = 0; s < s_total; ++s) {
+        for (int s : rank) {
             if (!flag(processed, s, b) || flag(activated, s, b)) continue;
             SlotState& st = e->units[s];
             long long w = st.w;
@@ -249,7 +261,7 @@ int fdc_emit_seg_step(
             st.blocks.push_back(std::move(cv));
             st.count += 1;
         }
-        for (int s = 0; s < s_total; ++s) {
+        for (int s : rank) {
             if (!flag(emit_flags, s, b)) continue;
             emit_seg(e, s, true, blockcount, e->units[s].blocks.size());
             e->units[s].live = false;
@@ -257,7 +269,7 @@ int fdc_emit_seg_step(
         // maxblocks partial emission after all per-block work
         // (reference: lib/SegmentDetection_impl.cc:359-362)
         if (mb >= 0) {
-            for (int s = 0; s < s_total; ++s) {
+            for (int s : rank) {
                 SlotState& st = e->units[s];
                 if (!st.live) continue;
                 if ((long long)st.blocks.size() >= mb) {

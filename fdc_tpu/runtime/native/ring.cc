@@ -117,7 +117,10 @@ size_t fdc_ring_pop(Ring* r, float* out, size_t n) {
 }
 
 // Block until exactly n samples are available (or stream closed / timeout).
-// Returns samples popped: n on success, possibly < n at end of stream.
+// Returns samples popped: n on success; < n only after close (end-of-stream
+// drain). A timeout with fewer than n samples buffered consumes NOTHING and
+// returns 0, so a slow producer never causes silent mid-stream sample loss
+// (the caller just retries).
 size_t fdc_ring_pop_blocking(Ring* r, float* out, size_t n,
                              double timeout_s) {
     auto deadline = std::chrono::steady_clock::now() +
@@ -127,8 +130,11 @@ size_t fdc_ring_pop_blocking(Ring* r, float* out, size_t n,
         if (fdc_ring_size(r) >= n) return fdc_ring_pop(r, out, n);
         if (fdc_ring_closed(r)) return fdc_ring_pop(r, out, n);
         std::unique_lock<std::mutex> lk(r->m);
-        if (r->cv.wait_until(lk, deadline) == std::cv_status::timeout)
-            return fdc_ring_pop(r, out, n);
+        if (r->cv.wait_until(lk, deadline) == std::cv_status::timeout) {
+            if (fdc_ring_size(r) >= n || fdc_ring_closed(r))
+                return fdc_ring_pop(r, out, n);
+            return 0;
+        }
     }
 }
 

@@ -90,6 +90,10 @@ class StreamDriver:
 
     def _pop_batch(self, timeout: float) -> Optional[np.ndarray]:
         if self._ring is not None:
+            # The native blocking pop consumes nothing on timeout (returns 0
+            # samples) and returns a partial batch only after close — so a
+            # short-batch result here never discards mid-stream samples
+            # (ring.cc fdc_ring_pop_blocking).
             got = self._ring.pop(self.batch_samples, blocking=True,
                                  timeout=timeout)
             return got if len(got) == self.batch_samples else None
@@ -133,10 +137,13 @@ class StreamDriver:
             while True:
                 res = self.run_once(timeout)
                 if res is None:
-                    if src.done and len(self._ring) < self.batch_samples:
-                        break
+                    # error before done: filesource_main sets both on fopen
+                    # failure (ring.cc), and a silent empty result is worse
+                    # than the exception
                     if src.error:
                         raise IOError(f"file source failed: {path}")
+                    if src.done and len(self._ring) < self.batch_samples:
+                        break
                     continue
                 if on_result is not None:
                     on_result(res)

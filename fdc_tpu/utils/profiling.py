@@ -37,22 +37,43 @@ def time_scanned(
     *args,
     k: int = 8,
     repeats: int = 3,
+    perturb_arg: int = 0,
 ) -> float:
     """Seconds per step of ``carry, out = step(carry, *args, t_index)``.
 
     Runs jitted scans of K and 2K steps (carry threaded, outputs
     checksummed) and returns the per-step difference, best of ``repeats``.
+
+    ``perturb_arg`` names the positional arg (the sample buffer) that gets a
+    loop-carried perturbation added each iteration: XLA's while-loop
+    invariant code motion otherwise HOISTS any computation that depends only
+    on the (constant-across-iterations) input buffer out of the scan —
+    computing the FFT/extraction once for K steps and making throughput
+    numbers fictitious. The perturbation is ``prev_checksum * 1e-38``
+    (rounds to identity against O(1) float32 samples, but is opaque to the
+    compiler, forcing every iteration to recompute from the 'new' input —
+    exactly like a real stream feeding fresh buffers). Pass ``None`` only
+    for steps whose body already depends on the carry everywhere that
+    matters.
     """
 
     def make(kk):
         @jax.jit
         def run(c0):
-            def body(c, t):
-                c2, out = step(c, *args, t)
-                return c2, checksum(out)
+            def body(cs, t):
+                c, s = cs
+                pargs = list(args)
+                if perturb_arg is not None:
+                    a = pargs[perturb_arg]
+                    pargs[perturb_arg] = a + (s * jnp.float32(1e-38)).astype(
+                        a.dtype
+                    )
+                c2, out = step(c, *pargs, t)
+                val = checksum(out)
+                return (c2, val), val
 
             ts = jnp.arange(kk, dtype=jnp.int32)
-            c_fin, sums = lax.scan(body, c0, ts)
+            (c_fin, _), sums = lax.scan(body, (c0, jnp.float32(0.0)), ts)
             return checksum(c_fin) + jnp.sum(sums)
 
         return run
@@ -91,8 +112,8 @@ def measure_samples_per_sec(channelizer, k: int = 8) -> float:
     xf = jax.device_put(jnp.asarray(c2f_host(x)))
     carry = channelizer._jit_init()
 
-    def step(c, t_idx):
-        return channelizer._device_step(c, xf, t_idx * cfg.batch_blocks)
+    def step(c, xf_in, t_idx):
+        return channelizer._device_step(c, xf_in, t_idx * cfg.batch_blocks)
 
-    dt = time_scanned(step, carry, k=k)
+    dt = time_scanned(step, carry, xf, k=k)
     return n / dt

@@ -150,6 +150,48 @@ def test_segment_detection_matches_golden(batch_blocks):
         assert int(parts[-1]) == g["chan_id"]
 
 
+def test_segment_detection_crowded_band_matches_golden():
+    """A dense DAMA-style band: 12 carriers rising in the SAME block — more
+    simultaneous rising edges than any small strongest-K cap. With
+    max_candidates=0 (exact mode, the default) every edge must be considered
+    and the event stream must match the golden reference replay
+    (VERDICT r1 item 5; reference: lib/SegmentDetection_impl.cc:208-243)."""
+    n, r = 1024, 4
+    inplen = n - n // r
+    n_blocks = 24
+    seg = (0.05, 0.95)
+    mcd = 0.02  # -> decimation 10, ~90 cells
+    thresh_db = 8.0
+
+    carriers = [0.10 + 0.07 * i for i in range(12)]  # 12 simultaneous rises
+    bursts = [(4, 12, f, 0.9 + 0.02 * (i % 3)) for i, f in enumerate(carriers)]
+    x = burst_signal(n_blocks, inplen, bursts, noise_amp=2e-3)
+
+    fdc = FrequencyDomainChannelizer(
+        ChannelizerConfig(
+            blocksize=n,
+            relinvovl=r,
+            activity_detection_segments=[(seg[0] - 0.5, seg[1] - 0.5)],
+            act_det_threshold=thresh_db,
+            minchandist=mcd,
+            act_det_maxblocks=256,
+            batch_blocks=8,
+            max_slots=24,
+        )
+    )
+    assert fdc.segments[0].max_candidates == 0  # exact mode engaged
+    res = fdc.process(x)
+
+    ref = golden_segment_detection(
+        spectra_of(x, n, r), n, r, seg[0], seg[1], thresh_db, mcd,
+        0.2, 256, 1,
+    )
+    # every carrier must produce (at least) its finalized burst — with a
+    # strongest-8 cap several would be silently dropped
+    assert len([g for g in ref if g["finalized"]]) >= 12
+    check_events(res.events, ref, atol=3e-4, check_vector=True)
+
+
 def test_segment_detection_silence_has_no_events():
     n, r = 512, 4
     inplen = n - n // r

@@ -67,6 +67,21 @@ def test_ring_blocking_pop_sees_producer():
     np.testing.assert_array_equal(x, y)
 
 
+def test_ring_blocking_pop_timeout_consumes_nothing():
+    """A timeout with fewer than n samples buffered must not consume them —
+    otherwise a producer slower than the pop timeout silently loses samples
+    mid-stream (ADVICE r1 medium)."""
+    ring = native.SampleRing(1024)
+    x = np.arange(10).astype(np.complex64)
+    ring.push(x)
+    y = ring.pop(100, blocking=True, timeout=0.05)
+    assert len(y) == 0  # timeout: nothing consumed
+    assert len(ring) == 10  # buffered samples intact
+    ring.push(np.arange(10, 100).astype(np.complex64))
+    y = ring.pop(100, blocking=True, timeout=5.0)
+    np.testing.assert_array_equal(y, np.arange(100).astype(np.complex64))
+
+
 def test_ring_close_unblocks():
     ring = native.SampleRing(64)
     ring.push(np.ones(10, np.complex64))
@@ -124,6 +139,21 @@ def test_stream_driver_file_end_to_end(tmp_path):
     assert len(y) == 24 * fdc.throughput.geometry[0].out_len
     # steady-state amplitude of the extracted tone ~ 1
     assert np.abs(y[200:]).mean() == pytest.approx(1.0, abs=0.05)
+
+
+def test_stream_driver_missing_file_raises(tmp_path):
+    """fopen failure sets error AND done (ring.cc filesource_main); the
+    driver must surface IOError, not return an empty result (ADVICE r1)."""
+    cfg = ChannelizerConfig(
+        blocksize=256,
+        relinvovl=4,
+        throughput_channels=[(-0.2, 0.05)],
+        freqmode="basebandfs",
+        batch_blocks=4,
+    )
+    drv = StreamDriver(FrequencyDomainChannelizer(cfg), ring_batches=2)
+    with pytest.raises(IOError):
+        drv.run_file(str(tmp_path / "does_not_exist.c64"), timeout=0.5)
 
 
 def test_stream_driver_python_fallback():
