@@ -34,7 +34,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=8, help="K (timed as 2K-K)")
+    ap.add_argument("--steps", type=int, default=16, help="K (timed as 2K-K)")
     ap.add_argument("--batch-blocks", type=int, default=512)
     args = ap.parse_args()
 

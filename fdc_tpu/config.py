@@ -391,6 +391,11 @@ class ChannelizerConfig:
     max_candidates: int = 0
     slot_capacity_blocks: int = 0  # 0 => derived: maxblocks + 2*batch_blocks
     max_extract_width: int = 0  # 0 => blocksize (dynamic channels)
+    # Device-side detection-output compaction: ship only this many slots'
+    # extraction rows per step (0 = all max_slots rows). Needy slots beyond
+    # the budget lose their samples (counted + logged) — size it to the
+    # worst-case concurrent channel count, not the slot-table capacity.
+    extract_budget: int = 0
     use_mxu_fft: bool = False  # matmul-based FFT on the MXU (perf path)
     # "auto" = C++ emission engine when the native toolchain is available;
     # True forces it (raises if unavailable), False forces pure Python

@@ -53,10 +53,22 @@ class ActivityDetectionChannelizer:
         max_slots: int = 32,
         max_candidates: int = 0,
         max_extract_width: int = 0,
+        verbose=0,
     ):
         if blocklen < 2 or blocklen & (blocklen - 1):
             raise ValueError("Blocklen invalid (must be a power of 2 >= 2)")
         self.blocklen = blocklen
+        # lifecycle log: one shared file for all segments, like the
+        # reference vcm block (reference:
+        # lib/activity_detection_channelizer_vcm_impl.cc:88-100)
+        from fdc_tpu.config import VerboseMode
+        from fdc_tpu.utils.logging import make_logger
+
+        self.log = (
+            make_logger(verbose, "gr-FDC.ActDetChan.log")
+            if VerboseMode(verbose) != VerboseMode.NOLOG
+            else None
+        )
         self.segments: List[SegmentDetector] = []
         for i, (a, b) in enumerate(segments):
             geo = solve_segment_vcm(blocklen, float(a), float(b), minchandist)
@@ -77,6 +89,18 @@ class ActivityDetectionChannelizer:
                     geometry=geo,
                 )
             )
+            if self.log is not None:
+                # per-segment banner (reference:
+                # lib/activity_detection_channelizer_vcm_impl.cc:177-185)
+                self.log(
+                    f"# Segment {i}: \n"
+                    f"# start: {geo.start} => "
+                    f"f_start={geo.start / blocklen:g}\n"
+                    f"# stop: {geo.stop} => f_stop={geo.stop / blocklen:g}\n"
+                    f"# width: {geo.width} => "
+                    f"f_bw={geo.width / blocklen:g}\n"
+                    f"# chan_decimation_fact: {geo.decimation}\n"
+                )
 
     def init_state(self):
         return [sd.init_state() for sd in self.segments]
@@ -135,7 +159,7 @@ class ActivityDetectionRunner:
 
         self.adc = adc
         self.emitters = [
-            emitter_cls(sd, maxblocks, file_sink, msg_output)
+            emitter_cls(sd, maxblocks, file_sink, msg_output, log=adc.log)
             for sd in adc.segments
         ]
         self._carry = None
@@ -170,22 +194,11 @@ class ActivityDetectionRunner:
             self._carry, jnp.asarray(c2f_host(spectra))
         )
         events = []
-        segs = list(self._carry["segs"])
-        for i, (em, so) in enumerate(zip(self.emitters, outs)):
+        for em, so in zip(self.emitters, outs):
             so = jax.tree.map(np.asarray, so)
             so["extract"] = f2c_host(so["extract"])
-            state_np = jax.tree.map(np.asarray, segs[i])
-            evs, new_state = em.process_step(so, state_np, self._t0)
-            events.extend(evs)
-            st = dict(state_np)
-            st.update(
-                {
-                    "active": jnp.asarray(new_state["active"]),
-                    "tomb": jnp.asarray(new_state["tomb"]),
-                }
-            )
-            segs[i] = {k: jnp.asarray(v) for k, v in st.items()}
-        self._carry = dict(self._carry)
-        self._carry["segs"] = segs
+            # slot recycling happens on device at step end; the emitter
+            # reads slot geometry from the slot_meta outputs
+            events.extend(em.process_step(so, so["slot_meta"], self._t0))
         self._t0 += nb
         return events

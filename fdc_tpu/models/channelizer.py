@@ -112,8 +112,52 @@ class FrequencyDomainChannelizer:
                     cfg.max_slots,
                     cfg.max_candidates,
                     cfg.max_extract_width,
+                    extract_budget=cfg.extract_budget,
                 )
             )
+
+        # -- per-component lifecycle loggers -----------------------------------
+        # The reference gives each detection/burst block its own log file
+        # with fixed names and logs every emission's lifecycle line
+        # (reference: lib/SegmentDetection_impl.cc:49-57,474-481,
+        # lib/PowerActivationChannel_impl.cc:52-60,245-253). None when
+        # verbose is off — the emitters skip line formatting entirely.
+        from fdc_tpu.config import VerboseMode
+
+        verbose_on = cfg.verbose != VerboseMode.NOLOG
+        seg_logs = []
+        for i, sd in enumerate(self.segments):
+            lg = None
+            if verbose_on:
+                lg = make_logger(cfg.verbose, f"gr-FDC.ActDetChan.ID_{i}.log")
+                g = sd.geometry
+                # constructor banner (reference: lib/SegmentDetection_impl.cc:109-113)
+                lg(f"Threshold               {sd.thresh:g}")
+                lg(f"decimation factor       {g.decimation}")
+                lg(f"start                   {g.start}")
+                lg(f"stop                    {g.stop}")
+                lg(f"width                   {g.width}")
+            seg_logs.append(lg)
+        pa_logs = None
+        if self.power_bank and verbose_on:
+            pa_logs = []
+            for c, g in enumerate(self.power_bank.geometry):
+                lg = make_logger(cfg.verbose, f"gr-FDC.PowActChan.{c}.log")
+                # constructor banner (reference: lib/PowerActivationChannel_impl.cc:112-123,
+                # including its doubled header)
+                s0 = "############################\n\n"
+                lg(
+                    s0 + f"# gr-FDC.PowActChan.{c}\n\n" + s0
+                    + f"# extract_start: {g.extract_start}\n"
+                    + f"# extract_stop: {g.extract_stop}\n"
+                    + f"# extract_width: {g.extract_width}\n"
+                    + f"# measure_start: {g.measure_start}\n"
+                    + f"# measure_stop: {g.measure_stop}\n\n"
+                    + "# equivalent cfreq: "
+                    + f"{(g.extract_start + g.extract_width / 2) / cfg.blocksize:.6f}\n"
+                    + f"# equivalent bw: {g.extract_width / cfg.blocksize:.6f}\n"
+                )
+                pa_logs.append(lg)
 
         # -- host emission layer ----------------------------------------------
         sink = FileSink(cfg.outputpath, self.log) if cfg.fileoutput else None
@@ -135,13 +179,15 @@ class FrequencyDomainChannelizer:
         else:
             pa_cls, sd_cls = PowerActivationEmitter, SegmentDetectionEmitter
         self.power_emitter = (
-            pa_cls(self.power_bank, cfg.pow_act_maxblocks, sink, cfg.msgoutput)
+            pa_cls(self.power_bank, cfg.pow_act_maxblocks, sink,
+                   cfg.msgoutput, channel_logs=pa_logs)
             if self.power_bank
             else None
         )
         self.segment_emitters = [
-            sd_cls(sd, cfg.act_det_maxblocks, sink, cfg.msgoutput)
-            for sd in self.segments
+            sd_cls(sd, cfg.act_det_maxblocks, sink, cfg.msgoutput,
+                   log=seg_logs[i])
+            for i, sd in enumerate(self.segments)
         ]
 
         # -- fused extraction plan ---------------------------------------------
@@ -282,12 +328,20 @@ class FrequencyDomainChannelizer:
                 power, carry[f"seg{i}"]
             )
             new_carry[f"seg{i}"] = seg_state
+            slot_ids, overflow = sd.extract_plan(got, processed)
             out[f"seg{i}"] = {
                 "activated": got.T,
                 "processed": processed.T,
                 "emit": emit_now.T,
                 "phase_used": phase_used.T,
-                "extract": c2f(sd.extract_slots(spec_ext, seg_state)),
+                "extract": c2f(sd.extract_slots(spec_ext, seg_state, slot_ids)),
+                "slot_ids": slot_ids,
+                "ext_overflow": overflow,
+                "slot_meta": {
+                    "ext_start": seg_state["ext_start"],
+                    "wlog2": seg_state["wlog2"],
+                    "order": seg_state["order"],
+                },
                 "power": power,
             }
         if cfg.debug:
@@ -411,24 +465,14 @@ class FrequencyDomainChannelizer:
         for i in range(len(self.segments)):
             so = jax.tree.map(np.asarray, out[f"seg{i}"])
             so["extract"] = f2c_host(so["extract"])
-            state_np = jax.tree.map(np.asarray, self._carry[f"seg{i}"])
-            events, new_state = self.segment_emitters[i].process_step(
-                so, state_np, t0
+            # slot recycling happens ON DEVICE at step end
+            # (SegmentDetector._free_tombstones) — the emitter reads slot
+            # geometry from the slot_meta outputs, the carry never crosses
+            # to the host.
+            events = self.segment_emitters[i].process_step(
+                so, so["slot_meta"], t0
             )
             result.events.extend(events)
-            # upload host slot recycling back into the carry
-            carry = dict(self._carry)
-            seg_state = dict(state_np)
-            seg_state.update(
-                {
-                    "active": jnp.asarray(new_state["active"]),
-                    "tomb": jnp.asarray(new_state["tomb"]),
-                }
-            )
-            carry[f"seg{i}"] = {
-                k: jnp.asarray(v) for k, v in seg_state.items()
-            }
-            self._carry = carry
             result.segment_power[i] = np.concatenate(
                 [result.segment_power[i], so["power"]]
             )

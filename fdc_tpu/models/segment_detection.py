@@ -63,6 +63,7 @@ class SegmentDetector:
         max_extract_width: int = 0,
         geometry: SegmentGeometry = None,
         lifecycle_backend: str = "auto",
+        extract_budget: int = 0,
     ):
         if thresh_db < 0.0:
             raise ValueError("Threshold is dB and must be >= 0")
@@ -77,6 +78,15 @@ class SegmentDetector:
         self.deactivation_delay = int(channel_deactivation_delay)
         self.max_slots = int(max_slots)
         self.max_candidates = int(max_candidates)  # 0 = exact (all edges)
+        # Device-side output compaction: only `extract_budget` slots' rows
+        # are extracted and shipped per step (0 = all slots). The reference
+        # only ever materializes ACTIVE channels' samples
+        # (reference: lib/SegmentDetection_impl.cc:399-429); a fixed budget
+        # is the static-shape equivalent — slots with no activity this step
+        # are skipped, overflow beyond the budget is counted and logged.
+        self.extract_budget = min(
+            int(extract_budget) or self.max_slots, self.max_slots
+        )
         self.w_cap = int(max_extract_width) or blocksize
         if self.w_cap & (self.w_cap - 1):
             raise ValueError("max_extract_width must be a power of 2")
@@ -173,12 +183,13 @@ class SegmentDetector:
         if backend in ("pallas", "pallas_interpret"):
             from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle
 
-            return slot_lifecycle(
+            new_state, flags = slot_lifecycle(
                 cand_s, cand_e, cand_v, state,
                 n=n, r=r, delay=delay, puffer=puffer,
                 w_cap=self.w_cap, w_cap_log2=self.w_cap_log2,
                 interpret=(backend == "pallas_interpret"),
             )
+            return self._free_tombstones(new_state), flags
 
         def scan_body(carry, cand):
             (
@@ -312,22 +323,84 @@ class SegmentDetector:
         final, flags = jax.lax.scan(
             scan_body, init, (cand_s, cand_e, cand_v)
         )
-        return dict(zip(keys, final)), flags
+        return self._free_tombstones(dict(zip(keys, final))), flags
 
-    def extract_slots(self, spec_ext: jax.Array, state, slot_lo=0,
-                      slot_count: int = None):
-        """Batched variable-width extraction of ``slot_count`` slots starting
-        at ``slot_lo`` (may be traced) over every spectrum row. The slot range
-        lets the parallel layer shard the (heavy) extraction over a mesh
-        channel axis while the slot table itself stays replicated.
-        Returns [slot_count, rows, w_cap], phase 0."""
-        slot_count = self.max_slots if slot_count is None else slot_count
-        ext_start = jax.lax.dynamic_slice_in_dim(
-            state["ext_start"], slot_lo, slot_count
+    @staticmethod
+    def _free_tombstones(state):
+        """Recycle retired slots at step end, ON DEVICE.
+
+        The host emission layer consumes every tombstoned slot's burst from
+        this step's outputs unconditionally, so freeing is deterministic and
+        needs no host round-trip: a slot emitted during the step stays
+        tombstoned until the scan finishes (it cannot be re-allocated
+        mid-step, preserving per-step-constant slot geometry for the batched
+        extraction), then becomes free for the next step — the same timing
+        the host-side recycle had. The slot's geometry values (ext_start,
+        wlog2, order) are left in place; they are only overwritten at the
+        next allocation, so the host emitters can still read them from the
+        step's slot_meta outputs.
+        """
+        tomb = state["tomb"]
+        return {
+            **state,
+            "active": state["active"] & ~tomb,
+            "tomb": jnp.zeros_like(tomb),
+        }
+
+    def extract_plan(self, got, processed):
+        """Device-side output compaction plan.
+
+        Args:
+          got/processed: [B, S] bool flags in scan order (from scan_slots).
+
+        Returns (slot_ids [E] int32, overflow int32): the slots whose
+        extraction rows this step ships (E = extract_budget), needy slots
+        first in slot-index order, then idle slots as filler; ``overflow``
+        counts needy slots beyond the budget (their samples are lost — the
+        clamp/skip+log philosophy, the budget must cover the worst-case
+        concurrent channel count). With the default budget E == max_slots
+        the plan is the identity and nothing is dropped.
+        """
+        s = self.max_slots
+        e = self.extract_budget
+        if e >= s:
+            return jnp.arange(s, dtype=jnp.int32), jnp.int32(0)
+        # a slot needs extraction iff any block this step activated or
+        # processed it (activation reads rows b and b+1, processing row b+1;
+        # emission reads nothing)
+        need = jnp.any(got | processed, axis=0)  # [S]
+        perm = jnp.argsort(
+            jnp.where(need, jnp.int32(0), jnp.int32(1)), stable=True
+        ).astype(jnp.int32)
+        overflow = jnp.maximum(
+            jnp.sum(need.astype(jnp.int32)) - jnp.int32(e), 0
         )
-        wlog2 = jax.lax.dynamic_slice_in_dim(state["wlog2"], slot_lo, slot_count)
-        # traced-index row lookup as a one-hot matmul (TPU gathers with
-        # traced indices are a slow path; the table is tiny)
+        return perm[:e], overflow
+
+    def extract_slots(self, spec_ext: jax.Array, state, slot_ids=None):
+        """Batched variable-width extraction of the slots named by
+        ``slot_ids`` ([E_local] int32, traced — an extract_plan slice) over
+        every spectrum row; None extracts all slots. The parallel layer
+        shards the (heavy) extraction by passing each mesh chan rank its
+        slice of the replicated plan. Returns [E_local, rows, w_cap],
+        phase 0."""
+        if slot_ids is None:
+            slot_ids = jnp.arange(self.max_slots, dtype=jnp.int32)
+        # compacted slot geometry via one-hot matmuls (TPU gathers with
+        # traced indices are a slow path; these tables are tiny)
+        onehot_slot = (
+            slot_ids[:, None]
+            == jnp.arange(self.max_slots, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)  # [E, S]
+
+        def take(v):
+            return jnp.dot(
+                onehot_slot, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        ext_start = take(state["ext_start"])
+        wlog2 = take(state["wlog2"])
         n_tables = self.w_cap_log2 + 1
         onehot = (
             wlog2[:, None] == jnp.arange(n_tables, dtype=jnp.int32)[None, :]
@@ -354,18 +427,26 @@ class SegmentDetector:
             processed at block b (row b+1 enters), or aged out at block b
             (host finalizes its burst, blockend = global block index of b).
           phase_used: [S, B] int32 phase of each processed block.
-          extract: [S, B+1, w_cap] complex phase-0 extraction of every row
-            (leading 2**wlog2[s] samples valid, w-periodic after).
+          extract: [E, B+1, w_cap] complex phase-0 extraction of the rows
+            named by slot_ids (leading 2**wlog2 samples valid, w-periodic
+            after); E = extract_budget (== max_slots unless compaction is
+            configured).
+          slot_ids: [E] int32 extraction plan (extract row -> slot index).
+          ext_overflow: int32 needy slots beyond the budget this step.
+          slot_meta: {ext_start, wlog2, order} [S] snapshots for the host
+            emitters (the carry itself never crosses to the host).
           power: [B, n_cells] decimated power spectrum (observability /
             waterfall).
           plus the final slot table in new_state (geometry is per-step
-          constant per slot: slots are not reused within a step).
+          constant per slot: slots are not reused within a step; retired
+          slots are recycled on device at step end).
         """
         power = self.measure(spec_ext[1:])  # [B, nc]
         new_state, (got, processed, emit_now, phase_used) = self.scan_slots(
             power, state
         )
-        y = self.extract_slots(spec_ext, new_state)  # [S, B+1, w_cap]
+        slot_ids, overflow = self.extract_plan(got, processed)
+        y = self.extract_slots(spec_ext, new_state, slot_ids)
 
         outputs = {
             "activated": got.T,  # [S, B]
@@ -373,6 +454,13 @@ class SegmentDetector:
             "emit": emit_now.T,
             "phase_used": phase_used.T,
             "extract": y,
+            "slot_ids": slot_ids,
+            "ext_overflow": overflow,
+            "slot_meta": {
+                "ext_start": new_state["ext_start"],
+                "wlog2": new_state["wlog2"],
+                "order": new_state["order"],
+            },
             "power": power,
         }
         return new_state, outputs

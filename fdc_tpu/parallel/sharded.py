@@ -115,6 +115,13 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 max_slots=config.max_slots
                 + (-config.max_slots) % self.n_chan
             )
+        # ... and the extraction budget (each chan rank extracts its slice
+        # of the replicated compaction plan)
+        if config.extract_budget and config.extract_budget % self.n_chan:
+            config = config.replace(
+                extract_budget=config.extract_budget
+                + (-config.extract_budget) % self.n_chan
+            )
         super().__init__(config)
 
         self.b_local = config.batch_blocks // self.n_time
@@ -264,16 +271,29 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 power, carry[f"seg{i}"]
             )
             new_carry[f"seg{i}"] = seg_state
-            s_local = sd.max_slots // self.n_chan
+            # compaction plan is replicated (computed from the replicated
+            # flags); each chan rank extracts its slice of it
+            slot_ids, overflow = sd.extract_plan(got, processed)
+            e_local = sd.extract_budget // self.n_chan
+            my_ids = jax.lax.dynamic_slice_in_dim(
+                slot_ids, cidx * e_local, e_local
+            )
             y = sd.extract_slots(
-                spec_ext, seg_state, cidx * s_local, s_local
-            )  # [s_local, b_local+1, w_cap]
+                spec_ext, seg_state, my_ids
+            )  # [e_local, b_local+1, w_cap]
             out[f"seg{i}"] = {
                 "activated": got.T,  # [S, B] replicated
                 "processed": processed.T,
                 "emit": emit_now.T,
                 "phase_used": phase_used.T,
                 "extract": c2f(y[:, None]),
+                "slot_ids": slot_ids,
+                "ext_overflow": overflow,
+                "slot_meta": {
+                    "ext_start": seg_state["ext_start"],
+                    "wlog2": seg_state["wlog2"],
+                    "order": seg_state["order"],
+                },
                 "power": power_local,
             }
 
@@ -327,6 +347,11 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 "emit": P(),
                 "phase_used": P(),
                 "extract": P(CHAN_AXIS, TIME_AXIS, None, None, None),
+                "slot_ids": P(),
+                "ext_overflow": P(),
+                "slot_meta": {
+                    "ext_start": P(), "wlog2": P(), "order": P(),
+                },
                 "power": P(TIME_AXIS, None),
             }
         if cfg.debug:

@@ -43,6 +43,40 @@ def _phase_rot_table(relinvovl: int) -> np.ndarray:
     )
 
 
+def _log_seg_emission(log, ev: "ChannelEvent"):
+    """Reference lifecycle log line for a segment-detection emission
+    (reference: lib/SegmentDetection_impl.cc:474-481 fin,
+    :530-538 part — same lines in the vcm block,
+    lib/activity_detection_channelizer_vcm_impl.cc:443-455,500-512)."""
+    if log is None:
+        return
+    if ev.finalized:
+        log(
+            f"{ev.ID}.fin: start={ev.vectorstart}, stop={ev.vectorend}, "
+            f"blockstart={ev.blockstart}, blockend={ev.blockend}"
+        )
+    else:
+        log(
+            f"{ev.ID}.part: start={ev.vectorstart}, stop={ev.vectorend}, "
+            f"part={ev.part}, blockstart={ev.blockstart}, "
+            f"blockend={ev.blockend}"
+        )
+
+
+def _log_pa_emission(log, ev: "ChannelEvent", es: int, ee: int):
+    """Reference lifecycle log line for a power-activation emission
+    (reference: lib/PowerActivationChannel_impl.cc:245-253): the suffix is
+    '.fin' or '.parted.<part>' and start/stop are the extract bin bounds."""
+    if log is None:
+        return
+    bare = ev.ID.rsplit(".", 1)[0]  # event IDs carry .fin/.part already
+    suffix = ".fin" if ev.finalized else f".parted.{ev.part}"
+    log(
+        f"{bare}{suffix}: start={es}, stop={ee}, "
+        f"blockstart={ev.blockstart}, blockend={ev.blockend}"
+    )
+
+
 class PowerActivationEmitter:
     """Burst assembly + emission for a PowerActivationBank.
 
@@ -57,11 +91,15 @@ class PowerActivationEmitter:
         maxblocks: int,
         file_sink: Optional[FileSink] = None,
         msg_output: bool = True,
+        channel_logs: Optional[list] = None,
     ):
         self.bank = bank
         self.maxblocks = int(maxblocks)
         self.file_sink = file_sink
         self.msg_output = msg_output
+        # per-channel lifecycle loggers (reference: one PowerActivationChannel
+        # block per channel, each with its own log file); None disables
+        self.channel_logs = channel_logs
         self.rot = _phase_rot_table(bank.relinvovl)
 
         c = bank.num_channels
@@ -121,6 +159,10 @@ class PowerActivationEmitter:
                 **{**ev.__dict__, "ID": self._msg_id[c]}
             )
             self.file_sink.write(fev)
+        if self.channel_logs is not None:
+            _log_pa_emission(
+                self.channel_logs[c], ev, g.extract_start, g.extract_stop
+            )
         self._part[c] += 1
         return ev
 
@@ -193,11 +235,13 @@ class SegmentDetectionEmitter:
         maxblocks: int,
         file_sink: Optional[FileSink] = None,
         msg_output: bool = True,
+        log=None,
     ):
         self.det = detector
         self.maxblocks = int(maxblocks)
         self.file_sink = file_sink
         self.msg_output = msg_output
+        self.log_fn = log  # lifecycle logger (None = disabled)
         self.rot = _phase_rot_table(detector.relinvovl)
 
         s = detector.max_slots
@@ -210,6 +254,8 @@ class SegmentDetectionEmitter:
         self._ee = np.zeros(s, np.int64)
         self._w = np.zeros(s, np.int64)
         self._live = np.zeros(s, bool)
+        # blocks whose samples were beyond the extraction budget (zeroed)
+        self.lost_rows = 0
 
     def get_state(self) -> dict:
         """Host-side slot state for checkpointing (fdc_tpu.runtime.checkpoint)."""
@@ -258,26 +304,39 @@ class SegmentDetectionEmitter:
         )
         if self.file_sink is not None:
             self.file_sink.write(ev)
+        _log_seg_emission(self.log_fn, ev)
         if not fin:
             self._part[s] += 1
         return ev
 
-    def process_step(self, outputs, state, t0: int):
-        """Replay B blocks; returns (events, updated_state).
+    def process_step(self, outputs, slot_meta, t0: int):
+        """Replay B blocks; returns the events in emission order.
 
-        outputs/state: numpy-converted outputs and new state of
-        SegmentDetector.step. Frees tombstoned slots in the returned state
-        copy (host owns slot recycling between steps).
+        outputs: numpy-converted outputs of SegmentDetector.step;
+        slot_meta: its {ext_start, wlog2, order} snapshot (the device carry
+        itself never reaches the host — slot recycling happens on device at
+        step end, SegmentDetector._free_tombstones).
         """
         activated = np.asarray(outputs["activated"])
         processed = np.asarray(outputs["processed"])
         emit = np.asarray(outputs["emit"])
         phase_used = np.asarray(outputs["phase_used"])
-        extract = np.asarray(outputs["extract"])  # [S, B+1, w_cap]
+        extract = np.asarray(outputs["extract"])  # [E, B+1, w_cap]
 
-        ext_start = np.asarray(state["ext_start"])
-        wlog2 = np.asarray(state["wlog2"])
-        order = np.asarray(state["order"])
+        ext_start = np.asarray(slot_meta["ext_start"])
+        wlog2 = np.asarray(slot_meta["wlog2"])
+        order = np.asarray(slot_meta["order"])
+
+        # extraction rows are compacted: row_of[slot] -> extract row, or -1
+        # if the slot's samples were beyond the extraction budget this step
+        # (outputs["ext_overflow"] counts them; data is replaced by zeros)
+        s_cap = activated.shape[0]
+        if "slot_ids" in outputs:
+            slot_ids = np.asarray(outputs["slot_ids"])
+            row_of = np.full(s_cap, -1, np.int64)
+            row_of[slot_ids] = np.arange(len(slot_ids))
+        else:
+            row_of = np.arange(s_cap)
 
         # The reference iterates channels in ACTIVATION order (its channel
         # deque is append-ordered, lib/SegmentDetection_impl.cc:346-365);
@@ -298,8 +357,12 @@ class SegmentDetectionEmitter:
             at stride q = l_cap//w and apply the fftshift sign compensation
             (-1)^m (see fdc_tpu.ops.fft.interp_subband_ifft)."""
             ovl = w // r
+            rr = row_of[s]
+            if rr < 0:  # beyond the extraction budget: samples lost
+                self.lost_rows += 1
+                return np.zeros(w - ovl, np.complex64)
             q = l_cap // w
-            row = extract[s, b_row, ovl * q:: q][: w - ovl]
+            row = extract[rr, b_row, ovl * q:: q][: w - ovl]
             signs = 1.0 - 2.0 * ((np.arange(ovl, w) & 1).astype(np.float32))
             out = row * signs
             if gain is not None:
@@ -354,16 +417,7 @@ class SegmentDetectionEmitter:
                                 self._emit(s, False, blockcount, ntx)
                             )
 
-        # free emitted slots for the next step
-        new_state = dict(state)
-        tomb = np.asarray(state["tomb"])
-        active = np.asarray(state["active"])
-        freed = tomb.copy()
-        active = active & ~freed
-        tomb = tomb & ~freed
-        new_state["active"] = active
-        new_state["tomb"] = tomb
-        return events, new_state
+        return events
 
 
 # ---------------------------------------------------------------------------
@@ -383,11 +437,13 @@ def _native():
 class NativePowerActivationEmitter:
     """C++-backed PowerActivationEmitter (same interface and events)."""
 
-    def __init__(self, bank, maxblocks, file_sink=None, msg_output=True):
+    def __init__(self, bank, maxblocks, file_sink=None, msg_output=True,
+                 channel_logs=None):
         native = _native()
         self.bank = bank
         self.file_sink = file_sink
         self.msg_output = msg_output
+        self.channel_logs = channel_logs
         self.engine = native.EmissionEngine(
             native.EmissionEngine.MODE_PA,
             bank.num_channels,
@@ -447,6 +503,14 @@ class NativePowerActivationEmitter:
                 bare = ChannelEvent(**{**ce.__dict__,
                                        "ID": ce.ID.rsplit(".", 1)[0]})
                 self.file_sink.write(bare)
+            if self.channel_logs is not None:
+                # ID convention: <ts>.PowActChan.<chan>.<count>.<suffix>
+                c = int(ce.ID.split(".")[-3])
+                g = self.bank.geometry[c]
+                _log_pa_emission(
+                    self.channel_logs[c], ce,
+                    g.extract_start, g.extract_stop,
+                )
             events.append(ce)
         return events
 
@@ -465,11 +529,13 @@ class NativePowerActivationEmitter:
 class NativeSegmentDetectionEmitter:
     """C++-backed SegmentDetectionEmitter (same interface and events)."""
 
-    def __init__(self, detector, maxblocks, file_sink=None, msg_output=True):
+    def __init__(self, detector, maxblocks, file_sink=None, msg_output=True,
+                 log=None):
         native = _native()
         self.det = detector
         self.file_sink = file_sink
         self.msg_output = msg_output
+        self.log_fn = log
         self.engine = native.EmissionEngine(
             native.EmissionEngine.MODE_SEG,
             detector.max_slots,
@@ -478,8 +544,8 @@ class NativeSegmentDetectionEmitter:
             int(maxblocks),
         )
 
-    def process_step(self, outputs, state, t0: int):
-        order = np.asarray(state["order"])
+    def process_step(self, outputs, slot_meta, t0: int):
+        order = np.asarray(slot_meta["order"])
         ts = current_timestamp()
         ids = b"".join(
             make_event_id(
@@ -493,11 +559,15 @@ class NativeSegmentDetectionEmitter:
             np.asarray(outputs["emit"]),
             np.asarray(outputs["phase_used"]),
             np.asarray(outputs["extract"]),
-            np.asarray(state["ext_start"]),
-            np.asarray(state["wlog2"]),
+            np.asarray(slot_meta["ext_start"]),
+            np.asarray(slot_meta["wlog2"]),
             order,
             ids,
             int(t0),
+            slot_ids=(
+                np.asarray(outputs["slot_ids"])
+                if "slot_ids" in outputs else None
+            ),
         )
         events = []
         for ev in raw:
@@ -515,15 +585,14 @@ class NativeSegmentDetectionEmitter:
             )
             if self.file_sink is not None:
                 self.file_sink.write(ce)
+            _log_seg_emission(self.log_fn, ce)
             events.append(ce)
+        return events
 
-        # free emitted slots for the next step (same as the Python path)
-        new_state = dict(state)
-        tomb = np.asarray(state["tomb"])
-        active = np.asarray(state["active"]) & ~tomb
-        new_state["active"] = active
-        new_state["tomb"] = tomb & ~tomb
-        return events, new_state
+    @property
+    def lost_rows(self) -> int:
+        """Blocks whose samples were beyond the extraction budget."""
+        return self.engine.lost_rows
 
     def get_state(self) -> dict:
         return {"native_blob": self.engine.save_state()}

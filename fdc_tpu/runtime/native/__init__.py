@@ -118,12 +118,14 @@ def _load():
         ]
         lib.fdc_emit_pa_finished.restype = c.c_longlong
         lib.fdc_emit_pa_finished.argtypes = [c.c_void_p, c.c_int]
+        lib.fdc_emit_lost_rows.restype = c.c_longlong
+        lib.fdc_emit_lost_rows.argtypes = [c.c_void_p]
         u8p = c.POINTER(c.c_uint8)
         i32p = c.POINTER(c.c_int32)
         f32p = c.POINTER(c.c_float)
         lib.fdc_emit_seg_step.restype = c.c_int
         lib.fdc_emit_seg_step.argtypes = [
-            c.c_void_p, c.c_int, c.c_int,
+            c.c_void_p, c.c_int, c.c_int, c.c_int, i32p,
             u8p, u8p, u8p, i32p, f32p, i32p, i32p, i32p,
             c.c_char_p, c.c_longlong,
         ]
@@ -304,13 +306,19 @@ class EmissionEngine:
         )
 
     def seg_step(self, activated, processed, emit, phase_used, extract,
-                 ext_start, wlog2, order, ids: bytes, t0: int):
-        """All flag arrays [S, B]; extract complex64 [S, B+1, l_cap];
+                 ext_start, wlog2, order, ids: bytes, t0: int,
+                 slot_ids=None):
+        """All flag arrays [S, B]; extract complex64 [E, B+1, l_cap] —
+        compacted rows named by slot_ids [E] (None = identity, E == S);
         order [S] activation sequence numbers (slot iteration order)."""
         s, nb = activated.shape
         assert s == self.n_units
         ex = np.ascontiguousarray(extract, np.complex64)
         l_cap = ex.shape[2]
+        if slot_ids is None:
+            slot_ids = np.arange(s, dtype=np.int32)
+        si = np.ascontiguousarray(slot_ids, np.int32)
+        assert ex.shape[0] == len(si)
         # hold temporaries so ctypes pointers stay valid through the call
         tmp = [np.ascontiguousarray(a, np.uint8) for a in
                (activated, processed, emit)]
@@ -319,7 +327,7 @@ class EmissionEngine:
         wl = np.ascontiguousarray(wlog2, np.int32)
         od = np.ascontiguousarray(order, np.int32)
         self._lib.fdc_emit_seg_step(
-            self._h, nb, l_cap,
+            self._h, nb, l_cap, len(si), self._i32(si),
             self._u8(tmp[0]), self._u8(tmp[1]), self._u8(tmp[2]),
             self._i32(pu),
             ex.view(np.float32).ctypes.data_as(
@@ -329,6 +337,10 @@ class EmissionEngine:
             ids, t0,
         )
         return self.drain()
+
+    @property
+    def lost_rows(self) -> int:
+        return self._lib.fdc_emit_lost_rows(self._h)
 
     def pa_step(self, rise, fall, processed, phase_used, extract,
                 id_prefix: bytes, t0: int):

@@ -65,6 +65,7 @@ struct Engine {
     std::vector<SlotState> units;
     std::deque<EventOut> events;
     EventOut current;  // last polled event (owns data until next poll)
+    long long lost_rows = 0;  // blocks beyond the extraction budget (zeroed)
 };
 
 void emit_seg(Engine* e, int s, bool fin, long long blockcount,
@@ -157,15 +158,20 @@ long long fdc_emit_pa_finished(Engine* e, int c) {
     return e->pa_finished[c];
 }
 
+long long fdc_emit_lost_rows(Engine* e) { return e->lost_rows; }
+
 // --------------------------------------------------------------------------
 // Segment-detection step.
-// Flags are [S, B] row-major uint8/int32; extract is [S, B+1, l_cap]
-// complex64 (interleaved float). ids is S concatenated NUL-terminated
-// strings (msg id for every slot as-if activated this step; only consumed
-// for slots that DO activate).
+// Flags are [S, B] row-major uint8/int32; extract is [E, B+1, l_cap]
+// complex64 (interleaved float) holding the COMPACTED rows named by
+// slot_ids[E] (device-side output compaction; a slot with no row this step
+// contributes zeros and bumps lost_rows). ids is S concatenated
+// NUL-terminated strings (msg id for every slot as-if activated this step;
+// only consumed for slots that DO activate).
 // --------------------------------------------------------------------------
 int fdc_emit_seg_step(
     Engine* e, int n_blocks, int l_cap,
+    int n_ext, const int32_t* slot_ids,
     const uint8_t* activated, const uint8_t* processed,
     const uint8_t* emit_flags, const int32_t* phase_used,
     const float* extract,
@@ -200,9 +206,36 @@ int fdc_emit_seg_step(
     auto flag = [n_blocks](const uint8_t* a, int s, int b) {
         return a[(size_t)s * n_blocks + b] != 0;
     };
-    auto row = [&](int s, int b_row) {
+    // compacted extraction rows: slot -> row index (or -1 = lost)
+    std::vector<int> row_of(s_total, -1);
+    for (int i = 0; i < n_ext; ++i) {
+        int s = slot_ids[i];
+        if (s >= 0 && s < s_total) row_of[s] = i;
+    }
+    auto row = [&](int rr, int b_row) {
         return extract +
-               2 * ((size_t)s * (n_blocks + 1) + b_row) * l_cap;
+               2 * ((size_t)rr * (n_blocks + 1) + b_row) * l_cap;
+    };
+    // decode one block from an interpolated extraction row: sample at
+    // stride q = l_cap/w and apply the fftshift sign compensation (-1)^m
+    // (see fdc_tpu/ops/fft.py interp_subband_ifft;
+    // reference behavior: lib/SegmentDetection_impl.cc:431-435);
+    // rr < 0 => slot was beyond the extraction budget: zeros + count
+    auto take_row = [&](int rr, int b_row, long long w, cfloat ph) {
+        long long ovl = w / r;
+        long long outlen = w - ovl;
+        std::vector<cfloat> v(outlen);
+        if (rr < 0) {
+            e->lost_rows += 1;
+            return v;  // zeros
+        }
+        long long q = l_cap / w;
+        const cfloat* p = reinterpret_cast<const cfloat*>(row(rr, b_row));
+        for (long long i = 0; i < outlen; ++i) {
+            float sign = ((ovl + i) & 1) ? -1.0f : 1.0f;
+            v[i] = p[(ovl + i) * q] * (ph * sign);
+        }
+        return v;
     };
 
     for (int b = 0; b < n_blocks; ++b) {
@@ -219,46 +252,17 @@ int fdc_emit_seg_step(
             st.ee = st.es + w;
             st.w = w;
             st.msg_id = idp[s];
-            long long ovl = w / r;
-            long long outlen = w - ovl;
-            long long q = l_cap / w;  // interpolated-row sampling stride
-            // hist block (phase 0) then current block; rows are the
-            // interpolated W-rate IFFT output — sample at stride q and
-            // apply the fftshift sign compensation (-1)^m
-            // (see fdc_tpu/ops/fft.py interp_subband_ifft;
-            // reference behavior: lib/SegmentDetection_impl.cc:431-435)
-            const cfloat* h = reinterpret_cast<const cfloat*>(row(s, b));
-            std::vector<cfloat> hv(outlen);
-            for (long long i = 0; i < outlen; ++i) {
-                float sign = ((ovl + i) & 1) ? -1.0f : 1.0f;
-                hv[i] = h[(ovl + i) * q] * sign;
-            }
-            st.blocks.push_back(std::move(hv));
-            const cfloat* cc = reinterpret_cast<const cfloat*>(row(s, b + 1));
+            // hist block (phase 0) then current block
             cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
-            std::vector<cfloat> cv(outlen);
-            for (long long i = 0; i < outlen; ++i) {
-                float sign = ((ovl + i) & 1) ? -1.0f : 1.0f;
-                cv[i] = cc[(ovl + i) * q] * (ph * sign);
-            }
-            st.blocks.push_back(std::move(cv));
+            st.blocks.push_back(take_row(row_of[s], b, w, cfloat(1.0f, 0.0f)));
+            st.blocks.push_back(take_row(row_of[s], b + 1, w, ph));
             st.count += 2;
         }
         for (int s : rank) {
             if (!flag(processed, s, b) || flag(activated, s, b)) continue;
             SlotState& st = e->units[s];
-            long long w = st.w;
-            long long ovl = w / r;
-            long long outlen = w - ovl;
-            long long q = l_cap / w;
-            const cfloat* cc = reinterpret_cast<const cfloat*>(row(s, b + 1));
             cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
-            std::vector<cfloat> cv(outlen);
-            for (long long i = 0; i < outlen; ++i) {
-                float sign = ((ovl + i) & 1) ? -1.0f : 1.0f;
-                cv[i] = cc[(ovl + i) * q] * (ph * sign);
-            }
-            st.blocks.push_back(std::move(cv));
+            st.blocks.push_back(take_row(row_of[s], b + 1, st.w, ph));
             st.count += 1;
         }
         for (int s : rank) {

@@ -192,6 +192,57 @@ def test_segment_detection_crowded_band_matches_golden():
     check_events(res.events, ref, atol=3e-4, check_vector=True)
 
 
+def test_segment_detection_extract_budget_bit_exact():
+    """Device-side output compaction (extract_budget < max_slots) must be
+    invisible when the budget covers the concurrent channel count: same
+    events, same data, and an order-of-magnitude smaller extraction tensor
+    shipped per step."""
+    n, r = 1024, 4
+    inplen = n - n // r
+    n_blocks = 32
+    seg, mcd, thresh_db = (0.1, 0.9), 0.04, 8.0
+    x = burst_signal(
+        n_blocks, inplen,
+        [(4, 14, 0.30, 1.0), (8, 12, 0.60, 0.8), (18, 26, 0.45, 0.9)],
+        noise_amp=2e-3,
+    )
+
+    def build(budget):
+        return FrequencyDomainChannelizer(
+            ChannelizerConfig(
+                blocksize=n,
+                relinvovl=r,
+                activity_detection_segments=[(seg[0] - 0.5, seg[1] - 0.5)],
+                act_det_threshold=thresh_db,
+                minchandist=mcd,
+                act_det_maxblocks=6,
+                batch_blocks=8,
+                max_slots=16,
+                extract_budget=budget,
+            )
+        )
+
+    ref = golden_segment_detection(
+        spectra_of(x, n, r), n, r, seg[0], seg[1], thresh_db, mcd,
+        0.2, 6, 1,
+    )
+    fdc = build(4)  # at most 2 channels concurrent in this scenario
+    res = fdc.process(x)
+    check_events(res.events, ref, atol=3e-4, check_vector=True)
+    assert fdc.segment_emitters[0].lost_rows == 0
+
+    # budget 1 with 2 concurrent channels: same event stream shape/metadata,
+    # but overflowed slots' samples are zeroed and counted (clamp/skip+log)
+    fdc1 = build(1)
+    res1 = fdc1.process(x)
+    assert len(res1.events) == len(ref)
+    for ev, g in zip(res1.events, ref):
+        assert ev.blockstart == g["blockstart"]
+        assert ev.blockend == g["blockend"]
+        assert ev.data.shape == g["data"].shape
+    assert fdc1.segment_emitters[0].lost_rows > 0
+
+
 def test_segment_detection_silence_has_no_events():
     n, r = 512, 4
     inplen = n - n // r

@@ -173,10 +173,10 @@ def test_native_emission_scale_stress():
         "phase_used": phase_used, "extract": extract,
     }
 
-    ev_py, _ = SegmentDetectionEmitter(det, 8).process_step(
+    ev_py = SegmentDetectionEmitter(det, 8).process_step(
         outputs, dict(state), 0
     )
-    ev_nat, _ = NativeSegmentDetectionEmitter(det, 8).process_step(
+    ev_nat = NativeSegmentDetectionEmitter(det, 8).process_step(
         outputs, dict(state), 0
     )
     assert len(ev_py) == len(ev_nat) > 400

@@ -154,23 +154,26 @@ def main():
         )
         return nc, {"o": out}
 
+    # K sized so K * expected_step_ms >= ~25 ms: the tunnel's dispatch
+    # jitter is a few ms, so K=8 differencing is pure noise for sub-ms
+    # variants (symptom: component < its own front-end).
     variants = {
-        "full": fdc._device_step,
-        "fft": v_fft,
-        "sq": v_sq,
-        "tp": v_tp,
-        "pa": v_pa,
-        "seg_detect": v_seg_detect,
-        "seg_extract_traced": v_seg_extract_traced,
-        "seg_extract_static": v_seg_extract_static,
-        "seg_full": v_seg_full,
-        "roofline": v_roofline,
+        "full": (fdc._device_step, 24),
+        "fft": (v_fft, 96),
+        "sq": (v_sq, 96),
+        "tp": (v_tp, 64),
+        "pa": (v_pa, 64),
+        "seg_detect": (v_seg_detect, 48),
+        "seg_extract_traced": (v_seg_extract_traced, 48),
+        "seg_extract_static": (v_seg_extract_static, 64),
+        "seg_full": (v_seg_full, 32),
+        "roofline": (v_roofline, 48),
     }
 
     results = {}
-    for name, step in variants.items():
+    for name, (step, k) in variants.items():
         t_start = time.time()
-        dt = time_scanned(step, carry0, xf, k=8, repeats=5)
+        dt = time_scanned(step, carry0, xf, k=k, repeats=4)
         results[name] = {
             "ms": round(dt * 1e3, 4),
             "msps": round(n / dt / 1e6, 1),
