@@ -10,11 +10,15 @@ is an independent batched SegmentDetector sub-graph inside one jitted step —
 XLA schedules them concurrently, and the parallel layer can shard them over
 a mesh `chan` axis.
 
-Detection math per segment is identical to SegmentDetection up to the
-reference's cosmetic 1/decimation power normalization
-(lib/activity_detection_channelizer_vcm_impl.cc:630-650), which cancels in
-the edge ratios and is omitted; segment geometry uses the vcm rounding rules
-(config.solve_segment_vcm).
+Detection math per segment runs with vcm=True SegmentDetector semantics:
+the reference's 1/decimation power normalization
+(lib/activity_detection_channelizer_vcm_impl.cc:630-650), its FLT_MIN
+zero-denominator edge ratios (:701-705 — 0/0 is a falling edge, unlike
+SegmentDetection), its blockcount-from-1 convention (:188), and its inline
+per-channel maxblocks partial emission (:305-321); segment geometry uses the
+vcm rounding rules (config.solve_segment_vcm). Parity is pinned by a
+vcm-specific sequential golden replay (tests/golden.py
+golden_activity_detection_vcm).
 """
 
 from __future__ import annotations
@@ -87,6 +91,7 @@ class ActivityDetectionChannelizer:
                     max_candidates,
                     max_extract_width,
                     geometry=geo,
+                    vcm=True,
                 )
             )
             if self.log is not None:

@@ -64,6 +64,7 @@ class SegmentDetector:
         geometry: SegmentGeometry = None,
         lifecycle_backend: str = "auto",
         extract_budget: int = 0,
+        vcm: bool = False,
     ):
         if thresh_db < 0.0:
             raise ValueError("Threshold is dB and must be >= 0")
@@ -96,6 +97,11 @@ class SegmentDetector:
         if lifecycle_backend not in ("auto", "scan", "pallas", "pallas_interpret"):
             raise ValueError(f"unknown lifecycle_backend {lifecycle_backend!r}")
         self.lifecycle_backend = lifecycle_backend
+        # vcm semantics (activity_detection_channelizer_vcm): 1/decimation
+        # power normalization and FLT_MIN zero-denominator edge ratios
+        # (reference: lib/activity_detection_channelizer_vcm_impl.cc:630-650,
+        # 701-705); False = SegmentDetection semantics.
+        self.vcm = bool(vcm)
 
         self.geometry: SegmentGeometry = geometry or solve_segment(
             blocksize, seg_start, seg_stop, minchandist
@@ -141,7 +147,14 @@ class SegmentDetector:
         if sq is None:
             sq = jnp.abs(spectrum) ** 2
         g = self.geometry
-        return cell_power(sq, g.start, g.n_cells, g.decimation)
+        p = cell_power(sq, g.start, g.n_cells, g.decimation)
+        if self.vcm:
+            # vcm normalizes cell power by 1/decimation (reference:
+            # lib/activity_detection_channelizer_vcm_impl.cc:630-650); the
+            # factor cancels in the edge ratios but is kept for bit-faithful
+            # power observability and threshold rounding behavior.
+            p = p * jnp.float32(1.0 / g.decimation)
+        return p
 
     def scan_slots(self, power: jax.Array, state):
         """Detection + slot-table lifecycle scan over [B, n_cells] powers.
@@ -170,7 +183,7 @@ class SegmentDetector:
         # detection and vmaps cleanly — only the slot lifecycle below is
         # sequential).
         cand_s, cand_e, cand_v = jax.vmap(
-            lambda p: detect_candidates(p, thresh, k)
+            lambda p: detect_candidates(p, thresh, k, zero_floor=self.vcm)
         )(power)  # each [B, K], cell coords
         cand_s = cand_s * dec + d_start  # -> bin coords
         cand_e = cand_e * dec + d_start

@@ -71,10 +71,14 @@ def ceil_log2(v: jax.Array, max_log2: int) -> jax.Array:
     return acc
 
 
+_FLT_MIN = jnp.float32(1.1754944e-38)
+
+
 def detect_candidates(
     power: jax.Array,
     thresh: float,
     max_candidates: int,
+    zero_floor: bool = False,
 ):
     """Edge-detect carrier candidates in one block's decimated power spectrum.
 
@@ -93,6 +97,12 @@ def detect_candidates(
         max_candidates=0 "exact" mode) every possible rising edge is
         considered — identical to the reference's unbounded edge list;
         smaller K bounds the work to the strongest-K subset.
+      zero_floor: the multi-segment vcm block replaces a zero-power
+        DENOMINATOR with FLT_MIN before dividing
+        (reference: lib/activity_detection_channelizer_vcm_impl.cc:701-705),
+        so 0/0 gives ratio 0 — a FALLING edge — where SegmentDetection's
+        plain division gives NaN (no edge). False = SegmentDetection
+        semantics.
 
     Returns:
       (cand_start, cand_end, cand_valid): [K] int32 cell coordinates
@@ -105,7 +115,12 @@ def detect_candidates(
     # a segment can have fewer ratio cells than the candidate cap
     k_eff = min(k, n_r)
 
-    ratio = power[1:] / power[:-1]  # [n_r]
+    if zero_floor:
+        ratio = jnp.where(
+            power[:-1] == 0.0, power[1:] / _FLT_MIN, power[1:] / power[:-1]
+        )
+    else:
+        ratio = power[1:] / power[:-1]  # [n_r]
     rise = ratio > thresh
     fall = ratio < (1.0 / thresh)
 

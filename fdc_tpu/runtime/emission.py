@@ -242,6 +242,11 @@ class SegmentDetectionEmitter:
         self.file_sink = file_sink
         self.msg_output = msg_output
         self.log_fn = log  # lifecycle logger (None = disabled)
+        # vcm emission conventions: blockcount starts at 1 and maxblocks
+        # partial emission happens INLINE per channel rather than in a
+        # post-loop sweep (reference:
+        # lib/activity_detection_channelizer_vcm_impl.cc:188,305-321)
+        self.vcm = bool(getattr(detector, "vcm", False))
         self.rot = _phase_rot_table(detector.relinvovl)
 
         s = detector.max_slots
@@ -369,36 +374,68 @@ class SegmentDetectionEmitter:
                 out = out * gain
             return out
 
+        def do_activate(s, b):
+            w = 1 << int(wlog2[s])
+            self._live[s] = True
+            self._data[s] = []
+            self._count[s] = 0
+            self._part[s] = 0
+            self._es[s] = int(ext_start[s])
+            self._ee[s] = int(ext_start[s]) + w
+            self._w[s] = w
+            self._msg_id[s] = make_event_id(
+                "DETECTED", self.det.segment_id, int(order[s])
+            )
+            # hist block (phase 0) then current block
+            # (reference: lib/SegmentDetection_impl.cc:431-435)
+            self._data[s].append(take_row(s, b, w))
+            self._data[s].append(
+                take_row(s, b + 1, w, self.rot[phase_used[s, b]])
+            )
+            self._count[s] += 2
+
+        def do_process(s, b):
+            w = int(self._w[s])
+            self._data[s].append(
+                take_row(s, b + 1, w, self.rot[phase_used[s, b]])
+            )
+            self._count[s] += 1
+
+        if self.vcm:
+            # vcm: blockcount starts at 1; one unified walk in activation
+            # order with the maxblocks partial emission INLINE per channel
+            # (reference: lib/activity_detection_channelizer_vcm_impl.cc:
+            # 305-321,544-570)
+            touched = activated | processed | emit
+            for b in range(nb):
+                blockcount = t0 + b + 1
+                for s in slot_rank[touched[slot_rank, b]]:
+                    if activated[s, b]:
+                        do_activate(s, b)
+                    elif emit[s, b]:
+                        events.append(
+                            self._emit(s, True, blockcount,
+                                       len(self._data[s]))
+                        )
+                        self._live[s] = False
+                    elif processed[s, b]:
+                        do_process(s, b)
+                    if (mb >= 0 and self._live[s]
+                            and len(self._data[s]) >= mb):
+                        ntx = len(self._data[s]) if mb == 0 else mb
+                        if ntx > 0:
+                            events.append(
+                                self._emit(s, False, blockcount, ntx)
+                            )
+            return events
+
         for b in range(nb):
             blockcount = t0 + b  # SegmentDetection convention
-            act_s = slot_rank[activated[slot_rank, b]]
-            for s in act_s:
-                w = 1 << int(wlog2[s])
-                self._live[s] = True
-                self._data[s] = []
-                self._count[s] = 0
-                self._part[s] = 0
-                self._es[s] = int(ext_start[s])
-                self._ee[s] = int(ext_start[s]) + w
-                self._w[s] = w
-                self._msg_id[s] = make_event_id(
-                    "DETECTED", self.det.segment_id, int(order[s])
-                )
-                # hist block (phase 0) then current block
-                # (reference: lib/SegmentDetection_impl.cc:431-435)
-                self._data[s].append(take_row(s, b, w))
-                self._data[s].append(
-                    take_row(s, b + 1, w, self.rot[phase_used[s, b]])
-                )
-                self._count[s] += 2
+            for s in slot_rank[activated[slot_rank, b]]:
+                do_activate(s, b)
 
-            proc_s = slot_rank[(processed & ~activated)[slot_rank, b]]
-            for s in proc_s:
-                w = int(self._w[s])
-                self._data[s].append(
-                    take_row(s, b + 1, w, self.rot[phase_used[s, b]])
-                )
-                self._count[s] += 1
+            for s in slot_rank[(processed & ~activated)[slot_rank, b]]:
+                do_process(s, b)
 
             for s in slot_rank[emit[slot_rank, b]]:
                 events.append(
@@ -536,8 +573,13 @@ class NativeSegmentDetectionEmitter:
         self.file_sink = file_sink
         self.msg_output = msg_output
         self.log_fn = log
+        mode = (
+            native.EmissionEngine.MODE_SEG_VCM
+            if getattr(detector, "vcm", False)
+            else native.EmissionEngine.MODE_SEG
+        )
         self.engine = native.EmissionEngine(
-            native.EmissionEngine.MODE_SEG,
+            mode,
             detector.max_slots,
             detector.relinvovl,
             detector.blocksize,

@@ -266,6 +266,7 @@ class EmissionEngine:
 
     MODE_SEG = 0
     MODE_PA = 1
+    MODE_SEG_VCM = 2  # vcm conventions: blockcount base 1, inline partials
 
     def __init__(self, mode, n_units, relinvovl, blocksize, maxblocks):
         self._lib = _load()

@@ -50,7 +50,10 @@ struct SlotState {
 
 struct Engine {
     // config
-    int mode;            // 0 = segment detection, 1 = power activation
+    int mode;            // 0 = segment detection, 1 = power activation,
+                         // 2 = segment detection with vcm conventions
+                         //     (blockcount base 1, inline partial emission;
+                         //      reference: activity_detection_channelizer_vcm)
     int n_units;         // slots or channels
     int relinvovl;
     long long blocksize;
@@ -238,32 +241,72 @@ int fdc_emit_seg_step(
         return v;
     };
 
+    auto do_activate = [&](int s, int b) {
+        SlotState& st = e->units[s];
+        long long w = 1LL << wlog2[s];
+        st.live = true;
+        st.blocks.clear();
+        st.count = 0;
+        st.part = 0;
+        st.es = ext_start[s];
+        st.ee = st.es + w;
+        st.w = w;
+        st.msg_id = idp[s];
+        // hist block (phase 0) then current block
+        cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
+        st.blocks.push_back(take_row(row_of[s], b, w, cfloat(1.0f, 0.0f)));
+        st.blocks.push_back(take_row(row_of[s], b + 1, w, ph));
+        st.count += 2;
+    };
+    auto do_process = [&](int s, int b) {
+        SlotState& st = e->units[s];
+        cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
+        st.blocks.push_back(take_row(row_of[s], b + 1, st.w, ph));
+        st.count += 1;
+    };
+
+    const bool vcm = (e->mode == 2);
     for (int b = 0; b < n_blocks; ++b) {
+        if (vcm) {
+            // vcm conventions: blockcount starts at 1; one unified walk in
+            // activation order with the maxblocks partial emission INLINE
+            // per channel (reference:
+            // lib/activity_detection_channelizer_vcm_impl.cc:188,305-321)
+            long long blockcount = t0 + b + 1;
+            for (int s : rank) {
+                bool act = flag(activated, s, b);
+                bool em = flag(emit_flags, s, b);
+                bool proc = flag(processed, s, b);
+                if (!act && !em && !proc) continue;
+                if (act) {
+                    do_activate(s, b);
+                } else if (em) {
+                    emit_seg(e, s, true, blockcount,
+                             e->units[s].blocks.size());
+                    e->units[s].live = false;
+                } else if (proc) {
+                    do_process(s, b);
+                }
+                SlotState& st = e->units[s];
+                if (mb >= 0 && st.live &&
+                    (long long)st.blocks.size() >= mb) {
+                    size_t ntx =
+                        (mb == 0) ? st.blocks.size() : (size_t)mb;
+                    if (ntx > 0)
+                        emit_seg(e, s, false, blockcount, ntx);
+                }
+            }
+            continue;
+        }
+
         long long blockcount = t0 + b;  // SegmentDetection convention
         for (int s : rank) {
             if (!flag(activated, s, b)) continue;
-            SlotState& st = e->units[s];
-            long long w = 1LL << wlog2[s];
-            st.live = true;
-            st.blocks.clear();
-            st.count = 0;
-            st.part = 0;
-            st.es = ext_start[s];
-            st.ee = st.es + w;
-            st.w = w;
-            st.msg_id = idp[s];
-            // hist block (phase 0) then current block
-            cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
-            st.blocks.push_back(take_row(row_of[s], b, w, cfloat(1.0f, 0.0f)));
-            st.blocks.push_back(take_row(row_of[s], b + 1, w, ph));
-            st.count += 2;
+            do_activate(s, b);
         }
         for (int s : rank) {
             if (!flag(processed, s, b) || flag(activated, s, b)) continue;
-            SlotState& st = e->units[s];
-            cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
-            st.blocks.push_back(take_row(row_of[s], b + 1, st.w, ph));
-            st.count += 1;
+            do_process(s, b);
         }
         for (int s : rank) {
             if (!flag(emit_flags, s, b)) continue;

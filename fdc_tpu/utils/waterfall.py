@@ -29,30 +29,126 @@ import numpy as np
 
 from fdc_tpu.utils.events import ChannelEvent
 
-__all__ = ["Waterfall", "COLOR_SCHEMES"]
+__all__ = ["Waterfall", "COLOR_SCHEMES", "cr_colorscheme"]
 
-COLOR_SCHEMES = ("red", "green", "blue", "rainbow")
+# the reference's four schemes by index (python/WaterfallMsgTagging.py:277-281)
+COLOR_SCHEMES = (
+    "black-blue-cyan-white",   # 0
+    "black-rainbow",           # 1
+    "black-red-yellow",        # 2
+    "black-white",             # 3
+)
 
 
-def _colormap(scheme: str, n_bins: int) -> np.ndarray:
-    """[n_bins, 3] uint8 colors, dark -> bright (reference colorschemes,
-    python/WaterfallMsgTagging.py:276-312)."""
-    t = np.linspace(0.0, 1.0, n_bins)
-    if scheme == "red":
-        rgb = np.stack([t, t * 0.25, t * 0.25], axis=1)
-    elif scheme == "green":
-        rgb = np.stack([t * 0.25, t, t * 0.25], axis=1)
-    elif scheme == "blue":
-        rgb = np.stack([t * 0.25, t * 0.25, t], axis=1)
-    elif scheme == "rainbow":
-        # blue -> cyan -> green -> yellow -> red
-        r = np.clip(2.0 * t - 1.0, 0.0, 1.0)
-        g = 1.0 - np.abs(2.0 * t - 1.0) * 0.8
-        b = np.clip(1.0 - 2.0 * t, 0.0, 1.0)
-        rgb = np.stack([r, g, b], axis=1)
-    else:
-        raise ValueError(f"unknown colorscheme {scheme!r}")
-    return (rgb * 255.0).astype(np.uint8)
+def cr_colorscheme(colorscheme, minvaldb: float, maxvaldb: float,
+                   loginput: bool):
+    """Exact rebuild of the reference's colorscheme constructor
+    (reference: python/WaterfallMsgTagging.py:276-312): N=1024 colors,
+    N-1 dB bin edges from minvaldb to maxvaldb (converted to linear when
+    the input is linear power), plus the scheme's frame color.
+
+    Accepts the reference's integer index or a COLOR_SCHEMES name.
+    Returns (cols [N,3] uint8, bins [N-1] float, frame [3] uint8).
+    """
+    if isinstance(colorscheme, str):
+        if colorscheme not in COLOR_SCHEMES:
+            raise ValueError(f"unknown colorscheme {colorscheme!r}")
+        colorscheme = COLOR_SCHEMES.index(colorscheme)
+    colorscheme = int(colorscheme)
+
+    n = 1024
+    bins = np.linspace(minvaldb, maxvaldb, n - 1)
+    if not loginput:
+        bins = 10.0 ** (bins / 10.0)
+
+    def lsp(a, b, num):
+        return np.linspace(a, b, num, dtype=np.uint8)
+
+    if colorscheme == 1:  # Black-Rainbow
+        np4 = n // 4
+        cols = np.array([
+            np.concatenate((lsp(0, 75, np4), lsp(75, 0, np4),
+                            [0] * np4, lsp(0, 255, np4))),
+            np.concatenate(([0] * np4, [0] * np4,
+                            lsp(0, 255, np4), [255] * np4)),
+            np.concatenate((lsp(0, 130, np4), lsp(130, 255, np4),
+                            lsp(255, 0, np4), [0] * np4)),
+        ], dtype=np.uint8).transpose().reshape(n, 3)
+        frame = np.array([255, 255, 255], np.uint8)
+    elif colorscheme == 2:  # Black-Red-Yellow
+        np2 = n // 2
+        cols = np.array([
+            np.concatenate((lsp(0, 255, np2), [255] * np2)),
+            np.concatenate(([0] * np2, lsp(0, 255, np2))),
+            [0] * n,
+        ], dtype=np.uint8).transpose().reshape(n, 3)
+        frame = np.array([255, 255, 255], np.uint8)
+    elif colorscheme == 3:  # Black-White
+        # (the reference casts to uint8 in apply_colorscheme, :261-262)
+        cols = np.kron(
+            np.linspace(0, 255, n, dtype=np.uint8), [1, 1, 1]
+        ).reshape(n, 3).astype(np.uint8)
+        frame = np.array([0, 255, 0], np.uint8)
+    else:  # 0: Black-Blue-Cyan-White
+        np2 = n // 2
+        cols = np.array([
+            [0] * n,
+            np.concatenate(([0] * np2, lsp(0, 255, np2))),
+            np.concatenate((lsp(0, 255, np2), [255] * np2)),
+        ], dtype=np.uint8).transpose().reshape(n, 3)
+        frame = np.array([255, 255, 255], np.uint8)
+
+    return cols, bins, frame
+
+
+# 4x6 bitmap glyphs for in-image tag labels (uppercase + digits + id
+# punctuation); each glyph is 6 rows of 4 bits, MSB = left column.
+_FONT = {
+    "0": (0x6, 0x9, 0xB, 0xD, 0x9, 0x6), "1": (0x2, 0x6, 0x2, 0x2, 0x2, 0x7),
+    "2": (0x6, 0x9, 0x1, 0x6, 0x8, 0xF), "3": (0xE, 0x1, 0x6, 0x1, 0x1, 0xE),
+    "4": (0x9, 0x9, 0xF, 0x1, 0x1, 0x1), "5": (0xF, 0x8, 0xE, 0x1, 0x1, 0xE),
+    "6": (0x6, 0x8, 0xE, 0x9, 0x9, 0x6), "7": (0xF, 0x1, 0x2, 0x2, 0x4, 0x4),
+    "8": (0x6, 0x9, 0x6, 0x9, 0x9, 0x6), "9": (0x6, 0x9, 0x9, 0x7, 0x1, 0x6),
+    "A": (0x6, 0x9, 0x9, 0xF, 0x9, 0x9), "B": (0xE, 0x9, 0xE, 0x9, 0x9, 0xE),
+    "C": (0x6, 0x9, 0x8, 0x8, 0x9, 0x6), "D": (0xE, 0x9, 0x9, 0x9, 0x9, 0xE),
+    "E": (0xF, 0x8, 0xE, 0x8, 0x8, 0xF), "F": (0xF, 0x8, 0xE, 0x8, 0x8, 0x8),
+    "G": (0x6, 0x9, 0x8, 0xB, 0x9, 0x7), "H": (0x9, 0x9, 0xF, 0x9, 0x9, 0x9),
+    "I": (0x7, 0x2, 0x2, 0x2, 0x2, 0x7), "J": (0x7, 0x2, 0x2, 0x2, 0xA, 0x4),
+    "K": (0x9, 0xA, 0xC, 0xC, 0xA, 0x9), "L": (0x8, 0x8, 0x8, 0x8, 0x8, 0xF),
+    "M": (0x9, 0xF, 0xF, 0x9, 0x9, 0x9), "N": (0x9, 0xD, 0xD, 0xB, 0xB, 0x9),
+    "O": (0x6, 0x9, 0x9, 0x9, 0x9, 0x6), "P": (0xE, 0x9, 0x9, 0xE, 0x8, 0x8),
+    "Q": (0x6, 0x9, 0x9, 0x9, 0xA, 0x5), "R": (0xE, 0x9, 0x9, 0xE, 0xA, 0x9),
+    "S": (0x7, 0x8, 0x6, 0x1, 0x1, 0xE), "T": (0x7, 0x2, 0x2, 0x2, 0x2, 0x2),
+    "U": (0x9, 0x9, 0x9, 0x9, 0x9, 0x6), "V": (0x9, 0x9, 0x9, 0x9, 0x6, 0x6),
+    "W": (0x9, 0x9, 0x9, 0xF, 0xF, 0x9), "X": (0x9, 0x9, 0x6, 0x6, 0x9, 0x9),
+    "Y": (0x5, 0x5, 0x5, 0x2, 0x2, 0x2), "Z": (0xF, 0x1, 0x2, 0x4, 0x8, 0xF),
+    ".": (0x0, 0x0, 0x0, 0x0, 0x0, 0x4), "-": (0x0, 0x0, 0xF, 0x0, 0x0, 0x0),
+    "_": (0x0, 0x0, 0x0, 0x0, 0x0, 0xF), " ": (0x0, 0x0, 0x0, 0x0, 0x0, 0x0),
+    ":": (0x0, 0x4, 0x0, 0x0, 0x4, 0x0),
+}
+
+
+def _draw_text(img: np.ndarray, row: int, col: int, text: str,
+               color: np.ndarray):
+    """Stamp 4x6 glyphs into the RGB image (unknown chars skipped)."""
+    h, w = img.shape[:2]
+    for ch in text.upper():
+        glyph = _FONT.get(ch)
+        if glyph is None:
+            col += 5
+            continue
+        for dy, bits in enumerate(glyph):
+            y = row + dy
+            if not (0 <= y < h):
+                continue
+            for dx in range(4):
+                if bits & (0x8 >> dx):
+                    x = col + dx
+                    if 0 <= x < w:
+                        img[y, x] = color
+        col += 5
+        if col >= w:
+            break
 
 
 @dataclass
@@ -73,8 +169,12 @@ class Waterfall:
       width: image width in pixels (reference fixed 1024).
       height: rows kept in the scrolling image.
       blockdecimation: time decimation (mean over this many blocks per row).
-      db_range: (min_dB, max_dB) color binning range relative to full scale.
-      colorscheme: one of COLOR_SCHEMES.
+      db_range: (minvaldb, maxvaldb) color binning range.
+      colorscheme: reference scheme index 0-3 or a COLOR_SCHEMES name.
+      loginput: True if fed values are already dB (the reference's loginput
+        flag — when False the dB bin edges are converted to linear and raw
+        linear power is binned directly,
+        reference: python/WaterfallMsgTagging.py:289-291).
     """
 
     TAGMODES = ("none", "id", "part")
@@ -86,27 +186,34 @@ class Waterfall:
         height: int = 512,
         blockdecimation: int = 1,
         db_range=(-100.0, 0.0),
-        colorscheme: str = "rainbow",
-        n_bins: int = 256,
+        colorscheme=0,
         tagmode: str = "none",
+        loginput: bool = False,
     ):
         if blockdecimation < 1:
             raise ValueError("blockdecimation must be >= 1")
         if tagmode not in self.TAGMODES:
             raise ValueError(f"tagmode must be one of {self.TAGMODES}")
         # the reference declares this enum but never renders it
-        # (grc/FDC_WaterfallMsgTagging.xml:96-116); here it feeds labels()
+        # (grc/FDC_WaterfallMsgTagging.xml:96-116); here it both feeds
+        # labels() and draws the text into the rendered image
         self.tagmode = tagmode
         self.blocklen = blocklen
         self.width = width
         self.height = height
         self.blockdecimation = blockdecimation
         self.db_lo, self.db_hi = float(db_range[0]), float(db_range[1])
-        self.cmap = _colormap(colorscheme, n_bins)
-        self.n_bins = n_bins
+        self.loginput = bool(loginput)
+        # exact reference colorscheme: 1024 colors, digitize bin edges,
+        # scheme frame color (python/WaterfallMsgTagging.py:276-312)
+        self.cmap, self.bins, self.frame = cr_colorscheme(
+            colorscheme, self.db_lo, self.db_hi, self.loginput
+        )
 
-        # dB rows, initialized at the color floor (empty history renders dark)
-        self._rows = np.full((height, width), self.db_lo, np.float32)
+        # raw value rows (linear power, or dB when loginput); empty history
+        # renders black like the reference's zero-initialized pixmap
+        floor = -np.inf if self.loginput else 0.0
+        self._rows = np.full((height, width), floor, np.float32)
         self._pending: List[np.ndarray] = []  # undecimated px rows
         self._nrows = 0  # total decimated rows produced (global row index)
         self._rects: List[_Rect] = []
@@ -136,11 +243,13 @@ class Waterfall:
             self._pending.append(self._rescale(p))
             self._block_index += 1
             if len(self._pending) >= self.blockdecimation:
+                # raw-domain mean over the decimation window, binned as-is
+                # at render (reference: python/WaterfallMsgTagging.py:163,
+                # 261-262 — digitize on the raw values, no log conversion)
                 row = np.mean(self._pending[: self.blockdecimation], axis=0)
                 self._pending = self._pending[self.blockdecimation:]
-                db = 10.0 * np.log10(np.maximum(row, 1e-30))
                 self._rows = np.roll(self._rows, -1, axis=0)
-                self._rows[-1] = db
+                self._rows[-1] = row
                 self._nrows += 1
 
     def feed_events(self, events: Sequence[ChannelEvent]):
@@ -187,14 +296,18 @@ class Waterfall:
     # -- rendering -------------------------------------------------------------
 
     def render(self, overlay: bool = True) -> np.ndarray:
-        """[height, width, 3] uint8 image, newest row at the bottom."""
-        span = self.db_hi - self.db_lo
-        idx = (self._rows - self.db_lo) / span * (self.n_bins - 1)
-        idx = np.clip(idx.astype(np.int32), 0, self.n_bins - 1)
+        """[height, width, 3] uint8 image, newest row at the bottom.
+
+        Color mapping is the reference's digitize binning
+        (python/WaterfallMsgTagging.py:261-262); overlay rectangles use the
+        scheme's frame color (:306-311) and, when tagmode is not 'none',
+        the event label is stamped next to each rectangle's top-left
+        corner."""
+        idx = np.digitize(self._rows, self.bins, False)
         img = self.cmap[idx]
         if overlay:
             img = img.copy()
-            white = np.array([255, 255, 255], np.uint8)
+            frame = self.frame
             base = self._nrows - self.height  # global row of img row 0
             for r in self._rects:
                 top = r.row_start - base
@@ -203,10 +316,12 @@ class Waterfall:
                     continue
                 t = int(np.clip(top, 0, self.height - 1))
                 b = int(np.clip(bot, 0, self.height - 1))
-                img[t, r.col_left: r.col_right + 1] = white
-                img[b, r.col_left: r.col_right + 1] = white
-                img[t: b + 1, r.col_left] = white
-                img[t: b + 1, r.col_right] = white
+                img[t, r.col_left: r.col_right + 1] = frame
+                img[b, r.col_left: r.col_right + 1] = frame
+                img[t: b + 1, r.col_left] = frame
+                img[t: b + 1, r.col_right] = frame
+                if self.tagmode != "none":
+                    _draw_text(img, t + 2, r.col_right + 3, r.ID, frame)
         return img
 
     def save_png(self, path: str, overlay: bool = True) -> bool:

@@ -370,7 +370,7 @@ def golden_segment_detection(
 
     hist = np.zeros(N, complex)
     for X in spectra:
-        # measure_power
+        # measure_power (reference: lib/SegmentDetection_impl.cc:178-193)
         seg = np.abs(X[d_start:d_start + ncells * dec]) ** 2
         power = seg.reshape(ncells, dec).sum(axis=1)
         # get_active_channels
@@ -428,6 +428,178 @@ def golden_segment_detection(
                     if ntx > 0:
                         emit(c, False, ntx)
         channels = [c for c in channels if c["inactive"] <= delay]
+        hist = X
+        blockcount[0] += 1
+    return events
+
+
+# ---------------------------------------------------------------------------
+# activity_detection_channelizer_vcm
+# (reference: lib/activity_detection_channelizer_vcm_impl.cc)
+# ---------------------------------------------------------------------------
+
+
+def golden_vcm_geometry(N, seg_start, seg_stop, minchandist):
+    """Segment geometry with the vcm derivation rules (reference:
+    lib/activity_detection_channelizer_vcm_impl.cc:230-279): rounding
+    instead of truncation, while-loop width clamp, shared decimation."""
+    dec_f = N * minchandist / 2.0
+    dec = 1 if dec_f < 2.0 else int(dec_f)
+    mid = int(abs(round((seg_stop + seg_start) * 0.5 * N)))
+    width = int(abs(round((seg_stop - seg_start) * N)))
+    if width % dec:
+        width += dec - width % dec
+    while width >= N:
+        width = N - N % dec
+    start = 0 if mid - width // 2 <= 0 else mid - width // 2
+    stop = start + width
+    if stop > N:
+        stop = N
+        start = N - width
+    return start, stop, width, dec
+
+
+def golden_activity_detection_vcm(
+    spectra, N, R, segments, thresh_db, minchandist, puffer, maxblocks, delay,
+):
+    """Sequential replay of activity_detection_channelizer_vcm::work over
+    [B, N] spectra for several segments at once. vcm deltas vs
+    SegmentDetection, each cited:
+
+    - cell power normalized by 1/decimation
+      (lib/activity_detection_channelizer_vcm_impl.cc:630-650),
+    - zero DENOMINATOR replaced by FLT_MIN before dividing, so 0/0 gives
+      ratio 0 == a falling edge (:701-709),
+    - blockcount starts at 1 (:188) and increments after each block (:568),
+    - maxblocks partial emission INLINE per channel in the single unified
+      extract walk, not a post-loop sweep (:305-321).
+
+    Returns event dicts with the same keys as golden_segment_detection.
+    """
+    thresh = 10.0 ** (thresh_db / 10.0)
+    inv = 1.0 / thresh
+
+    segs = []
+    for sid, (a, b) in enumerate(segments):
+        start, stop, width, dec = golden_vcm_geometry(N, a, b, minchandist)
+        segs.append(dict(ID=sid, start=start, stop=stop, width=width,
+                         dec=dec, channels=[], counter=0))
+
+    events = []
+    blockcount = [1]  # reference: :188
+
+    def activate(seg, ds, de):
+        detw = de - ds
+        ew = nextpow2(int(np.ceil(detw * (1.0 + 2.0 * puffer))))
+        if ew > N:
+            return False
+        mid = ds + detw // 2
+        es = mid - ew // 2
+        ee = mid + ew // 2
+        if es < 0:
+            es = 0
+            ee = ew
+        if ee > N:
+            ee = N
+            es = N - ew
+        c = dict(ID=seg["counter"], seg=seg["ID"], det_start=ds, det_stop=de,
+                 es=es, ee=ee, ew=ew, ovl=ew // R, count=0, phase=0,
+                 dphase=es % R, inactive=-1, part=0, data=[])
+        seg["counter"] += 1
+        seg["channels"].append(c)
+        return True
+
+    def proc(X, c):
+        w = golden_flank_window(c["ew"], puffer, 2 * np.pi * c["phase"] / R)
+        x = X[c["es"]:c["ee"]] * w
+        xs = np.concatenate([x[c["ew"] // 2:], x[:c["ew"] // 2]])
+        y = np.fft.ifft(xs) * c["ew"]
+        c["data"].append(y[c["ovl"]:])
+        c["count"] += 1
+        c["phase"] = (c["phase"] + c["dphase"]) % R
+
+    def emit(c, fin, ntx):
+        chunk = c["data"][:ntx]
+        c["data"] = c["data"][ntx:]
+        data = np.concatenate(chunk) if chunk else np.zeros(0, complex)
+        part = c["part"] if (not fin or c["part"] > 0) else None
+        events.append(dict(
+            finalized=fin, part=part, chan_id=c["ID"], seg_id=c["seg"],
+            rel_bw=c["ew"] / N,
+            rel_cfreq=(c["es"] + c["ee"]) / 2.0 / N,
+            blockstart=blockcount[0] - c["count"],
+            blockend=blockcount[0],
+            vectorstart=c["es"], vectorend=c["ee"],
+            data=data,
+        ))
+        if not fin:
+            c["part"] += 1
+
+    hist = np.zeros(N, complex)
+    for X in spectra:
+        # -- detect in every segment (single-thread order) ------------------
+        for seg in segs:
+            start, dec = seg["start"], seg["dec"]
+            ncells = seg["width"] // dec
+            p = np.abs(X[start:start + ncells * dec]).astype(np.float32) ** 2
+            power = (p.reshape(ncells, dec).sum(axis=1)
+                     * np.float32(1.0 / dec))  # vcm 1/dec normalization
+            # FLT_MIN zero-denominator (reference: :701-709)
+            prev = power[:-1].astype(np.float64)
+            cur = power[1:].astype(np.float64)
+            ratio = np.where(prev == 0.0, cur / float(FLT_MIN), cur / prev)
+            riseedge = sorted(
+                [(float(ratio[i]), i * dec + start)
+                 for i in range(ncells - 1) if ratio[i] > thresh],
+                key=lambda q: -q[0],
+            )
+            falledge = [(i + 1) * dec + start
+                        for i in range(ncells - 1) if ratio[i] < inv]
+            poss = []
+            for _, s in riseedge:
+                nxt = next((f for f in falledge if f > s), None)
+                if nxt is None:
+                    continue
+                if any(s < pe and nxt >= ps for ps, pe in poss):
+                    continue
+                poss.append((s, nxt))
+            if not poss:
+                for c in seg["channels"]:
+                    c["inactive"] += 1
+            else:
+                for c in seg["channels"]:
+                    matched = False
+                    remaining = []
+                    for (ps, pe) in poss:
+                        if ps < c["det_stop"] and pe >= c["det_start"]:
+                            matched = True
+                        else:
+                            remaining.append((ps, pe))
+                    poss = remaining
+                    if matched:
+                        c["inactive"] = 0
+                    else:
+                        c["inactive"] += 1
+                for (ps, pe) in poss:
+                    activate(seg, ps, pe)
+        # -- extract: unified walk, inline partial emission (:305-321) ------
+        for seg in segs:
+            for c in seg["channels"]:
+                if c["inactive"] < 0:
+                    proc(hist, c)
+                    proc(X, c)
+                    c["inactive"] = 0
+                elif c["inactive"] > delay:
+                    emit(c, True, len(c["data"]))
+                else:
+                    proc(X, c)
+                if maxblocks >= 0 and len(c["data"]) >= maxblocks:
+                    ntx = len(c["data"]) if maxblocks == 0 else maxblocks
+                    if ntx > 0:
+                        emit(c, False, ntx)
+            seg["channels"] = [
+                c for c in seg["channels"] if c["inactive"] <= delay
+            ]
         hist = X
         blockcount[0] += 1
     return events

@@ -44,7 +44,7 @@ def test_feed_and_decimate():
     wf.feed_power(np.full((5, 64), 1.0))  # 5 blocks -> 2 rows, 1 pending
     assert wf._nrows == 2
     assert len(wf._pending) == 1
-    # constant power 1.0 -> 0 dB -> top color bin with db_range (-100, 0)
+    # constant power 1.0 == 0 dB == the top digitize bin with (-100, 0)
     img = wf.render(overlay=False)
     assert img.shape == (4, 64, 3)
     np.testing.assert_array_equal(img[-1], np.broadcast_to(wf.cmap[-1], (64, 3)))
@@ -75,13 +75,59 @@ def test_scrolling_drops_old_rects():
     assert len(wf._rects) == 0
 
 
-@pytest.mark.parametrize("scheme", COLOR_SCHEMES)
+@pytest.mark.parametrize("scheme", list(COLOR_SCHEMES) + [0, 1, 2, 3])
 def test_colorschemes(scheme):
     wf = Waterfall(blocklen=8, width=8, height=2, colorscheme=scheme)
-    assert wf.cmap.shape == (256, 3)
+    assert wf.cmap.shape == (1024, 3)  # reference N=1024
     assert wf.cmap.dtype == np.uint8
-    # red channel grows dark -> bright in every scheme
-    assert int(wf.cmap[-1][0]) > int(wf.cmap[0][0])
+    # every scheme starts black and ends at its brightest color
+    assert int(wf.cmap[0].sum()) == 0
+    assert int(wf.cmap[-1].sum()) > 500
+
+
+def test_colorscheme_exact_reference_values():
+    """Pin the four ramps + frame colors to the reference construction
+    (python/WaterfallMsgTagging.py:276-312)."""
+    from fdc_tpu.utils.waterfall import cr_colorscheme
+
+    # 0 Black-Blue-Cyan-White: R==0 ramp into cyan then white
+    cols, bins, frame = cr_colorscheme(0, -100.0, 0.0, loginput=False)
+    np.testing.assert_array_equal(cols[511], [0, 0, 255])   # pure blue->cyan edge
+    np.testing.assert_array_equal(cols[-1], [0, 255, 255])  # cyan at top
+    np.testing.assert_array_equal(frame, [255, 255, 255])
+    assert len(bins) == 1023
+    assert bins[-1] == pytest.approx(1.0)  # 0 dB -> linear (loginput False)
+
+    # 1 Black-Rainbow: violet knee at the quarter boundary, red at top
+    cols, _, frame = cr_colorscheme(1, -100.0, 0.0, False)
+    np.testing.assert_array_equal(cols[255], [75, 0, 130])
+    np.testing.assert_array_equal(cols[-1], [255, 255, 0])
+    np.testing.assert_array_equal(frame, [255, 255, 255])
+
+    # 2 Black-Red-Yellow
+    cols, _, _ = cr_colorscheme(2, -100.0, 0.0, False)
+    np.testing.assert_array_equal(cols[511], [255, 0, 0])
+    np.testing.assert_array_equal(cols[-1], [255, 255, 0])
+
+    # 3 Black-White: gray ramp with the GREEN frame
+    cols, bins, frame = cr_colorscheme(3, -100.0, 0.0, True)
+    np.testing.assert_array_equal(cols[-1], [255, 255, 255])
+    assert cols[500][0] == cols[500][1] == cols[500][2]
+    np.testing.assert_array_equal(frame, [0, 255, 0])
+    assert bins[-1] == pytest.approx(0.0)  # loginput True: edges stay in dB
+
+
+def test_tagmode_draws_label_into_image():
+    wf = Waterfall(blocklen=64, width=64, height=32, tagmode="id")
+    wf.feed_power(np.full((32, 64), 1e-9))
+    wf.feed_events([make_event(4, 12, cfreq=0.3, bw=0.2)])
+    img = wf.render()
+    base = wf.render(overlay=False)
+    right = wf._rects[0].col_right
+    # glyph pixels appear in the frame color right of the rectangle
+    region = img[4:14, right + 1:]
+    assert np.any(np.all(region == wf.frame, axis=-1))
+    assert not np.array_equal(img, base)
 
 
 def test_png_export(tmp_path):
