@@ -43,6 +43,7 @@ __all__ = [
     "ActivityDetectionChannelizer",
     "StreamDriver",
     "Waterfall",
+    "LiveWaterfall",
     "ChannelEvent",
     "make_mesh",
     "nextpow2",
@@ -58,6 +59,7 @@ _LAZY = {
                                      "ActivityDetectionChannelizer"),
     "StreamDriver": ("fdc_tpu.runtime.stream", "StreamDriver"),
     "Waterfall": ("fdc_tpu.utils.waterfall", "Waterfall"),
+    "LiveWaterfall": ("fdc_tpu.utils.waterfall", "LiveWaterfall"),
     "ChannelEvent": ("fdc_tpu.utils.events", "ChannelEvent"),
     "make_mesh": ("fdc_tpu.parallel.mesh", "make_mesh"),
 }

@@ -84,14 +84,16 @@ class FrequencyDomainChannelizer:
         tp_chans = cfg.fdc_throughput_channels()
         if tp_chans:
             self.throughput = ThroughputChannelizer(
-                cfg.blocksize, cfg.relinvovl, tp_chans, cfg.windowtype
+                cfg.blocksize, cfg.relinvovl, tp_chans, cfg.windowtype,
+                use_mxu=cfg.use_mxu_fft,
             )
 
         self.power_bank: Optional[PowerActivationBank] = None
         pa_chans = cfg.fdc_activity_controlled_channels()
         if pa_chans:
             self.power_bank = PowerActivationBank(
-                cfg.blocksize, cfg.relinvovl, pa_chans, cfg.act_contr_threshold
+                cfg.blocksize, cfg.relinvovl, pa_chans,
+                cfg.act_contr_threshold, use_mxu=cfg.use_mxu_fft,
             )
 
         self.segments: List[SegmentDetector] = []
@@ -113,6 +115,7 @@ class FrequencyDomainChannelizer:
                     cfg.max_candidates,
                     cfg.max_extract_width,
                     extract_budget=cfg.extract_budget,
+                    use_mxu=cfg.use_mxu_fft,
                 )
             )
 
@@ -275,7 +278,8 @@ class FrequencyDomainChannelizer:
         fused_pa_ext = {}
         for w, (starts, wins, n_tp, tb, pb) in self._fused_widths.items():
             y = extract_bucket(
-                spec_ext, jnp.asarray(starts), jnp.asarray(wins)
+                spec_ext, jnp.asarray(starts), jnp.asarray(wins),
+                use_mxu=cfg.use_mxu_fft,
             )  # [C_tp + C_pa, B+1, w]
             fused_mats[w] = self.throughput.finish_bucket(tb, y[:n_tp, 1:], t0)
             fused_pa_ext[w] = y[n_tp:, :, w - pb.out_len:]
@@ -291,6 +295,7 @@ class FrequencyDomainChannelizer:
                 y = extract_bucket(
                     spec, jnp.asarray(bucket.starts),
                     jnp.asarray(bucket.windows), gain=float(bucket.width),
+                    use_mxu=cfg.use_mxu_fft,
                 )
                 mats.append(c2f(self.throughput.finish_bucket(bucket, y, t0)))
             out["throughput_buckets"] = mats
@@ -312,7 +317,7 @@ class FrequencyDomainChannelizer:
                     continue
                 y = extract_bucket(
                     spec_ext, jnp.asarray(bucket.starts),
-                    jnp.asarray(bucket.windows),
+                    jnp.asarray(bucket.windows), use_mxu=cfg.use_mxu_fft,
                 )
                 pa_ext[bucket.width] = y[..., bucket.width - bucket.out_len:]
             out["powact"] = {

@@ -59,12 +59,14 @@ class PowerActivationBank:
         channels,  # [(cfreq, bw)] in FDC [0,1) coordinates
         thresh_db: float,
         lifecycle_backend: str = "auto",
+        use_mxu: bool = False,
     ):
         if thresh_db <= 0.0:
             raise ValueError("Threshold is dB and must be > 0")
         if lifecycle_backend not in ("auto", "scan", "pallas", "pallas_interpret"):
             raise ValueError(f"unknown lifecycle_backend {lifecycle_backend!r}")
         self.lifecycle_backend = lifecycle_backend
+        self.use_mxu = bool(use_mxu)  # matmul-DFT subband transforms
         self.blocksize = blocksize
         self.relinvovl = relinvovl
         # linear threshold (reference: lib/PowerActivationChannel_impl.cc:377-381)
@@ -212,7 +214,8 @@ class PowerActivationBank:
             else:
                 starts = jnp.asarray(bucket.starts)
                 windows = jnp.asarray(bucket.windows)
-            y = extract_bucket(spec_ext, starts, windows)
+            y = extract_bucket(spec_ext, starts, windows,
+                               use_mxu=self.use_mxu)
             # [C_w, rows, width], phase-0, unnormalized-IFFT scale
             extract[bucket.width] = y[..., bucket.width - bucket.out_len :]
         return extract

@@ -65,6 +65,7 @@ class SegmentDetector:
         lifecycle_backend: str = "auto",
         extract_budget: int = 0,
         vcm: bool = False,
+        use_mxu: bool = False,
     ):
         if thresh_db < 0.0:
             raise ValueError("Threshold is dB and must be >= 0")
@@ -102,6 +103,7 @@ class SegmentDetector:
         # (reference: lib/activity_detection_channelizer_vcm_impl.cc:630-650,
         # 701-705); False = SegmentDetection semantics.
         self.vcm = bool(vcm)
+        self.use_mxu = bool(use_mxu)  # matmul-DFT subband transforms
 
         self.geometry: SegmentGeometry = geometry or solve_segment(
             blocksize, seg_start, seg_stop, minchandist
@@ -423,7 +425,8 @@ class SegmentDetector:
             preferred_element_type=jnp.float32,
         )
         return extract_dynamic(
-            spec_ext, ext_start, wlog2, windows_pad, self.w_cap
+            spec_ext, ext_start, wlog2, windows_pad, self.w_cap,
+            use_mxu=self.use_mxu,
         )
 
     def step(self, spec_ext: jax.Array, state):

@@ -45,9 +45,11 @@ class ThroughputChannelizer:
         relinvovl: int,
         channels,  # [(freq, bw)] in FDC [0,1) coordinates
         windowtype: WindowType = WindowType.RECTANGULAR,
+        use_mxu: bool = False,
     ):
         self.blocksize = blocksize
         self.relinvovl = relinvovl
+        self.use_mxu = bool(use_mxu)  # matmul-DFT subband transforms
         self.geometry = [
             solve_throughput_channel(blocksize, relinvovl, f, bw)
             for f, bw in channels
@@ -103,6 +105,7 @@ class ThroughputChannelizer:
                 jnp.asarray(bucket.starts),
                 jnp.asarray(bucket.windows),
                 gain=float(bucket.width),  # trailing multiply_const == l
+                use_mxu=self.use_mxu,
             )  # [C, B, l]
             mat = self.finish_bucket(bucket, y, block_index0)
             for row, chan in enumerate(bucket.channel_ids):

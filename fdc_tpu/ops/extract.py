@@ -26,7 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fdc_tpu.ops.fft import interp_subband_ifft, subband_ifft
+from fdc_tpu.ops.fft import (
+    interp_subband_ifft,
+    interp_subband_ifft_mxu,
+    subband_ifft,
+    subband_ifft_mxu,
+)
 
 __all__ = [
     "phase_table",
@@ -77,6 +82,7 @@ def extract_bucket(
     starts: jax.Array,
     base_windows: jax.Array,
     gain: float = 1.0,
+    use_mxu: bool = False,
 ) -> jax.Array:
     """Extract a bucket of equal-width channels from a batch of spectra.
 
@@ -86,6 +92,8 @@ def extract_bucket(
       base_windows: [C, l] window amplitudes (phase-0 copies).
       gain: scalar gain (the reference's trailing multiply_const,
         reference: python/FrequencyDomainChannelizer.py:231).
+      use_mxu: run the subband inverse transform as a matmul-DFT on the
+        MXU instead of the VPU FFT (the ``use_mxu_fft`` config knob).
 
     Returns [C, B, l] phase-0 full-rate subband blocks INCLUDING the leading
     l//R time-domain overlap samples. Callers drop the overlap and apply
@@ -93,7 +101,8 @@ def extract_bucket(
     """
     l = base_windows.shape[-1]
     slices = gather_slices(spectrum, starts, l)  # [C, B, l]
-    y = subband_ifft(slices * base_windows[:, None, :].astype(slices.dtype))
+    z = slices * base_windows[:, None, :].astype(slices.dtype)
+    y = subband_ifft_mxu(z) if use_mxu else subband_ifft(z)
     if gain != 1.0:
         y = y * jnp.asarray(gain, dtype=y.dtype)
     return y
@@ -105,6 +114,7 @@ def extract_dynamic(
     width_log2: jax.Array,
     windows_pad: jax.Array,
     w_max: int,
+    use_mxu: bool = False,
 ) -> jax.Array:
     """Extract variable-width channels (dynamic slot table) at one static shape.
 
@@ -131,4 +141,6 @@ def extract_dynamic(
     spectrum = jnp.pad(spectrum, ((0, 0), (0, w_max)))
     slices = gather_slices(spectrum, starts, w_max)  # [S, B, w_max]
     z = slices * windows_pad[:, None, :].astype(slices.dtype)
+    if use_mxu:
+        return interp_subband_ifft_mxu(z, w_max)
     return interp_subband_ifft(z, w_max)

@@ -30,6 +30,8 @@ __all__ = [
     "subband_ifft",
     "comb_subband_ifft",
     "interp_subband_ifft",
+    "subband_ifft_mxu",
+    "interp_subband_ifft_mxu",
 ]
 
 
@@ -93,6 +95,60 @@ def comb_subband_ifft(z_pad: jax.Array, width_log2: jax.Array, w_max: int) -> ja
     comb = jnp.where(on_comb, jnp.take_along_axis(z_pad, src, axis=-1), 0.0)
     y = jnp.fft.ifft(comb, axis=-1)
     return y * (_alternating_signs(w_max) * w_max).astype(y.dtype)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_matrices(l: int, signs: bool):
+    """(E_re, E_im) [l, l] float32 with E[k, m] = e^{2πi k m / l}
+    (times (-1)^m when ``signs``) — the unnormalized-IFFT DFT matrix used
+    by the MXU matmul path."""
+    k = np.arange(l)[:, None].astype(np.float64)
+    m = np.arange(l)[None, :].astype(np.float64)
+    ang = 2.0 * np.pi * (k * m % l) / l
+    e_re = np.cos(ang)
+    e_im = np.sin(ang)
+    if signs:
+        s = np.where(np.arange(l) % 2 == 0, 1.0, -1.0)[None, :]
+        e_re = e_re * s
+        e_im = e_im * s
+    return e_re.astype(np.float32), e_im.astype(np.float32)
+
+
+def _complex_matmul_dft(z: jax.Array, l: int, signs: bool) -> jax.Array:
+    """y[..., m] = sum_k z[..., k] * E[k, m] as four real MXU matmuls.
+
+    precision=HIGHEST keeps f32 accuracy on the MXU (default precision
+    would round the DFT matrix through bf16)."""
+    e_re, e_im = _dft_matrices(l, signs)
+    er = jnp.asarray(e_re)
+    ei = jnp.asarray(e_im)
+    zr = jnp.real(z)
+    zi = jnp.imag(z)
+    dot = functools.partial(
+        jnp.matmul, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    y_re = dot(zr, er) - dot(zi, ei)
+    y_im = dot(zr, ei) + dot(zi, er)
+    return jax.lax.complex(y_re, y_im)
+
+
+def subband_ifft_mxu(z: jax.Array) -> jax.Array:
+    """MXU matmul-DFT variant of :func:`subband_ifft` (same contract):
+    the w<=512 subband inverse transforms are matmuls against a constant
+    [l, l] DFT matrix — moving them from the VPU FFT custom-call onto the
+    systolic array (the ``use_mxu_fft`` config knob)."""
+    return _complex_matmul_dft(z, z.shape[-1], signs=True)
+
+
+def interp_subband_ifft_mxu(z_pad: jax.Array, w_max: int) -> jax.Array:
+    """MXU matmul-DFT variant of :func:`interp_subband_ifft`
+    (same contract)."""
+    del w_max  # fixed by the last axis, kept for API symmetry
+    return _complex_matmul_dft(z_pad, z_pad.shape[-1], signs=False)
 
 
 def interp_subband_ifft(z_pad: jax.Array, w_max: int) -> jax.Array:

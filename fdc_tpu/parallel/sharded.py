@@ -207,7 +207,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 self._tp_unfused, tp_tables
             ):
                 l = bucket.width
-                y = extract_bucket(spec, starts, wins, gain=float(l))
+                y = extract_bucket(spec, starts, wins, gain=float(l),
+                                   use_mxu=cfg.use_mxu_fft)
                 phase_idx = (t[None, :] * starts[:, None]) % cfg.relinvovl
                 y = apply_phase(y, phase_idx, cfg.relinvovl)
                 y = y[..., l - bucket.out_len:]  # [C_loc, b_local, out_len]
@@ -223,7 +224,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             for (w, tb, pb, n_tp, n_pa, *_), (starts, wins, psel) in zip(
                 self._sh_fused, fused_tables
             ):
-                y = extract_bucket(spec_ext, starts, wins)  # [C_loc, b+1, w]
+                y = extract_bucket(spec_ext, starts, wins,
+                                   use_mxu=cfg.use_mxu_fft)  # [C_loc, b+1, w]
                 phase_idx = (
                     t_rows[None, :] * psel[:, None]
                 ) % cfg.relinvovl
@@ -251,7 +253,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             for (bucket, _, _), (s, wmat) in zip(
                 self._pa_unfused, pa_tables
             ):
-                y = extract_bucket(spec_ext, s, wmat)
+                y = extract_bucket(spec_ext, s, wmat,
+                                   use_mxu=cfg.use_mxu_fft)
                 ext[bucket.width] = y[..., bucket.width - bucket.out_len:]
             out["powact"] = {
                 "rise": rise,

@@ -7,7 +7,7 @@ from fdc_tpu.utils.events import (
     make_event_id,
 )
 from fdc_tpu.utils.logging import make_logger
-from fdc_tpu.utils.waterfall import Waterfall
+from fdc_tpu.utils.waterfall import LiveWaterfall, Waterfall
 
 __all__ = [
     "ChannelEvent",
@@ -16,4 +16,5 @@ __all__ = [
     "make_event_id",
     "make_logger",
     "Waterfall",
+    "LiveWaterfall",
 ]

@@ -29,7 +29,7 @@ import numpy as np
 
 from fdc_tpu.utils.events import ChannelEvent
 
-__all__ = ["Waterfall", "COLOR_SCHEMES", "cr_colorscheme"]
+__all__ = ["Waterfall", "LiveWaterfall", "COLOR_SCHEMES", "cr_colorscheme"]
 
 # the reference's four schemes by index (python/WaterfallMsgTagging.py:277-281)
 COLOR_SCHEMES = (
@@ -324,6 +324,28 @@ class Waterfall:
                     _draw_text(img, t + 2, r.col_right + 3, r.ID, frame)
         return img
 
+    def to_ansi(self, rows: int = 24, cols: int = 80,
+                overlay: bool = True) -> str:
+        """Terminal rendering: the image downsampled to a ``rows`` x
+        ``cols`` character grid of 24-bit background-color cells — the
+        zero-dependency stand-in for the reference's live Qt view
+        (reference: python/WaterfallMsgTagging.py:69-83 timer-driven
+        repaint)."""
+        img = self.render(overlay)
+        h, w = img.shape[:2]
+        ys = (np.arange(rows) * h) // rows
+        xs = (np.arange(cols) * w) // cols
+        small = img[ys][:, xs]
+        lines = []
+        for r in range(rows):
+            parts = []
+            for c in range(cols):
+                rr, gg, bb = (int(v) for v in small[r, c])
+                parts.append(f"\x1b[48;2;{rr};{gg};{bb}m ")
+            parts.append("\x1b[0m")
+            lines.append("".join(parts))
+        return "\n".join(lines)
+
     def save_png(self, path: str, overlay: bool = True) -> bool:
         """Write the current image as PNG (matplotlib backend; returns False
         if matplotlib is unavailable — rendering stays accessible via
@@ -339,3 +361,69 @@ class Waterfall:
             return True
         except Exception:
             return False
+
+
+class LiveWaterfall:
+    """Timer-paced live follower over a :class:`Waterfall`.
+
+    The reference repaints its Qt widget from a 200 ms QTimer with a
+    min_redraw_time throttle (reference: python/WaterfallMsgTagging.py:69-83,
+    22-28); this headless equivalent re-emits the current frame — to a PNG
+    path, an ANSI terminal stream, or a callback — at most once per
+    ``interval`` seconds, driven by the host loop calling :meth:`update`
+    after each processed batch.
+
+    Args:
+      waterfall: the Waterfall accumulator to follow.
+      interval: minimum seconds between redraws (reference default 0.2).
+      png_path: if set, each redraw overwrites this PNG (atomic via rename).
+      stream: if set (e.g. sys.stdout), each redraw writes an ANSI frame.
+      on_frame: optional callback(img_uint8) per redraw (GUI embedders).
+    """
+
+    def __init__(self, waterfall: Waterfall, interval: float = 0.2,
+                 png_path: str = None, stream=None, on_frame=None,
+                 ansi_rows: int = 24, ansi_cols: int = 80):
+        self.wf = waterfall
+        self.interval = float(interval)
+        self.png_path = png_path
+        self.stream = stream
+        self.on_frame = on_frame
+        self.ansi_rows = ansi_rows
+        self.ansi_cols = ansi_cols
+        self._last = 0.0
+        self.frames = 0
+
+    def update(self, power_blocks=None, events=None, force: bool = False,
+               now: float = None) -> bool:
+        """Feed new data (optional) and redraw if the interval elapsed.
+
+        Returns True if a frame was emitted. ``now`` injects a clock for
+        testing."""
+        import time as _time
+
+        if power_blocks is not None:
+            self.wf.feed_power(power_blocks)
+        if events:
+            self.wf.feed_events(events)
+        t = _time.monotonic() if now is None else now
+        if not force and (t - self._last) < self.interval:
+            return False
+        self._last = t
+        if self.png_path is not None:
+            import os as _os
+
+            tmp = str(self.png_path) + ".tmp.png"
+            if self.wf.save_png(tmp):
+                _os.replace(tmp, self.png_path)
+        if self.stream is not None:
+            self.stream.write(
+                "\x1b[H" + self.wf.to_ansi(self.ansi_rows, self.ansi_cols)
+                + "\n"
+            )
+            if hasattr(self.stream, "flush"):
+                self.stream.flush()
+        if self.on_frame is not None:
+            self.on_frame(self.wf.render())
+        self.frames += 1
+        return True

@@ -130,6 +130,44 @@ def test_tagmode_draws_label_into_image():
     assert not np.array_equal(img, base)
 
 
+def test_ansi_rendering():
+    wf = Waterfall(blocklen=64, width=64, height=16)
+    wf.feed_power(np.full((16, 64), 1.0))
+    s = wf.to_ansi(rows=6, cols=10)
+    lines = s.split("\n")
+    assert len(lines) == 6
+    assert lines[0].count("\x1b[48;2;") == 10
+    assert lines[0].endswith("\x1b[0m")
+
+
+def test_live_waterfall_follower(tmp_path):
+    """Timer-paced follower: throttles to the interval, emits PNG + ANSI +
+    callback frames (the reference's QTimer/min_redraw_time loop,
+    python/WaterfallMsgTagging.py:69-83)."""
+    import io
+
+    from fdc_tpu.utils.waterfall import LiveWaterfall
+
+    wf = Waterfall(blocklen=32, width=32, height=8)
+    stream = io.StringIO()
+    frames = []
+    png = tmp_path / "live.png"
+    live = LiveWaterfall(wf, interval=0.2, png_path=str(png),
+                         stream=stream, on_frame=frames.append,
+                         ansi_rows=4, ansi_cols=8)
+    p = np.full((1, 32), 1.0)
+    assert live.update(p, now=10.0)        # first call draws
+    assert not live.update(p, now=10.1)    # throttled
+    assert live.update(p, now=10.25)       # interval elapsed
+    assert live.update(p, force=True, now=10.26)
+    assert live.frames == 3
+    assert len(frames) == 3
+    assert frames[0].shape == (8, 32, 3)
+    assert "\x1b[48;2;" in stream.getvalue()
+    if png.exists():
+        assert png.stat().st_size > 0
+
+
 def test_png_export(tmp_path):
     wf = Waterfall(blocklen=32, width=32, height=4)
     wf.feed_power(np.random.default_rng(0).random((4, 32)))
