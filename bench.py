@@ -84,13 +84,17 @@ def main():
     dt_full = time_scanned(step_full, carry0, xf, k=args.steps, repeats=5)
 
     # -- roofline: framing + FFT + every consumer's windowing/IFFT ----------
+    # detection slots at the CONFIGURED extraction budget (the pipeline
+    # ships extract_budget compacted rows per step — the roofline mirrors
+    # the same configured extraction work)
+    n_rows = sd.extract_budget
     st_starts = jnp.asarray(
-        np.linspace(100, cfg.blocksize - sd.w_cap - 4, sd.max_slots).astype(
+        np.linspace(100, cfg.blocksize - sd.w_cap - 4, n_rows).astype(
             np.int32
         )
     )
     st_wins = jnp.asarray(
-        np.tile(sd.window_table[sd.w_cap_log2], (sd.max_slots, 1))
+        np.tile(sd.window_table[sd.w_cap_log2], (n_rows, 1))
     )
 
     def step_roofline(carry, xf_in, t0):
@@ -118,7 +122,7 @@ def main():
         out.append(
             extract_dynamic(
                 spec_ext, st_starts,
-                jnp.full((sd.max_slots,), sd.w_cap_log2, jnp.int32),
+                jnp.full((n_rows,), sd.w_cap_log2, jnp.int32),
                 st_wins, sd.w_cap,
             )
         )

@@ -180,21 +180,23 @@ class SegmentDetector:
         k = self.max_candidates or (g.n_cells - 1)
         puffer = self.flank_puffer
 
-        # 1. candidates for ALL blocks at once (per-block independent; the
-        # top-k / edge pairing / overlap rejection is the expensive part of
-        # detection and vmaps cleanly — only the slot lifecycle below is
-        # sequential).
+        backend = self.lifecycle_backend
+        if backend == "auto":
+            backend = (
+                "scan" if jax.default_backend() == "cpu" else "pallas"
+            )
+        # 1. candidates for ALL blocks at once (per-block independent). The
+        # greedy acceptance is a lax.scan over K, but each iteration is
+        # VECTORIZED over all B blocks — measured cost ~0.02 ms/step at
+        # B=512. (Moving it inside the Pallas lifecycle kernel was tried
+        # and is a PESSIMIZATION: there it lands on the kernel's serial
+        # per-block chain, B*K sequential steps instead of K.)
         cand_s, cand_e, cand_v = jax.vmap(
             lambda p: detect_candidates(p, thresh, k, zero_floor=self.vcm)
         )(power)  # each [B, K], cell coords
         cand_s = cand_s * dec + d_start  # -> bin coords
         cand_e = cand_e * dec + d_start
 
-        backend = self.lifecycle_backend
-        if backend == "auto":
-            backend = (
-                "scan" if jax.default_backend() == "cpu" else "pallas"
-            )
         if backend in ("pallas", "pallas_interpret"):
             from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 __all__ = [
     "band_power",
     "cell_power",
+    "detect_edges",
     "detect_candidates",
     "match_candidates",
     "ceil_log2",
@@ -74,40 +75,24 @@ def ceil_log2(v: jax.Array, max_log2: int) -> jax.Array:
 _FLT_MIN = jnp.float32(1.1754944e-38)
 
 
-def detect_candidates(
+def detect_edges(
     power: jax.Array,
     thresh: float,
     max_candidates: int,
     zero_floor: bool = False,
 ):
-    """Edge-detect carrier candidates in one block's decimated power spectrum.
+    """Rising/falling edge pairing WITHOUT the greedy overlap rejection.
 
-    Mirrors get_active_channels (reference: lib/SegmentDetection_impl.cc:195-244):
-    adjacent-cell power ratios; rising edges (> thresh, recorded at the lower
-    cell index i), falling edges (< 1/thresh, recorded at cell i+1); rising
-    edges processed strongest-first, each paired with the nearest following
-    falling edge, rejected if overlapping an already accepted candidate
-    (overlap test: start < acc_end && end >= acc_start).
+    The strength-sorted candidate list (strongest rising edge first, each
+    paired with the nearest following falling edge) that the reference
+    builds before its sequential accept loop
+    (reference: lib/SegmentDetection_impl.cc:195-230). The greedy
+    acceptance is applied either by :func:`detect_candidates` (lax.scan
+    path) or inside the Pallas lifecycle kernel (static-unrolled — the
+    production path).
 
-    Args:
-      power: [n_cells] decimated power values of one block.
-      thresh: linear power-ratio threshold (> 1).
-      max_candidates: K, static number of rising edges considered,
-        strongest first. With K >= n_cells - 1 (callers pass this for
-        max_candidates=0 "exact" mode) every possible rising edge is
-        considered — identical to the reference's unbounded edge list;
-        smaller K bounds the work to the strongest-K subset.
-      zero_floor: the multi-segment vcm block replaces a zero-power
-        DENOMINATOR with FLT_MIN before dividing
-        (reference: lib/activity_detection_channelizer_vcm_impl.cc:701-705),
-        so 0/0 gives ratio 0 — a FALLING edge — where SegmentDetection's
-        plain division gives NaN (no edge). False = SegmentDetection
-        semantics.
-
-    Returns:
-      (cand_start, cand_end, cand_valid): [K] int32 cell coordinates
-      (start inclusive, end exclusive, in CELL units) and validity mask,
-      in acceptance (strength) order.
+    Returns (cand_s, cand_e, has_pair): [K] int32 cell coordinates in
+    strength order and the paired-validity mask.
     """
     n_cells = power.shape[0]
     n_r = n_cells - 1
@@ -156,6 +141,48 @@ def detect_candidates(
         cand_s = jnp.pad(cand_s, (0, pad))
         cand_e = jnp.pad(cand_e, (0, pad))
         has_pair = jnp.pad(has_pair, (0, pad))
+    return cand_s, cand_e, has_pair
+
+
+def detect_candidates(
+    power: jax.Array,
+    thresh: float,
+    max_candidates: int,
+    zero_floor: bool = False,
+):
+    """Edge-detect carrier candidates in one block's decimated power spectrum.
+
+    Mirrors get_active_channels (reference: lib/SegmentDetection_impl.cc:195-244):
+    adjacent-cell power ratios; rising edges (> thresh, recorded at the lower
+    cell index i), falling edges (< 1/thresh, recorded at cell i+1); rising
+    edges processed strongest-first, each paired with the nearest following
+    falling edge, rejected if overlapping an already accepted candidate
+    (overlap test: start < acc_end && end >= acc_start).
+
+    Args:
+      power: [n_cells] decimated power values of one block.
+      thresh: linear power-ratio threshold (> 1).
+      max_candidates: K, static number of rising edges considered,
+        strongest first. With K >= n_cells - 1 (callers pass this for
+        max_candidates=0 "exact" mode) every possible rising edge is
+        considered — identical to the reference's unbounded edge list;
+        smaller K bounds the work to the strongest-K subset.
+      zero_floor: the multi-segment vcm block replaces a zero-power
+        DENOMINATOR with FLT_MIN before dividing
+        (reference: lib/activity_detection_channelizer_vcm_impl.cc:701-705),
+        so 0/0 gives ratio 0 — a FALLING edge — where SegmentDetection's
+        plain division gives NaN (no edge). False = SegmentDetection
+        semantics.
+
+    Returns:
+      (cand_start, cand_end, cand_valid): [K] int32 cell coordinates
+      (start inclusive, end exclusive, in CELL units) and validity mask,
+      in acceptance (strength) order.
+    """
+    k = max_candidates
+    cand_s, cand_e, has_pair = detect_edges(
+        power, thresh, k, zero_floor=zero_floor
+    )
 
     # greedy overlap rejection in strength order, exact reference test
     def scan_body(carry, x):

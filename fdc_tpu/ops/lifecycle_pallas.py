@@ -9,11 +9,17 @@ all state resident in VMEM/registers, identical semantics to
 ``SegmentDetector.scan_slots``'s scan body (reference behavior:
 lib/SegmentDetection_impl.cc:195-344).
 
-Layout notes (TPU): slot state lives as [S, 1] columns, candidate rows as
-[1, K]; their broadcasts form the [S, K] match matrix directly. All
-"gather by index" steps are re-expressed as masked sums (each assignment
-matrix row/column has at most one hit), so the kernel needs no gathers,
-sorts, or transposes. Flags are written as [S, B] column stores.
+Layout notes (TPU): slot state lives as [1, S] ROWS (lane dimension) and
+candidates as [K, 1] columns; their broadcasts form the [K, S] match matrix
+directly, and per-block flags are written as direct [1, S] row stores into
+the [B, S] outputs. This orientation exists because Mosaic only allows
+dynamic indices on the SUBLANE dim: with [S, 1] column state (the first
+design), every flag write needed an [S, S] identity-matmul transpose — four
+MXU round-trips per block on the kernel's serial chain. Rotated, only the
+three candidate vectors need a [K, K] transpose-by-matmul per block
+(K <= S typically). All "gather by index" steps are masked sums (each
+assignment matrix row/column has at most one hit), so the kernel needs no
+gathers or sorts.
 """
 
 from __future__ import annotations
@@ -50,7 +56,7 @@ def _lifecycle_kernel(
     w_cap: int,
     w_cap_log2: int,
 ):
-    s_dim = active_ref.shape[0]
+    s_dim = active_ref.shape[1]  # state is [1, S] rows
 
     # Mosaic cannot legalize scf.for with vector loop-carries: all vector
     # state lives in the output refs (initialized below, mutated per block);
@@ -66,9 +72,35 @@ def _lifecycle_kernel(
     o_inactive[:] = inactive_ref[:]
     o_order[:] = order_ref[:]
 
+    k_dim = cand_s_ref.shape[1]
+    # candidate rows -> columns: [K, K] transpose-by-matmul (Mosaic only
+    # allows dynamic indices on the sublane dim, so the per-block candidate
+    # load is a [1, K] row; the match matrix needs [K, 1] columns). Values
+    # are small ints — exact in f32.
+    eye_k = (
+        jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 1)
+    ).astype(jnp.float32)
+    # prefix sums as triangular matmuls (Mosaic has no cumsum primitive)
+    tri_k = (
+        jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 1)
+        <= jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 0)
+    ).astype(jnp.float32)  # tri_k[a, b] = b <= a
+    tri_s = (
+        jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 1)
+    ).astype(jnp.float32)  # tri_s[a, b] = a <= b
+
+    def to_col(row_vec):  # [1, K] -> [K, 1]
+        return jax.lax.dot_general(
+            eye_k, row_vec.astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+
     def body(i, carry):
         alloc_counter, dropped = carry
-        active = o_active[:] != 0
+        active = o_active[:] != 0  # all state: [1, S] rows
         tomb = o_tomb[:] != 0
         det_start = o_det_start[:]
         det_stop = o_det_stop[:]
@@ -79,26 +111,26 @@ def _lifecycle_kernel(
         inactive = o_inactive[:]
         order = o_order[:]
 
-        cs = cand_s_ref[pl.ds(i, 1), :]  # [1, K] int32 (bin coords)
-        ce = cand_e_ref[pl.ds(i, 1), :]
-        c_v = cand_v_ref[pl.ds(i, 1), :] != 0  # [1, K] bool
+        cs = to_col(cand_s_ref[pl.ds(i, 1), :])  # [K, 1] int32 (bin coords)
+        ce = to_col(cand_e_ref[pl.ds(i, 1), :])
+        c_v = to_col(cand_v_ref[pl.ds(i, 1), :]) != 0  # [K, 1] bool
 
-        live = active & ~tomb  # [S, 1]
+        live = active & ~tomb  # [1, S]
 
         # -- matching (reference: lib/SegmentDetection_impl.cc:246-288) -----
-        m = live & c_v & (cs < det_stop) & (ce >= det_start)  # [S, K]
-        order_m = jnp.where(m, order, _BIG)  # [S, K]
-        min_order = jnp.min(order_m, axis=0, keepdims=True)  # [1, K]
-        consumed = jnp.any(m, axis=0, keepdims=True)  # [1, K]
+        m = live & c_v & (cs < det_stop) & (ce >= det_start)  # [K, S]
+        order_m = jnp.where(m, order, _BIG)  # [K, S]
+        min_order = jnp.min(order_m, axis=1, keepdims=True)  # [K, 1]
+        consumed = jnp.any(m, axis=1, keepdims=True)  # [K, 1]
         refreshed = jnp.any(
-            m & (order == min_order), axis=1, keepdims=True
-        )  # [S, 1]
+            m & (order == min_order), axis=0, keepdims=True
+        )  # [1, S]
         inactive = jnp.where(
             live, jnp.where(refreshed, 0, inactive + 1), inactive
         )
 
-        # -- new-channel geometry (reference: :290-344) ---------------------
-        new_mask = c_v & ~consumed  # [1, K]
+        # -- new-channel geometry (reference: :290-344), all [K, 1] ---------
+        new_mask = c_v & ~consumed
         det_w = ce - cs
         ext_w_raw = jnp.ceil(
             det_w.astype(jnp.float32) * (1.0 + 2.0 * puffer)
@@ -123,34 +155,24 @@ def _lifecycle_kernel(
 
         # -- allocation: free slots in index order x accepted candidates in
         # strength order; masked sums instead of gathers ---------------------
-        free = ~active & ~tomb  # [S, 1]
+        free = ~active & ~tomb  # [1, S]
         new_ok_i = new_ok.astype(jnp.int32)
-        # prefix sums as triangular matmuls (Mosaic has no cumsum primitive;
-        # counts are tiny so f32 accumulate is exact)
-        k_dim = cs.shape[1]
-        tri_k = (
-            jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 0)
-            <= jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 1)
-        ).astype(jnp.float32)
-        rank = jnp.dot(
-            new_ok.astype(jnp.float32), tri_k,
+        rank = jax.lax.dot_general(
+            tri_k, new_ok.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.int32) - 1  # [1, K]
-        tri_s = (
-            jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 1)
-            <= jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 0)
-        ).astype(jnp.float32)
+        ).astype(jnp.int32) - 1  # [K, 1]: accepted candidates before each
         free_rank = jnp.dot(
-            tri_s, free.astype(jnp.float32),
+            free.astype(jnp.float32), tri_s,
             preferred_element_type=jnp.float32,
-        ).astype(jnp.int32) - 1  # [S, 1]
-        assign = free & new_ok & (free_rank == rank)  # [S, K]
-        got = jnp.any(assign, axis=1, keepdims=True)  # [S, 1]
+        ).astype(jnp.int32) - 1  # [1, S]: free slots at or before each
+        assign = free & new_ok & (free_rank == rank)  # [K, S]
+        got = jnp.any(assign, axis=0, keepdims=True)  # [1, S]
         a_i = assign.astype(jnp.int32)
 
         def pick(arr_k, current):
-            # at most one hit per row -> masked sum == gathered value
-            v = jnp.sum(a_i * arr_k, axis=1, keepdims=True)
+            # at most one hit per column -> masked sum == gathered value
+            v = jnp.sum(a_i * arr_k, axis=0, keepdims=True)
             return jnp.where(got, v, current)
 
         n_free = jnp.sum(free.astype(jnp.int32))
@@ -170,7 +192,7 @@ def _lifecycle_kernel(
         phase_inc = pick(es % r, phase_inc)
         inactive = jnp.where(got, 0, inactive)
         order = jnp.where(
-            got, alloc_counter + jnp.sum(a_i * rank, axis=1, keepdims=True),
+            got, alloc_counter + jnp.sum(a_i * rank, axis=0, keepdims=True),
             order,
         )
         alloc_counter = alloc_counter + n_alloc
@@ -187,26 +209,12 @@ def _lifecycle_kernel(
             jnp.where(processed, (phase + phase_inc) % r, phase),
         )
 
-        # Flags are [B, S] row stores: Mosaic only allows dynamic indices on
-        # the sublane dim, so the [S, 1] columns are turned into [1, S] rows
-        # with an identity matmul (values are tiny ints — exact in f32).
-        eye_s = (
-            jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 0)
-            == jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 1)
-        ).astype(jnp.float32)
-
-        def to_row(col_vec):
-            return jax.lax.dot_general(
-                col_vec.astype(jnp.float32), eye_s,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-
+        # direct [1, S] row stores into the [B, S] flag outputs
         row = pl.ds(i, 1)
-        f_got[row, :] = to_row(got.astype(jnp.int32))
-        f_processed[row, :] = to_row(processed.astype(jnp.int32))
-        f_emit[row, :] = to_row(emit_now.astype(jnp.int32))
-        f_phase_used[row, :] = to_row(phase_used)
+        f_got[row, :] = got.astype(jnp.int32)
+        f_processed[row, :] = processed.astype(jnp.int32)
+        f_emit[row, :] = emit_now.astype(jnp.int32)
+        f_phase_used[row, :] = phase_used
 
         o_active[:] = active.astype(jnp.int32)
         o_tomb[:] = tomb.astype(jnp.int32)
@@ -230,7 +238,7 @@ def _lifecycle_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n", "r", "delay", "puffer", "w_cap", "w_cap_log2", "interpret"
+        "n", "r", "delay", "puffer", "w_cap", "w_cap_log2", "interpret",
     ),
 )
 def slot_lifecycle(
@@ -238,6 +246,12 @@ def slot_lifecycle(
     *, n, r, delay, puffer, w_cap, w_cap_log2, interpret=False,
 ):
     """Run the slot lifecycle over a batch of candidate sets.
+
+    NOTE: candidates arrive PRE-ACCEPTED (detect_candidates). Running the
+    greedy overlap rejection inside this kernel was tried and measured
+    SLOWER (+0.5 ms/step at B=512, K=8): outside, the K-step accept scan is
+    vectorized over all B blocks (serial length K); in here it lands on the
+    kernel's per-block serial chain (B*K sequential steps).
 
     Args:
       cand_s/cand_e: [B, K] int32 candidate bins; cand_v: [B, K] bool.
@@ -251,21 +265,21 @@ def slot_lifecycle(
     nb, k = cand_s.shape
     s = state["active"].shape[0]
 
-    col = lambda a, dt: a.astype(dt).reshape(s, 1)
+    row = lambda a, dt: a.astype(dt).reshape(1, s)
     ins = (
         cand_s.astype(jnp.int32), cand_e.astype(jnp.int32),
         cand_v.astype(jnp.int32),
-        col(state["active"], jnp.int32), col(state["tomb"], jnp.int32),
-        col(state["det_start"], jnp.int32), col(state["det_stop"], jnp.int32),
-        col(state["ext_start"], jnp.int32), col(state["wlog2"], jnp.int32),
-        col(state["phase"], jnp.int32), col(state["phase_inc"], jnp.int32),
-        col(state["inactive"], jnp.int32), col(state["order"], jnp.int32),
+        row(state["active"], jnp.int32), row(state["tomb"], jnp.int32),
+        row(state["det_start"], jnp.int32), row(state["det_stop"], jnp.int32),
+        row(state["ext_start"], jnp.int32), row(state["wlog2"], jnp.int32),
+        row(state["phase"], jnp.int32), row(state["phase_inc"], jnp.int32),
+        row(state["inactive"], jnp.int32), row(state["order"], jnp.int32),
         jnp.stack(
             [state["alloc_counter"], state["dropped"]]
         ).astype(jnp.int32),
     )
 
-    sc = jax.ShapeDtypeStruct((s, 1), jnp.int32)
+    sc = jax.ShapeDtypeStruct((1, s), jnp.int32)
     fl = jax.ShapeDtypeStruct((nb, s), jnp.int32)
     out_shape = tuple([sc] * 10) + (
         jax.ShapeDtypeStruct((2,), jnp.int32),
