@@ -54,10 +54,20 @@ def phase_table(relinvovl: int) -> jax.Array:
 def apply_phase(y: jax.Array, phase_idx: jax.Array, relinvovl: int) -> jax.Array:
     """Multiply [..., L] outputs by the scalar phase factor of each row.
 
-    phase_idx: integer array broadcastable against y's batch dims.
+    phase_idx: integer array broadcastable against y's batch dims. The
+    R-entry table lookup is a one-hot contraction, not a gather — a traced
+    [C, B]-index gather is a slow TPU path, and R is tiny (the table is
+    e^{j*2pi*p/R}, p in [0, R)).
     """
-    table = phase_table(relinvovl)
-    return y * table[phase_idx][..., None]
+    ang = (2.0 * np.pi / relinvovl) * jnp.arange(
+        relinvovl, dtype=jnp.float32
+    )
+    onehot = (
+        phase_idx[..., None] == jnp.arange(relinvovl, dtype=phase_idx.dtype)
+    ).astype(jnp.float32)
+    re = jnp.sum(onehot * jnp.cos(ang), axis=-1)
+    im = jnp.sum(onehot * jnp.sin(ang), axis=-1)
+    return y * jax.lax.complex(re, im)[..., None]
 
 
 def gather_slices(spectrum: jax.Array, starts: jax.Array, width: int) -> jax.Array:

@@ -81,16 +81,25 @@ def time_scanned(
     r1, r2 = make(k), make(2 * k)
     jax.block_until_ready(r1(carry))
     jax.block_until_ready(r2(carry))
-    best = float("inf")
-    for _ in range(repeats):
+    # one more untimed warm-up pair: the first timed dispatches after
+    # compilation routinely spike by ~10 ms through the tunnel
+    jax.block_until_ready(r1(carry))
+    jax.block_until_ready(r2(carry))
+    # median of the K-vs-2K differences: the tunnel's fixed dispatch cost
+    # occasionally spikes by several ms, which makes min() (and any single
+    # pair) unreliable — a spiked ta inverts the difference entirely
+    diffs = []
+    for _ in range(max(repeats, 5)):
         t0 = time.perf_counter()
         jax.block_until_ready(r1(carry))
         ta = time.perf_counter() - t0
         t0 = time.perf_counter()
         jax.block_until_ready(r2(carry))
         tb = time.perf_counter() - t0
-        best = min(best, (tb - ta) / k)
-    return max(best, 1e-9)
+        diffs.append((tb - ta) / k)
+    diffs.sort()
+    med = diffs[len(diffs) // 2]
+    return max(med, 1e-9)
 
 
 def measure_samples_per_sec(channelizer, k: int = 8) -> float:
