@@ -7,6 +7,7 @@ from fdc_tpu.utils.events import (
     make_event_id,
 )
 from fdc_tpu.utils.logging import make_logger
+from fdc_tpu.utils.resample import common_rate, rational_resample
 from fdc_tpu.utils.waterfall import LiveWaterfall, Waterfall
 
 __all__ = [
@@ -15,6 +16,8 @@ __all__ = [
     "current_timestamp",
     "make_event_id",
     "make_logger",
+    "rational_resample",
+    "common_rate",
     "Waterfall",
     "LiveWaterfall",
 ]
