@@ -396,6 +396,14 @@ class ChannelizerConfig:
     # the budget lose their samples (counted + logged) — size it to the
     # worst-case concurrent channel count, not the slot-table capacity.
     extract_budget: int = 0
+    # Optional SECOND, narrower extraction bucket: slots with extraction
+    # width <= extract_width_split are served from a separate
+    # [extract_budget_narrow, B+1, extract_width_split] tensor instead of
+    # paying the full max_extract_width IFFT (pod-scale configs detect
+    # mostly narrow carriers). 0 disables; wide slots (and narrow overflow)
+    # spill into the main bucket.
+    extract_width_split: int = 0
+    extract_budget_narrow: int = 0
     use_mxu_fft: bool = False  # matmul-based FFT on the MXU (perf path)
     # "auto" = C++ emission engine when the native toolchain is available;
     # True forces it (raises if unavailable), False forces pure Python

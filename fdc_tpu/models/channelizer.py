@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fdc_tpu.config import ChannelizerConfig
+from fdc_tpu.config import ChannelizerConfig, VerboseMode
 from fdc_tpu.models.power_activation import PowerActivationBank
 from fdc_tpu.models.segment_detection import SegmentDetector
 from fdc_tpu.models.throughput import ThroughputChannelizer
@@ -116,6 +116,8 @@ class FrequencyDomainChannelizer:
                     cfg.max_extract_width,
                     extract_budget=cfg.extract_budget,
                     use_mxu=cfg.use_mxu_fft,
+                    extract_width_split=cfg.extract_width_split,
+                    extract_budget_narrow=cfg.extract_budget_narrow,
                 )
             )
 
@@ -125,8 +127,6 @@ class FrequencyDomainChannelizer:
         # (reference: lib/SegmentDetection_impl.cc:49-57,474-481,
         # lib/PowerActivationChannel_impl.cc:52-60,245-253). None when
         # verbose is off — the emitters skip line formatting entirely.
-        from fdc_tpu.config import VerboseMode
-
         verbose_on = cfg.verbose != VerboseMode.NOLOG
         seg_logs = []
         for i, sd in enumerate(self.segments):
@@ -333,15 +333,11 @@ class FrequencyDomainChannelizer:
                 power, carry[f"seg{i}"]
             )
             new_carry[f"seg{i}"] = seg_state
-            slot_ids, overflow = sd.extract_plan(got, processed)
-            out[f"seg{i}"] = {
+            so = {
                 "activated": got.T,
                 "processed": processed.T,
                 "emit": emit_now.T,
                 "phase_used": phase_used.T,
-                "extract": c2f(sd.extract_slots(spec_ext, seg_state, slot_ids)),
-                "slot_ids": slot_ids,
-                "ext_overflow": overflow,
                 "slot_meta": {
                     "ext_start": seg_state["ext_start"],
                     "wlog2": seg_state["wlog2"],
@@ -349,6 +345,28 @@ class FrequencyDomainChannelizer:
                 },
                 "power": power,
             }
+            if sd.extract_width_split:
+                ids_n, ids_w, overflow = sd.extract_plan_split(
+                    got, processed, seg_state["wlog2"]
+                )
+                so["extract"] = c2f(
+                    sd.extract_slots(spec_ext, seg_state, ids_w)
+                )
+                so["slot_ids"] = ids_w
+                so["extract_narrow"] = c2f(sd.extract_slots(
+                    spec_ext, seg_state, ids_n,
+                    width=sd.extract_width_split,
+                ))
+                so["slot_ids_narrow"] = ids_n
+                so["ext_overflow"] = overflow
+            else:
+                slot_ids, overflow = sd.extract_plan(got, processed)
+                so["extract"] = c2f(
+                    sd.extract_slots(spec_ext, seg_state, slot_ids)
+                )
+                so["slot_ids"] = slot_ids
+                so["ext_overflow"] = overflow
+            out[f"seg{i}"] = so
         if cfg.debug:
             out["debug_spectrum"] = c2f(spec)
         return new_carry, out
@@ -470,6 +488,8 @@ class FrequencyDomainChannelizer:
         for i in range(len(self.segments)):
             so = jax.tree.map(np.asarray, out[f"seg{i}"])
             so["extract"] = f2c_host(so["extract"])
+            if "extract_narrow" in so:
+                so["extract_narrow"] = f2c_host(so["extract_narrow"])
             # slot recycling happens ON DEVICE at step end
             # (SegmentDetector._free_tombstones) — the emitter reads slot
             # geometry from the slot_meta outputs, the carry never crosses

@@ -66,6 +66,8 @@ class SegmentDetector:
         extract_budget: int = 0,
         vcm: bool = False,
         use_mxu: bool = False,
+        extract_width_split: int = 0,
+        extract_budget_narrow: int = 0,
     ):
         if thresh_db < 0.0:
             raise ValueError("Threshold is dB and must be >= 0")
@@ -89,6 +91,25 @@ class SegmentDetector:
         self.extract_budget = min(
             int(extract_budget) or self.max_slots, self.max_slots
         )
+        # optional second, NARROWER extraction bucket: slots whose width
+        # fits extract_width_split ship from a [E_narrow, B+1, W_split]
+        # tensor instead of paying the full w_cap-wide IFFT (pod-scale
+        # configs detect mostly narrow carriers); narrow overflow spills
+        # into the wide bucket
+        self.extract_width_split = int(extract_width_split)
+        self.extract_budget_narrow = int(extract_budget_narrow)
+        if self.extract_width_split:
+            w = self.extract_width_split
+            if w & (w - 1) or not 0 < w < (int(max_extract_width) or blocksize):
+                raise ValueError(
+                    "extract_width_split must be a power of 2 below "
+                    "max_extract_width"
+                )
+            if self.extract_budget_narrow <= 0:
+                raise ValueError(
+                    "extract_width_split requires extract_budget_narrow > 0"
+                )
+            self.split_log2 = int(math.log2(w))
         self.w_cap = int(max_extract_width) or blocksize
         if self.w_cap & (self.w_cap - 1):
             raise ValueError("max_extract_width must be a power of 2")
@@ -394,17 +415,62 @@ class SegmentDetector:
         )
         return perm[:e], overflow
 
-    def extract_slots(self, spec_ext: jax.Array, state, slot_ids=None):
+    def extract_plan_split(self, got, processed, wlog2_state):
+        """Two-bucket compaction plan (extract_width_split configured).
+
+        Slots whose width fits the narrow bucket fill it first (slot-index
+        order); remaining needy slots — wide ones and narrow overflow —
+        fill the wide bucket. Unused plan entries are the out-of-range
+        sentinel S (they extract zeros and are ignored by the emitters, so
+        a needy-but-overflowed slot is never silently aliased to a filler
+        row).
+
+        Returns (ids_narrow [E_n], ids_wide [E_w], overflow int32).
+        """
+        s = self.max_slots
+        e_n = self.extract_budget_narrow
+        e_w = self.extract_budget
+        need = jnp.any(got | processed, axis=0)  # [S]
+
+        def pick(mask, budget):
+            rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            chosen = mask & (rank < budget)
+            perm = jnp.argsort(
+                jnp.where(chosen, jnp.int32(0), jnp.int32(1)), stable=True
+            ).astype(jnp.int32)[:budget]
+            count = jnp.sum(chosen.astype(jnp.int32))
+            ids = jnp.where(
+                jnp.arange(budget, dtype=jnp.int32) < count, perm,
+                jnp.int32(s),
+            )
+            return chosen, ids
+
+        narrow_ok = need & (wlog2_state <= self.split_log2)
+        in_n, ids_n = pick(narrow_ok, e_n)
+        in_w, ids_w = pick(need & ~in_n, e_w)
+        overflow = (
+            jnp.sum(need.astype(jnp.int32))
+            - jnp.sum(in_n.astype(jnp.int32))
+            - jnp.sum(in_w.astype(jnp.int32))
+        )
+        return ids_n, ids_w, overflow
+
+    def extract_slots(self, spec_ext: jax.Array, state, slot_ids=None,
+                      width: int = None):
         """Batched variable-width extraction of the slots named by
         ``slot_ids`` ([E_local] int32, traced — an extract_plan slice) over
-        every spectrum row; None extracts all slots. The parallel layer
-        shards the (heavy) extraction by passing each mesh chan rank its
-        slice of the replicated plan. Returns [E_local, rows, w_cap],
-        phase 0."""
+        every spectrum row; None extracts all slots. ``width`` selects the
+        bucket width (default w_cap; pass extract_width_split for the
+        narrow bucket — slots wider than the bucket extract zeros). The
+        parallel layer shards the (heavy) extraction by passing each mesh
+        chan rank its slice of the replicated plan. Returns
+        [E_local, rows, width], phase 0."""
+        w_bucket = width or self.w_cap
         if slot_ids is None:
             slot_ids = jnp.arange(self.max_slots, dtype=jnp.int32)
         # compacted slot geometry via one-hot matmuls (TPU gathers with
-        # traced indices are a slow path; these tables are tiny)
+        # traced indices are a slow path; these tables are tiny). Sentinel
+        # ids (== max_slots) match no column -> zero start/window.
         onehot_slot = (
             slot_ids[:, None]
             == jnp.arange(self.max_slots, dtype=jnp.int32)[None, :]
@@ -418,16 +484,20 @@ class SegmentDetector:
 
         ext_start = take(state["ext_start"])
         wlog2 = take(state["wlog2"])
-        n_tables = self.w_cap_log2 + 1
+        # sentinel rows (no matching slot column) get wlog2 = -1 so the
+        # window lookup below yields an all-zero window -> zero output
+        valid = jnp.sum(onehot_slot, axis=1) > 0.0
+        wlog2 = jnp.where(valid, wlog2, jnp.int32(-1))
+        n_tables = int(math.log2(w_bucket)) + 1
         onehot = (
             wlog2[:, None] == jnp.arange(n_tables, dtype=jnp.int32)[None, :]
         ).astype(jnp.float32)
         windows_pad = jnp.dot(
-            onehot, jnp.asarray(self.window_table),
+            onehot, jnp.asarray(self.window_table[:n_tables, :w_bucket]),
             preferred_element_type=jnp.float32,
         )
         return extract_dynamic(
-            spec_ext, ext_start, wlog2, windows_pad, self.w_cap,
+            spec_ext, ext_start, wlog2, windows_pad, w_bucket,
             use_mxu=self.use_mxu,
         )
 
@@ -463,17 +533,11 @@ class SegmentDetector:
         new_state, (got, processed, emit_now, phase_used) = self.scan_slots(
             power, state
         )
-        slot_ids, overflow = self.extract_plan(got, processed)
-        y = self.extract_slots(spec_ext, new_state, slot_ids)
-
         outputs = {
             "activated": got.T,  # [S, B]
             "processed": processed.T,
             "emit": emit_now.T,
             "phase_used": phase_used.T,
-            "extract": y,
-            "slot_ids": slot_ids,
-            "ext_overflow": overflow,
             "slot_meta": {
                 "ext_start": new_state["ext_start"],
                 "wlog2": new_state["wlog2"],
@@ -481,4 +545,24 @@ class SegmentDetector:
             },
             "power": power,
         }
+        if self.extract_width_split:
+            ids_n, ids_w, overflow = self.extract_plan_split(
+                got, processed, new_state["wlog2"]
+            )
+            outputs["extract"] = self.extract_slots(
+                spec_ext, new_state, ids_w
+            )
+            outputs["slot_ids"] = ids_w
+            outputs["extract_narrow"] = self.extract_slots(
+                spec_ext, new_state, ids_n, width=self.extract_width_split
+            )
+            outputs["slot_ids_narrow"] = ids_n
+            outputs["ext_overflow"] = overflow
+        else:
+            slot_ids, overflow = self.extract_plan(got, processed)
+            outputs["extract"] = self.extract_slots(
+                spec_ext, new_state, slot_ids
+            )
+            outputs["slot_ids"] = slot_ids
+            outputs["ext_overflow"] = overflow
         return new_state, outputs

@@ -115,12 +115,18 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 max_slots=config.max_slots
                 + (-config.max_slots) % self.n_chan
             )
-        # ... and the extraction budget (each chan rank extracts its slice
+        # ... and the extraction budgets (each chan rank extracts its slice
         # of the replicated compaction plan)
         if config.extract_budget and config.extract_budget % self.n_chan:
             config = config.replace(
                 extract_budget=config.extract_budget
                 + (-config.extract_budget) % self.n_chan
+            )
+        if (config.extract_budget_narrow
+                and config.extract_budget_narrow % self.n_chan):
+            config = config.replace(
+                extract_budget_narrow=config.extract_budget_narrow
+                + (-config.extract_budget_narrow) % self.n_chan
             )
         super().__init__(config)
 
@@ -274,24 +280,11 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 power, carry[f"seg{i}"]
             )
             new_carry[f"seg{i}"] = seg_state
-            # compaction plan is replicated (computed from the replicated
-            # flags); each chan rank extracts its slice of it
-            slot_ids, overflow = sd.extract_plan(got, processed)
-            e_local = sd.extract_budget // self.n_chan
-            my_ids = jax.lax.dynamic_slice_in_dim(
-                slot_ids, cidx * e_local, e_local
-            )
-            y = sd.extract_slots(
-                spec_ext, seg_state, my_ids
-            )  # [e_local, b_local+1, w_cap]
-            out[f"seg{i}"] = {
+            so = {
                 "activated": got.T,  # [S, B] replicated
                 "processed": processed.T,
                 "emit": emit_now.T,
                 "phase_used": phase_used.T,
-                "extract": c2f(y[:, None]),
-                "slot_ids": slot_ids,
-                "ext_overflow": overflow,
                 "slot_meta": {
                     "ext_start": seg_state["ext_start"],
                     "wlog2": seg_state["wlog2"],
@@ -299,6 +292,42 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 },
                 "power": power_local,
             }
+
+            # compaction plans are replicated (computed from the replicated
+            # flags); each chan rank extracts its slice of them
+            def my_slice(ids, e_total):
+                e_local = e_total // self.n_chan
+                return jax.lax.dynamic_slice_in_dim(
+                    ids, cidx * e_local, e_local
+                )
+
+            if sd.extract_width_split:
+                ids_n, ids_w, overflow = sd.extract_plan_split(
+                    got, processed, seg_state["wlog2"]
+                )
+                y = sd.extract_slots(
+                    spec_ext, seg_state, my_slice(ids_w, sd.extract_budget)
+                )
+                yn = sd.extract_slots(
+                    spec_ext, seg_state,
+                    my_slice(ids_n, sd.extract_budget_narrow),
+                    width=sd.extract_width_split,
+                )
+                so["extract"] = c2f(y[:, None])
+                so["slot_ids"] = ids_w
+                so["extract_narrow"] = c2f(yn[:, None])
+                so["slot_ids_narrow"] = ids_n
+                so["ext_overflow"] = overflow
+            else:
+                slot_ids, overflow = sd.extract_plan(got, processed)
+                y = sd.extract_slots(
+                    spec_ext, seg_state,
+                    my_slice(slot_ids, sd.extract_budget),
+                )  # [e_local, b_local+1, w_cap]
+                so["extract"] = c2f(y[:, None])
+                so["slot_ids"] = slot_ids
+                so["ext_overflow"] = overflow
+            out[f"seg{i}"] = so
 
         if cfg.debug:
             out["debug_spectrum"] = c2f(spec)
@@ -343,8 +372,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                     for (bucket, _, _) in self._pa_unfused
                 },
             }
-        for i in range(len(self.segments)):
-            out[f"seg{i}"] = {
+        for i, sd in enumerate(self.segments):
+            spec = {
                 "activated": P(),
                 "processed": P(),
                 "emit": P(),
@@ -357,6 +386,12 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 },
                 "power": P(TIME_AXIS, None),
             }
+            if sd.extract_width_split:
+                spec["extract_narrow"] = P(
+                    CHAN_AXIS, TIME_AXIS, None, None, None
+                )
+                spec["slot_ids_narrow"] = P()
+            out[f"seg{i}"] = spec
         if cfg.debug:
             out["debug_spectrum"] = P(TIME_AXIS, None, None)
         return in_specs, (carry_spec, out)
@@ -442,6 +477,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         for i in range(len(self.segments)):
             so = dict(raw[f"seg{i}"])
             so["extract"] = merge_rows(so["extract"])
+            if "extract_narrow" in so:
+                so["extract_narrow"] = merge_rows(so["extract_narrow"])
             out[f"seg{i}"] = so
         if cfg.debug:
             out["debug_spectrum"] = raw["debug_spectrum"]

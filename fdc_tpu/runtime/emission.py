@@ -334,14 +334,29 @@ class SegmentDetectionEmitter:
 
         # extraction rows are compacted: row_of[slot] -> extract row, or -1
         # if the slot's samples were beyond the extraction budget this step
-        # (outputs["ext_overflow"] counts them; data is replaced by zeros)
+        # (outputs["ext_overflow"] counts them; data is replaced by zeros).
+        # Sentinel plan entries (== max_slots) mark unused rows.
         s_cap = activated.shape[0]
+
+        def build_row_of(ids):
+            ids = np.asarray(ids)
+            ro = np.full(s_cap, -1, np.int64)
+            valid = ids < s_cap
+            ro[ids[valid]] = np.flatnonzero(valid)
+            return ro
+
         if "slot_ids" in outputs:
-            slot_ids = np.asarray(outputs["slot_ids"])
-            row_of = np.full(s_cap, -1, np.int64)
-            row_of[slot_ids] = np.arange(len(slot_ids))
+            row_of = build_row_of(outputs["slot_ids"])
         else:
             row_of = np.arange(s_cap)
+        # optional second, narrower bucket (extract_width_split)
+        extract_n = outputs.get("extract_narrow")
+        if extract_n is not None:
+            extract_n = np.asarray(extract_n)
+            l_cap_n = extract_n.shape[-1]
+            row_of_n = build_row_of(outputs["slot_ids_narrow"])
+        else:
+            row_of_n = None
 
         # The reference iterates channels in ACTIVATION order (its channel
         # deque is append-ordered, lib/SegmentDetection_impl.cc:346-365);
@@ -359,15 +374,21 @@ class SegmentDetectionEmitter:
 
         def take_row(s, b_row, w, gain=None):
             """Decode one block from the interpolated extraction row: sample
-            at stride q = l_cap//w and apply the fftshift sign compensation
-            (-1)^m (see fdc_tpu.ops.fft.interp_subband_ifft)."""
+            at stride q = cap//w and apply the fftshift sign compensation
+            (-1)^m (see fdc_tpu.ops.fft.interp_subband_ifft). The slot's
+            row lives in the wide bucket, the narrow bucket, or nowhere
+            (beyond budget: zeros + lost counter)."""
             ovl = w // r
             rr = row_of[s]
+            src, cap = extract, l_cap
+            if rr < 0 and row_of_n is not None:
+                rr = row_of_n[s]
+                src, cap = extract_n, l_cap_n
             if rr < 0:  # beyond the extraction budget: samples lost
                 self.lost_rows += 1
                 return np.zeros(w - ovl, np.complex64)
-            q = l_cap // w
-            row = extract[rr, b_row, ovl * q:: q][: w - ovl]
+            q = cap // w
+            row = src[rr, b_row, ovl * q:: q][: w - ovl]
             signs = 1.0 - 2.0 * ((np.arange(ovl, w) & 1).astype(np.float32))
             out = row * signs
             if gain is not None:
@@ -609,6 +630,14 @@ class NativeSegmentDetectionEmitter:
             slot_ids=(
                 np.asarray(outputs["slot_ids"])
                 if "slot_ids" in outputs else None
+            ),
+            extract_narrow=(
+                np.asarray(outputs["extract_narrow"])
+                if "extract_narrow" in outputs else None
+            ),
+            slot_ids_narrow=(
+                np.asarray(outputs["slot_ids_narrow"])
+                if "slot_ids_narrow" in outputs else None
             ),
         )
         events = []

@@ -126,7 +126,9 @@ def _load():
         lib.fdc_emit_seg_step.restype = c.c_int
         lib.fdc_emit_seg_step.argtypes = [
             c.c_void_p, c.c_int, c.c_int, c.c_int, i32p,
-            u8p, u8p, u8p, i32p, f32p, i32p, i32p, i32p,
+            u8p, u8p, u8p, i32p, f32p,
+            c.c_int, c.c_int, i32p, f32p,  # narrow bucket (may be empty)
+            i32p, i32p, i32p,
             c.c_char_p, c.c_longlong,
         ]
         lib.fdc_emit_pa_step.restype = c.c_int
@@ -308,9 +310,10 @@ class EmissionEngine:
 
     def seg_step(self, activated, processed, emit, phase_used, extract,
                  ext_start, wlog2, order, ids: bytes, t0: int,
-                 slot_ids=None):
+                 slot_ids=None, extract_narrow=None, slot_ids_narrow=None):
         """All flag arrays [S, B]; extract complex64 [E, B+1, l_cap] —
         compacted rows named by slot_ids [E] (None = identity, E == S);
+        extract_narrow/slot_ids_narrow: optional second, narrower bucket;
         order [S] activation sequence numbers (slot iteration order)."""
         s, nb = activated.shape
         assert s == self.n_units
@@ -320,6 +323,19 @@ class EmissionEngine:
             slot_ids = np.arange(s, dtype=np.int32)
         si = np.ascontiguousarray(slot_ids, np.int32)
         assert ex.shape[0] == len(si)
+        if extract_narrow is not None:
+            ex2 = np.ascontiguousarray(extract_narrow, np.complex64)
+            si2 = np.ascontiguousarray(slot_ids_narrow, np.int32)
+            l_cap2, n2 = ex2.shape[2], len(si2)
+            ex2f = ex2.view(np.float32).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_float)
+            )
+            si2p = self._i32(si2)
+        else:
+            ex2 = si2 = None  # keep alive (noop)
+            l_cap2, n2 = 0, 0
+            ex2f = ctypes.POINTER(ctypes.c_float)()
+            si2p = ctypes.POINTER(ctypes.c_int32)()
         # hold temporaries so ctypes pointers stay valid through the call
         tmp = [np.ascontiguousarray(a, np.uint8) for a in
                (activated, processed, emit)]
@@ -334,6 +350,7 @@ class EmissionEngine:
             ex.view(np.float32).ctypes.data_as(
                 ctypes.POINTER(ctypes.c_float)
             ),
+            l_cap2, n2, si2p, ex2f,
             self._i32(es), self._i32(wl), self._i32(od),
             ids, t0,
         )

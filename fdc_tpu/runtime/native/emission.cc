@@ -178,6 +178,8 @@ int fdc_emit_seg_step(
     const uint8_t* activated, const uint8_t* processed,
     const uint8_t* emit_flags, const int32_t* phase_used,
     const float* extract,
+    int l_cap2, int n_ext2, const int32_t* slot_ids2,
+    const float* extract2,
     const int32_t* ext_start, const int32_t* wlog2,
     const int32_t* order,
     const char* ids,
@@ -209,31 +211,43 @@ int fdc_emit_seg_step(
     auto flag = [n_blocks](const uint8_t* a, int s, int b) {
         return a[(size_t)s * n_blocks + b] != 0;
     };
-    // compacted extraction rows: slot -> row index (or -1 = lost)
-    std::vector<int> row_of(s_total, -1);
+    // compacted extraction rows: slot -> row index (or -1 = lost). Plan
+    // entries >= s_total are unused-row sentinels. A slot's row lives in
+    // the wide bucket or, when configured (extract_width_split), the
+    // narrow bucket.
+    std::vector<int> row_of(s_total, -1), row_of2(s_total, -1);
     for (int i = 0; i < n_ext; ++i) {
         int s = slot_ids[i];
         if (s >= 0 && s < s_total) row_of[s] = i;
     }
-    auto row = [&](int rr, int b_row) {
-        return extract +
-               2 * ((size_t)rr * (n_blocks + 1) + b_row) * l_cap;
-    };
+    for (int i = 0; i < n_ext2; ++i) {
+        int s = slot_ids2[i];
+        if (s >= 0 && s < s_total) row_of2[s] = i;
+    }
     // decode one block from an interpolated extraction row: sample at
-    // stride q = l_cap/w and apply the fftshift sign compensation (-1)^m
+    // stride q = cap/w and apply the fftshift sign compensation (-1)^m
     // (see fdc_tpu/ops/fft.py interp_subband_ifft;
     // reference behavior: lib/SegmentDetection_impl.cc:431-435);
-    // rr < 0 => slot was beyond the extraction budget: zeros + count
-    auto take_row = [&](int rr, int b_row, long long w, cfloat ph) {
+    // no row in either bucket => beyond the budget: zeros + count
+    auto take_row = [&](int s, int b_row, long long w, cfloat ph) {
         long long ovl = w / r;
         long long outlen = w - ovl;
         std::vector<cfloat> v(outlen);
+        const float* base = extract;
+        long long cap = l_cap;
+        int rr = row_of[s];
+        if (rr < 0 && n_ext2 > 0) {
+            rr = row_of2[s];
+            base = extract2;
+            cap = l_cap2;
+        }
         if (rr < 0) {
             e->lost_rows += 1;
             return v;  // zeros
         }
-        long long q = l_cap / w;
-        const cfloat* p = reinterpret_cast<const cfloat*>(row(rr, b_row));
+        long long q = cap / w;
+        const cfloat* p = reinterpret_cast<const cfloat*>(
+            base + 2 * ((size_t)rr * (n_blocks + 1) + b_row) * cap);
         for (long long i = 0; i < outlen; ++i) {
             float sign = ((ovl + i) & 1) ? -1.0f : 1.0f;
             v[i] = p[(ovl + i) * q] * (ph * sign);
@@ -254,14 +268,14 @@ int fdc_emit_seg_step(
         st.msg_id = idp[s];
         // hist block (phase 0) then current block
         cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
-        st.blocks.push_back(take_row(row_of[s], b, w, cfloat(1.0f, 0.0f)));
-        st.blocks.push_back(take_row(row_of[s], b + 1, w, ph));
+        st.blocks.push_back(take_row(s, b, w, cfloat(1.0f, 0.0f)));
+        st.blocks.push_back(take_row(s, b + 1, w, ph));
         st.count += 2;
     };
     auto do_process = [&](int s, int b) {
         SlotState& st = e->units[s];
         cfloat ph = e->rot[phase_used[(size_t)s * n_blocks + b] % r];
-        st.blocks.push_back(take_row(row_of[s], b + 1, st.w, ph));
+        st.blocks.push_back(take_row(s, b + 1, st.w, ph));
         st.count += 1;
     };
 

@@ -243,6 +243,66 @@ def test_segment_detection_extract_budget_bit_exact():
     assert fdc1.segment_emitters[0].lost_rows > 0
 
 
+@pytest.mark.parametrize("native", [False, True])
+def test_segment_detection_split_bucket_bit_exact(native):
+    """Two-tier extraction (extract_width_split): narrow slots ship from a
+    [E_n, B+1, W_split] tensor, wide ones (and narrow overflow) from the
+    w_cap bucket — events must be identical to the single-bucket path."""
+    from fdc_tpu.runtime import native as native_mod
+
+    if native and not native_mod.available():
+        pytest.skip("native toolchain unavailable")
+
+    n, r = 1024, 4
+    inplen = n - n // r
+    n_blocks = 32
+    seg, mcd, thresh_db = (0.1, 0.9), 0.04, 8.0
+    # narrow carriers (-> small widths) + one wide carrier
+    x = burst_signal(
+        n_blocks, inplen,
+        [
+            (4, 14, 0.30, 1.0),          # narrow
+            (8, 12, 0.60, 0.8),          # narrow
+            (18, 26, 0.45, 0.9),         # wider band
+        ],
+        noise_amp=2e-3,
+    )
+
+    def build(**kw):
+        return FrequencyDomainChannelizer(
+            ChannelizerConfig(
+                blocksize=n,
+                relinvovl=r,
+                activity_detection_segments=[(seg[0] - 0.5, seg[1] - 0.5)],
+                act_det_threshold=thresh_db,
+                minchandist=mcd,
+                act_det_maxblocks=6,
+                batch_blocks=8,
+                max_slots=16,
+                max_extract_width=512,
+                native_emission=native,
+                **kw,
+            )
+        )
+
+    ref = build(extract_budget=8).process(x)
+    fdc = build(extract_budget=4, extract_width_split=128,
+                extract_budget_narrow=4)
+    res = fdc.process(x)
+
+    assert len(ref.events) == len(res.events) > 0
+    for a, b in zip(ref.events, res.events):
+        assert a.blockstart == b.blockstart
+        assert a.blockend == b.blockend
+        assert a.vectorstart == b.vectorstart
+        assert a.data.shape == b.data.shape
+        np.testing.assert_allclose(a.data, b.data, rtol=1e-5, atol=1e-6)
+    if not native:
+        assert fdc.segment_emitters[0].lost_rows == 0
+    else:
+        assert fdc.segment_emitters[0].lost_rows == 0
+
+
 def test_segment_detection_silence_has_no_events():
     n, r = 512, 4
     inplen = n - n // r

@@ -143,6 +143,27 @@ def test_sharded_matches_single_device_with_extract_budget():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_matches_single_device_with_split_bucket():
+    """Two-tier extraction sharded: each chan rank slices BOTH replicated
+    plans; parity with the single-device split path."""
+    cfg = config(max_slots=8, extract_budget=2, extract_width_split=64,
+                 extract_budget_narrow=4, max_extract_width=256)
+    rng = np.random.default_rng(7)
+    x = make_signal(rng, 6 * cfg.batch_blocks * cfg.inplen)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    sh = ShardedChannelizer(cfg, mesh=make_mesh(n_time=2, n_chan=2))
+
+    chunk = 2 * cfg.batch_blocks * cfg.inplen
+    ev_ref, tp_ref, _ = run(ref, x, chunk)
+    ev_sh, tp_sh, _ = run(sh, x, chunk)
+
+    assert any(e.vectorstart is not None for e in ev_ref)
+    assert_events_match(ev_ref, ev_sh)
+    for a, b in zip(tp_ref, tp_sh):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def test_slot_rounding_and_batch_divisibility():
     mesh = make_mesh(n_time=2, n_chan=4)
     sh = ShardedChannelizer(config(max_slots=6), mesh=mesh)

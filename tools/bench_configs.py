@@ -74,13 +74,16 @@ def main():
             extract_budget=16,
             freqmode="normalized", batch_blocks=512,
         )),
-        # 5: pod-scale burst hunter shard: 512 dynamic slots, 200 MS/s
+        # 5: pod-scale burst hunter shard: 512 dynamic slots, 200 MS/s;
+        # two-tier extraction (most detections are narrow — 32 rows at
+        # width 64, 8 wide rows at w_cap): 2x over a single wide bucket
         "cfg5_burst_hunter512": (200e6, dict(
             blocksize=4096, relinvovl=4,
             activity_detection_segments=[(-0.45, 0.45)],
             act_det_threshold=6.0, minchandist=0.005,
             max_slots=512, max_candidates=32, max_extract_width=512,
-            extract_budget=32,
+            extract_budget=8, extract_width_split=64,
+            extract_budget_narrow=32,
             freqmode="normalized", batch_blocks=512,
         )),
     }
