@@ -67,6 +67,13 @@ def main(argv=None):
         batch_blocks=4 * n_time,
         max_slots=64,   # scaled stand-in for "512+ dynamic channels"
         max_candidates=16,
+        # pod-scale output compaction: two-tier extraction — most detected
+        # carriers are narrow, so ship 16 rows at width 64 and only 4 at
+        # the full width (see PERFORMANCE.md: 2x on the 512-slot config)
+        max_extract_width=512,
+        extract_budget=4,
+        extract_width_split=64,
+        extract_budget_narrow=16,
         debug=True,
     )
     fdc = ShardedChannelizer(cfg, mesh=mesh)

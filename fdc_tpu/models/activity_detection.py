@@ -58,6 +58,9 @@ class ActivityDetectionChannelizer:
         max_candidates: int = 0,
         max_extract_width: int = 0,
         verbose=0,
+        extract_budget: int = 0,
+        extract_width_split: int = 0,
+        extract_budget_narrow: int = 0,
     ):
         if blocklen < 2 or blocklen & (blocklen - 1):
             raise ValueError("Blocklen invalid (must be a power of 2 >= 2)")
@@ -92,6 +95,9 @@ class ActivityDetectionChannelizer:
                     max_extract_width,
                     geometry=geo,
                     vcm=True,
+                    extract_budget=extract_budget,
+                    extract_width_split=extract_width_split,
+                    extract_budget_narrow=extract_budget_narrow,
                 )
             )
             if self.log is not None:
@@ -184,6 +190,8 @@ class ActivityDetectionRunner:
         new_states, outs = self.adc.step(spec_ext, carry["segs"])
         for o in outs:
             o["extract"] = c2f(o["extract"])
+            if "extract_narrow" in o:
+                o["extract_narrow"] = c2f(o["extract_narrow"])
         return (
             {"prev_spec": spec[-1], "segs": new_states},
             outs,
@@ -202,6 +210,8 @@ class ActivityDetectionRunner:
         for em, so in zip(self.emitters, outs):
             so = jax.tree.map(np.asarray, so)
             so["extract"] = f2c_host(so["extract"])
+            if "extract_narrow" in so:
+                so["extract_narrow"] = f2c_host(so["extract_narrow"])
             # slot recycling happens on device at step end; the emitter
             # reads slot geometry from the slot_meta outputs
             events.extend(em.process_step(so, so["slot_meta"], self._t0))

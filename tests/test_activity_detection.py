@@ -190,6 +190,33 @@ def test_vcm_matches_golden(native_emission):
             np.testing.assert_allclose(ev.data, g["data"], atol=3e-4)
 
 
+def test_vcm_split_bucket_matches_single_bucket():
+    """Two-tier extraction on the vcm runner is event-identical to the
+    default single-bucket path."""
+    blocklen, r = 512, 4
+    kw = dict(
+        blocklen=blocklen, segments=[[0.05, 0.45]], thresh_db=8.0,
+        relinvovl=r, minchandist=0.02, channel_deactivation_delay=1,
+        window_flank_puffer=0.1, max_slots=8, max_extract_width=256,
+    )
+    spectra = make_spectra(40, blocklen, r, [(0.25, 1.0, 8, 32)])
+
+    def run(**extra):
+        runner = ActivityDetectionChannelizer(**kw, **extra).make_runner()
+        events = []
+        for lo in range(0, len(spectra), 8):
+            events.extend(runner.process_spectra(spectra[lo: lo + 8]))
+        return events
+
+    ev_a = run()
+    ev_b = run(extract_budget=2, extract_width_split=64,
+               extract_budget_narrow=4)
+    assert len(ev_a) == len(ev_b) > 0
+    for a, b in zip(ev_a, ev_b):
+        assert a.blockstart == b.blockstart and a.blockend == b.blockend
+        np.testing.assert_allclose(a.data, b.data, rtol=1e-5, atol=1e-6)
+
+
 def test_runner_native_matches_python_emission():
     from fdc_tpu.runtime import native as native_mod
 
