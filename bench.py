@@ -84,18 +84,31 @@ def main():
     dt_full = time_scanned(step_full, carry0, xf, k=args.steps, repeats=5)
 
     # -- roofline: framing + FFT + every consumer's windowing/IFFT ----------
-    # detection slots at the CONFIGURED extraction budget (the pipeline
-    # ships extract_budget compacted rows per step — the roofline mirrors
-    # the same configured extraction work)
-    n_rows = sd.extract_budget
-    st_starts = jnp.asarray(
-        np.linspace(100, cfg.blocksize - sd.w_cap - 4, n_rows).astype(
-            np.int32
+    # detection slots at the CONFIGURED extraction budgets (the pipeline
+    # ships extract_budget wide rows + extract_budget_narrow narrow rows
+    # per step — the roofline mirrors the same configured extraction work)
+    def seg_tables(n_rows, width, wlog2):
+        starts = jnp.asarray(
+            np.linspace(100, cfg.blocksize - width - 4, n_rows).astype(
+                np.int32
+            )
         )
-    )
-    st_wins = jnp.asarray(
-        np.tile(sd.window_table[sd.w_cap_log2], (n_rows, 1))
-    )
+        wins = jnp.asarray(
+            np.tile(sd.window_table[wlog2, :width], (n_rows, 1))
+        )
+        return starts, wins
+
+    seg_buckets = [
+        (sd.extract_budget, sd.w_cap, sd.w_cap_log2)
+    ]
+    if sd.extract_width_split:
+        seg_buckets.append(
+            (sd.extract_budget_narrow, sd.extract_width_split,
+             sd.split_log2)
+        )
+    seg_tabs = [
+        (seg_tables(nr, w, wl), w, wl) for nr, w, wl in seg_buckets
+    ]
 
     def step_roofline(carry, xf_in, t0):
         xx = f2c(xf_in)
@@ -119,13 +132,14 @@ def main():
                     jnp.asarray(bucket.windows),
                 )
             )
-        out.append(
-            extract_dynamic(
-                spec_ext, st_starts,
-                jnp.full((n_rows,), sd.w_cap_log2, jnp.int32),
-                st_wins, sd.w_cap,
+        for (starts, wins), w, wl in seg_tabs:
+            out.append(
+                extract_dynamic(
+                    spec_ext, starts,
+                    jnp.full((starts.shape[0],), wl, jnp.int32),
+                    wins, w,
+                )
             )
-        )
         return nc, out
 
     dt_roof = time_scanned(

@@ -65,13 +65,15 @@ def main():
             act_contr_threshold=10.0,
             freqmode="normalized", batch_blocks=512,
         )),
-        # 4: dynamic activity detection on 50 MS/s wideband
+        # 4: dynamic activity detection on 50 MS/s wideband (two-tier
+        # extraction: +51% over a single wide bucket)
         "cfg4_segdet": (50e6, dict(
             blocksize=4096, relinvovl=4,
             activity_detection_segments=[(-0.45, 0.45)],
             act_det_threshold=6.0, minchandist=0.005,
             max_slots=32, max_candidates=16, max_extract_width=512,
-            extract_budget=16,
+            extract_budget=4, extract_width_split=64,
+            extract_budget_narrow=16,
             freqmode="normalized", batch_blocks=512,
         )),
         # 5: pod-scale burst hunter shard: 512 dynamic slots, 200 MS/s;
