@@ -33,7 +33,7 @@ import numpy as np
 
 from fdc_tpu.config import SegmentGeometry, solve_segment
 from fdc_tpu.ops.detect import (
-    ceil_log2,
+    candidate_geometry,
     cell_power,
     detect_candidates,
     match_candidates,
@@ -221,10 +221,25 @@ class SegmentDetector:
         if backend in ("pallas", "pallas_interpret"):
             from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle
 
+            # candidate geometry is slot-table-independent: batch-compute
+            # it over [B, K] HERE rather than on the kernel's serial
+            # per-block chain, and pack all 7 candidate vectors into one
+            # [B, 7K] array so the kernel's per-block row->column transpose
+            # is ONE matmul instead of several
+            wl2, es, too_big = candidate_geometry(
+                cand_s, cand_e, puffer=puffer, w_cap=self.w_cap,
+                w_cap_log2=self.w_cap_log2, n=n,
+            )
+            packed = jnp.concatenate(
+                [
+                    cand_s, cand_e, cand_v.astype(jnp.int32),
+                    wl2, es, es % r, too_big.astype(jnp.int32),
+                ],
+                axis=1,
+            )  # [B, 7K]
             new_state, flags = slot_lifecycle(
-                cand_s, cand_e, cand_v, state,
-                n=n, r=r, delay=delay, puffer=puffer,
-                w_cap=self.w_cap, w_cap_log2=self.w_cap_log2,
+                packed, state,
+                n_cand=k, r=r, delay=delay,
                 interpret=(backend == "pallas_interpret"),
             )
             return self._free_tombstones(new_state), flags
@@ -256,27 +271,14 @@ class SegmentDetector:
                 live, jnp.where(refreshed, 0, inactive + 1), inactive
             )
 
-            # 3. new-channel geometry (reference: lib/SegmentDetection_impl.cc:290-344)
+            # 3. new-channel geometry + in-band clamp
+            # (reference: lib/SegmentDetection_impl.cc:290-344)
             new_mask = c_v & ~consumed
-            det_w = ce - cs
-            ext_w_raw = jnp.ceil(
-                det_w.astype(jnp.float32) * (1.0 + 2.0 * puffer)
-            ).astype(jnp.int32)
-            wl2 = ceil_log2(jnp.maximum(ext_w_raw, 1), self.w_cap_log2 + 1)
-            ext_w = jnp.left_shift(jnp.int32(1), wl2)
-            too_big = ext_w > self.w_cap
+            wl2, es, too_big = candidate_geometry(
+                cs, ce, puffer=puffer, w_cap=self.w_cap,
+                w_cap_log2=self.w_cap_log2, n=n,
+            )
             new_ok = new_mask & ~too_big
-
-            # clamp in-band (reference: lib/SegmentDetection_impl.cc:310-320)
-            mid = cs + det_w // 2
-            es = mid - ext_w // 2
-            ee = mid + ext_w // 2
-            neg = es < 0
-            es = jnp.where(neg, 0, es)
-            ee = jnp.where(neg, ext_w, ee)
-            over = ee > n
-            es = jnp.where(over, n - ext_w, es)
-            ee = jnp.where(over, n, ee)
 
             # 4. allocate free slots in index order, candidates in
             #    acceptance order (reference activation order)

@@ -27,6 +27,7 @@ __all__ = [
     "cell_power",
     "detect_edges",
     "detect_candidates",
+    "candidate_geometry",
     "match_candidates",
     "ceil_log2",
 ]
@@ -205,6 +206,40 @@ def detect_candidates(
         scan_body, init, (cand_s, cand_e, has_pair)
     )
     return acc_s, acc_e, acc_v
+
+
+def candidate_geometry(cand_s, cand_e, *, puffer: float, w_cap: int,
+                       w_cap_log2: int, n: int):
+    """New-channel geometry for candidate intervals (bin coordinates).
+
+    Elementwise over any shape — the slot lifecycle uses it per block
+    ([K], lax.scan path) and the Pallas path batch-computes it over [B, K]
+    OUTSIDE the kernel (it does not depend on the slot table, so it has no
+    place on the kernel's serial per-block chain).
+
+    Mirrors the reference's activate() width/clamp math
+    (reference: lib/SegmentDetection_impl.cc:290-344).
+
+    Returns (wlog2, ext_start, too_big): extraction width exponent, clamped
+    extraction start bin, and the over-w_cap rejection mask.
+    """
+    det_w = cand_e - cand_s
+    ext_w_raw = jnp.ceil(
+        det_w.astype(jnp.float32) * (1.0 + 2.0 * puffer)
+    ).astype(jnp.int32)
+    wl2 = ceil_log2(jnp.maximum(ext_w_raw, 1), w_cap_log2 + 1)
+    ext_w = jnp.left_shift(jnp.int32(1), wl2)
+    too_big = ext_w > w_cap
+
+    mid = cand_s + det_w // 2
+    es = mid - ext_w // 2
+    ee = mid + ext_w // 2
+    neg = es < 0
+    es = jnp.where(neg, 0, es)
+    ee = jnp.where(neg, ext_w, ee)
+    over = ee > n
+    es = jnp.where(over, n - ext_w, es)
+    return wl2, es, too_big
 
 
 def match_candidates(

@@ -16,10 +16,11 @@ the [B, S] outputs. This orientation exists because Mosaic only allows
 dynamic indices on the SUBLANE dim: with [S, 1] column state (the first
 design), every flag write needed an [S, S] identity-matmul transpose — four
 MXU round-trips per block on the kernel's serial chain. Rotated, only the
-three candidate vectors need a [K, K] transpose-by-matmul per block
-(K <= S typically). All "gather by index" steps are masked sums (each
-assignment matrix row/column has at most one hit), so the kernel needs no
-gathers or sorts.
+candidate vectors need a transpose, and all seven (bins, validity, and the
+pre-computed geometry) are packed into ONE [1, 7K] row so it costs a single
+[7K, 7K] matmul per block. All "gather by index" steps are masked sums
+(each assignment matrix row/column has at most one hit), so the kernel
+needs no gathers or sorts.
 """
 
 from __future__ import annotations
@@ -39,7 +40,7 @@ _BIG = np.int32(2**30)  # plain scalar: jnp constants can't be kernel-captured
 
 def _lifecycle_kernel(
     # inputs
-    cand_s_ref, cand_e_ref, cand_v_ref,
+    cand_ref,
     active_ref, tomb_ref, det_start_ref, det_stop_ref, ext_start_ref,
     wlog2_ref, phase_ref, phase_inc_ref, inactive_ref, order_ref,
     counters_ref,
@@ -49,12 +50,9 @@ def _lifecycle_kernel(
     f_got, f_processed, f_emit, f_phase_used,
     *,
     n_blocks: int,
-    n: int,
+    n_cand: int,
     r: int,
     delay: int,
-    puffer: float,
-    w_cap: int,
-    w_cap_log2: int,
 ):
     s_dim = active_ref.shape[1]  # state is [1, S] rows
 
@@ -72,14 +70,16 @@ def _lifecycle_kernel(
     o_inactive[:] = inactive_ref[:]
     o_order[:] = order_ref[:]
 
-    k_dim = cand_s_ref.shape[1]
-    # candidate rows -> columns: [K, K] transpose-by-matmul (Mosaic only
-    # allows dynamic indices on the sublane dim, so the per-block candidate
-    # load is a [1, K] row; the match matrix needs [K, 1] columns). Values
-    # are small ints — exact in f32.
-    eye_k = (
-        jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 1)
+    k_dim = n_cand
+    kp = cand_ref.shape[1]  # 7 * K: all candidate vectors packed in one row
+    # candidate row -> columns: ONE [7K, 7K] transpose-by-matmul per block
+    # (Mosaic only allows dynamic indices on the sublane dim, so the
+    # per-block candidate load is a [1, 7K] row; the match matrix needs
+    # [K, 1] columns — static sublane slices of the transposed pack).
+    # Values are small ints — exact in f32.
+    eye_p = (
+        jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
     ).astype(jnp.float32)
     # prefix sums as triangular matmuls (Mosaic has no cumsum primitive)
     tri_k = (
@@ -90,13 +90,6 @@ def _lifecycle_kernel(
         jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 0)
         <= jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 1)
     ).astype(jnp.float32)  # tri_s[a, b] = a <= b
-
-    def to_col(row_vec):  # [1, K] -> [K, 1]
-        return jax.lax.dot_general(
-            eye_k, row_vec.astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)
 
     def body(i, carry):
         alloc_counter, dropped = carry
@@ -111,9 +104,19 @@ def _lifecycle_kernel(
         inactive = o_inactive[:]
         order = o_order[:]
 
-        cs = to_col(cand_s_ref[pl.ds(i, 1), :])  # [K, 1] int32 (bin coords)
-        ce = to_col(cand_e_ref[pl.ds(i, 1), :])
-        c_v = to_col(cand_v_ref[pl.ds(i, 1), :]) != 0  # [K, 1] bool
+        pack = jax.lax.dot_general(
+            eye_p, cand_ref[pl.ds(i, 1), :].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [7K, 1]
+        k = k_dim
+        cs = pack[0 * k:1 * k, :]          # [K, 1] int32 (bin coords)
+        ce = pack[1 * k:2 * k, :]
+        c_v = pack[2 * k:3 * k, :] != 0    # [K, 1] bool
+        wl2 = pack[3 * k:4 * k, :]         # precomputed geometry
+        es = pack[4 * k:5 * k, :]          # (candidate_geometry, batched
+        es_mod_r = pack[5 * k:6 * k, :]    #  outside the kernel)
+        too_big = pack[6 * k:7 * k, :] != 0
 
         live = active & ~tomb  # [1, S]
 
@@ -129,29 +132,10 @@ def _lifecycle_kernel(
             live, jnp.where(refreshed, 0, inactive + 1), inactive
         )
 
-        # -- new-channel geometry (reference: :290-344), all [K, 1] ---------
+        # new-channel geometry arrives precomputed (it is slot-table
+        # independent; computing it here would sit on the serial chain)
         new_mask = c_v & ~consumed
-        det_w = ce - cs
-        ext_w_raw = jnp.ceil(
-            det_w.astype(jnp.float32) * (1.0 + 2.0 * puffer)
-        ).astype(jnp.int32)
-        vv = jnp.maximum(ext_w_raw, 1)
-        wl2 = jnp.zeros_like(vv)
-        for j in range(w_cap_log2 + 1):
-            wl2 = wl2 + (vv > (1 << j)).astype(jnp.int32)
-        ext_w = jnp.left_shift(jnp.int32(1), wl2)
-        too_big = ext_w > w_cap
         new_ok = new_mask & ~too_big
-
-        mid = cs + det_w // 2
-        es = mid - ext_w // 2
-        ee = mid + ext_w // 2
-        neg = es < 0
-        es = jnp.where(neg, 0, es)
-        ee = jnp.where(neg, ext_w, ee)
-        over = ee > n
-        es = jnp.where(over, n - ext_w, es)
-        ee = jnp.where(over, n, ee)
 
         # -- allocation: free slots in index order x accepted candidates in
         # strength order; masked sums instead of gathers ---------------------
@@ -189,7 +173,7 @@ def _lifecycle_kernel(
         det_stop = pick(ce, det_stop)
         ext_start = pick(es, ext_start)
         wlog2 = pick(wl2, wlog2)
-        phase_inc = pick(es % r, phase_inc)
+        phase_inc = pick(es_mod_r, phase_inc)
         inactive = jnp.where(got, 0, inactive)
         order = jnp.where(
             got, alloc_counter + jnp.sum(a_i * rank, axis=0, keepdims=True),
@@ -237,38 +221,39 @@ def _lifecycle_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "n", "r", "delay", "puffer", "w_cap", "w_cap_log2", "interpret",
-    ),
+    static_argnames=("n_cand", "r", "delay", "interpret"),
 )
 def slot_lifecycle(
-    cand_s, cand_e, cand_v, state,
-    *, n, r, delay, puffer, w_cap, w_cap_log2, interpret=False,
+    cand_packed, state,
+    *, n_cand, r, delay, interpret=False,
 ):
     """Run the slot lifecycle over a batch of candidate sets.
 
-    NOTE: candidates arrive PRE-ACCEPTED (detect_candidates). Running the
-    greedy overlap rejection inside this kernel was tried and measured
-    SLOWER (+0.5 ms/step at B=512, K=8): outside, the K-step accept scan is
-    vectorized over all B blocks (serial length K); in here it lands on the
-    kernel's per-block serial chain (B*K sequential steps).
+    NOTE: candidates arrive PRE-ACCEPTED (detect_candidates) with their
+    new-channel geometry PRE-COMPUTED (candidate_geometry) — both are
+    slot-table independent, so they batch over [B, K] outside the kernel
+    instead of sitting on its serial per-block chain. (Running the greedy
+    overlap rejection inside the kernel was tried and measured SLOWER,
+    +0.5 ms/step at B=512, K=8: outside, the K-step accept scan is
+    vectorized over all B blocks — serial length K, not B*K.)
 
     Args:
-      cand_s/cand_e: [B, K] int32 candidate bins; cand_v: [B, K] bool.
+      cand_packed: [B, 7K] int32 — per block the concatenation of
+        (cand_start_bin, cand_end_bin, valid, wlog2, ext_start,
+        ext_start % r, too_big), each [K], in that order.
       state: SegmentDetector slot-table dict (see init_state).
-      n, r, delay, puffer, w_cap, w_cap_log2: static config.
+      n_cand: K (static), r/delay: static config.
       interpret: run in interpreter mode (CPU testing).
 
     Returns (new_state, (got, processed, emit, phase_used)), flags [B, S]
     (scan-order layout, same as the lax.scan path).
     """
-    nb, k = cand_s.shape
+    nb = cand_packed.shape[0]
     s = state["active"].shape[0]
 
     row = lambda a, dt: a.astype(dt).reshape(1, s)
     ins = (
-        cand_s.astype(jnp.int32), cand_e.astype(jnp.int32),
-        cand_v.astype(jnp.int32),
+        cand_packed.astype(jnp.int32),
         row(state["active"], jnp.int32), row(state["tomb"], jnp.int32),
         row(state["det_start"], jnp.int32), row(state["det_stop"], jnp.int32),
         row(state["ext_start"], jnp.int32), row(state["wlog2"], jnp.int32),
@@ -287,15 +272,14 @@ def slot_lifecycle(
     )
     kernel = functools.partial(
         _lifecycle_kernel,
-        n_blocks=nb, n=n, r=r, delay=delay, puffer=puffer,
-        w_cap=w_cap, w_cap_log2=w_cap_log2,
+        n_blocks=nb, n_cand=n_cand, r=r, delay=delay,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vm] * 13 + [sm],
+        in_specs=[vm] * 11 + [sm],
         out_specs=tuple([vm] * 10) + (sm, vm, vm, vm, vm),
         interpret=interpret,
     )(*ins)
