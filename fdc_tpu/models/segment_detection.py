@@ -97,7 +97,10 @@ class SegmentDetector:
         # configs detect mostly narrow carriers); narrow overflow spills
         # into the wide bucket
         self.extract_width_split = int(extract_width_split)
-        self.extract_budget_narrow = int(extract_budget_narrow)
+        # like the wide budget, never more rows than the slot table has
+        self.extract_budget_narrow = min(
+            int(extract_budget_narrow), self.max_slots
+        )
         if self.extract_width_split:
             w = self.extract_width_split
             if w & (w - 1) or not 0 < w < (int(max_extract_width) or blocksize):

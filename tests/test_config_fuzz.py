@@ -42,6 +42,25 @@ def random_config(rng):
         max_candidates=int(rng.choice([4, 8])),
         pow_act_maxblocks=int(rng.choice([0, 4, 64])),
         act_det_maxblocks=int(rng.choice([4, 64, 256])),
+        # randomized output-compaction knobs: full table, a wide-only
+        # budget, or two-tier narrow+wide extraction
+        **rand_compaction(rng, blocksize),
+    )
+
+
+def rand_compaction(rng, blocksize):
+    mode = int(rng.integers(0, 3))
+    if mode == 0:
+        return {}
+    w_cap = min(256, blocksize)
+    if mode == 1:
+        return dict(max_extract_width=w_cap,
+                    extract_budget=int(rng.choice([4, 8])))
+    return dict(
+        max_extract_width=w_cap,
+        extract_budget=int(rng.choice([2, 4])),
+        extract_width_split=w_cap // int(rng.choice([2, 4])),
+        extract_budget_narrow=int(rng.choice([4, 8])),
     )
 
 
