@@ -40,35 +40,24 @@ _BIG = np.int32(2**30)  # plain scalar: jnp constants can't be kernel-captured
 
 def _lifecycle_kernel(
     # inputs
-    cand_ref,
-    active_ref, tomb_ref, det_start_ref, det_stop_ref, ext_start_ref,
-    wlog2_ref, phase_ref, phase_inc_ref, inactive_ref, order_ref,
-    counters_ref,
+    cand_ref, state_ref, counters_ref,
     # outputs
-    o_active, o_tomb, o_det_start, o_det_stop, o_ext_start,
-    o_wlog2, o_phase, o_phase_inc, o_inactive, o_order, o_counters,
-    f_got, f_processed, f_emit, f_phase_used,
+    o_state, o_counters, f_flags,
     *,
     n_blocks: int,
     n_cand: int,
     r: int,
     delay: int,
 ):
-    s_dim = active_ref.shape[1]  # state is [1, S] rows
+    s_dim = state_ref.shape[1]  # state is a [10, S] row pack
 
-    # Mosaic cannot legalize scf.for with vector loop-carries: all vector
-    # state lives in the output refs (initialized below, mutated per block);
-    # only the two scalar counters ride the fori_loop carry.
-    o_active[:] = active_ref[:]
-    o_tomb[:] = tomb_ref[:]
-    o_det_start[:] = det_start_ref[:]
-    o_det_stop[:] = det_stop_ref[:]
-    o_ext_start[:] = ext_start_ref[:]
-    o_wlog2[:] = wlog2_ref[:]
-    o_phase[:] = phase_ref[:]
-    o_phase_inc[:] = phase_inc_ref[:]
-    o_inactive[:] = inactive_ref[:]
-    o_order[:] = order_ref[:]
+    # Mosaic cannot legalize scf.for with vector loop-carries: the vector
+    # state lives in the output ref (initialized below, mutated per block);
+    # only the two scalar counters ride the fori_loop carry. All 10 state
+    # vectors share ONE [10, S] ref so each block does a single VMEM read
+    # and a single write instead of 10 of each (static sublane slices are
+    # free); likewise the 4 per-block flags store as one [1, 4S] row.
+    o_state[:] = state_ref[:]
 
     k_dim = n_cand
     kp = cand_ref.shape[1]  # 7 * K: all candidate vectors packed in one row
@@ -93,16 +82,17 @@ def _lifecycle_kernel(
 
     def body(i, carry):
         alloc_counter, dropped = carry
-        active = o_active[:] != 0  # all state: [1, S] rows
-        tomb = o_tomb[:] != 0
-        det_start = o_det_start[:]
-        det_stop = o_det_stop[:]
-        ext_start = o_ext_start[:]
-        wlog2 = o_wlog2[:]
-        phase = o_phase[:]
-        phase_inc = o_phase_inc[:]
-        inactive = o_inactive[:]
-        order = o_order[:]
+        st = o_state[:]  # [10, S], one read per block
+        active = st[0:1, :] != 0
+        tomb = st[1:2, :] != 0
+        det_start = st[2:3, :]
+        det_stop = st[3:4, :]
+        ext_start = st[4:5, :]
+        wlog2 = st[5:6, :]
+        phase = st[6:7, :]
+        phase_inc = st[7:8, :]
+        inactive = st[8:9, :]
+        order = st[9:10, :]
 
         pack = jax.lax.dot_general(
             eye_p, cand_ref[pl.ds(i, 1), :].astype(jnp.float32),
@@ -193,23 +183,25 @@ def _lifecycle_kernel(
             jnp.where(processed, (phase + phase_inc) % r, phase),
         )
 
-        # direct [1, S] row stores into the [B, S] flag outputs
+        # static-slice stores (Mosaic cannot lower an in-kernel concatenate:
+        # "result/input offset mismatch on non-concat dimension"); the read
+        # side still benefits from the single packed [10, S] load
         row = pl.ds(i, 1)
-        f_got[row, :] = got.astype(jnp.int32)
-        f_processed[row, :] = processed.astype(jnp.int32)
-        f_emit[row, :] = emit_now.astype(jnp.int32)
-        f_phase_used[row, :] = phase_used
+        f_flags[row, 0 * s_dim:1 * s_dim] = got.astype(jnp.int32)
+        f_flags[row, 1 * s_dim:2 * s_dim] = processed.astype(jnp.int32)
+        f_flags[row, 2 * s_dim:3 * s_dim] = emit_now.astype(jnp.int32)
+        f_flags[row, 3 * s_dim:4 * s_dim] = phase_used
 
-        o_active[:] = active.astype(jnp.int32)
-        o_tomb[:] = tomb.astype(jnp.int32)
-        o_det_start[:] = det_start
-        o_det_stop[:] = det_stop
-        o_ext_start[:] = ext_start
-        o_wlog2[:] = wlog2
-        o_phase[:] = phase
-        o_phase_inc[:] = phase_inc
-        o_inactive[:] = inactive
-        o_order[:] = order
+        o_state[0:1, :] = active.astype(jnp.int32)
+        o_state[1:2, :] = tomb.astype(jnp.int32)
+        o_state[2:3, :] = det_start
+        o_state[3:4, :] = det_stop
+        o_state[4:5, :] = ext_start
+        o_state[5:6, :] = wlog2
+        o_state[6:7, :] = phase
+        o_state[7:8, :] = phase_inc
+        o_state[8:9, :] = inactive
+        o_state[9:10, :] = order
         return alloc_counter, dropped
 
     alloc_counter, dropped = jax.lax.fori_loop(
@@ -251,24 +243,32 @@ def slot_lifecycle(
     nb = cand_packed.shape[0]
     s = state["active"].shape[0]
 
-    row = lambda a, dt: a.astype(dt).reshape(1, s)
+    state_rows = jnp.stack(
+        [
+            state["active"].astype(jnp.int32),
+            state["tomb"].astype(jnp.int32),
+            state["det_start"].astype(jnp.int32),
+            state["det_stop"].astype(jnp.int32),
+            state["ext_start"].astype(jnp.int32),
+            state["wlog2"].astype(jnp.int32),
+            state["phase"].astype(jnp.int32),
+            state["phase_inc"].astype(jnp.int32),
+            state["inactive"].astype(jnp.int32),
+            state["order"].astype(jnp.int32),
+        ]
+    )  # [10, S]
     ins = (
         cand_packed.astype(jnp.int32),
-        row(state["active"], jnp.int32), row(state["tomb"], jnp.int32),
-        row(state["det_start"], jnp.int32), row(state["det_stop"], jnp.int32),
-        row(state["ext_start"], jnp.int32), row(state["wlog2"], jnp.int32),
-        row(state["phase"], jnp.int32), row(state["phase_inc"], jnp.int32),
-        row(state["inactive"], jnp.int32), row(state["order"], jnp.int32),
+        state_rows,
         jnp.stack(
             [state["alloc_counter"], state["dropped"]]
         ).astype(jnp.int32),
     )
 
-    sc = jax.ShapeDtypeStruct((1, s), jnp.int32)
-    fl = jax.ShapeDtypeStruct((nb, s), jnp.int32)
-    out_shape = tuple([sc] * 10) + (
+    out_shape = (
+        jax.ShapeDtypeStruct((10, s), jnp.int32),
         jax.ShapeDtypeStruct((2,), jnp.int32),
-        fl, fl, fl, fl,
+        jax.ShapeDtypeStruct((nb, 4 * s), jnp.int32),
     )
     kernel = functools.partial(
         _lifecycle_kernel,
@@ -276,38 +276,33 @@ def slot_lifecycle(
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    outs = pl.pallas_call(
+    o_state, o_counters, f_flags = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vm] * 11 + [sm],
-        out_specs=tuple([vm] * 10) + (sm, vm, vm, vm, vm),
+        in_specs=[vm, vm, sm],
+        out_specs=(vm, sm, vm),
         interpret=interpret,
     )(*ins)
 
-    (o_active, o_tomb, o_det_start, o_det_stop, o_ext_start, o_wlog2,
-     o_phase, o_phase_inc, o_inactive, o_order, o_counters,
-     f_got, f_processed, f_emit, f_phase_used) = outs
-
-    flat = lambda a: a.reshape(s)
     new_state = {
-        "active": flat(o_active) != 0,
-        "tomb": flat(o_tomb) != 0,
-        "det_start": flat(o_det_start),
-        "det_stop": flat(o_det_stop),
-        "ext_start": flat(o_ext_start),
-        "wlog2": flat(o_wlog2),
-        "phase": flat(o_phase),
-        "phase_inc": flat(o_phase_inc),
-        "inactive": flat(o_inactive),
-        "order": flat(o_order),
+        "active": o_state[0] != 0,
+        "tomb": o_state[1] != 0,
+        "det_start": o_state[2],
+        "det_stop": o_state[3],
+        "ext_start": o_state[4],
+        "wlog2": o_state[5],
+        "phase": o_state[6],
+        "phase_inc": o_state[7],
+        "inactive": o_state[8],
+        "order": o_state[9],
         "alloc_counter": o_counters[0],
         "dropped": o_counters[1],
     }
     flags = (
-        f_got != 0,        # [B, S], scan-order layout
-        f_processed != 0,
-        f_emit != 0,
-        f_phase_used,
+        f_flags[:, 0 * s:1 * s] != 0,  # got; [B, S], scan-order layout
+        f_flags[:, 1 * s:2 * s] != 0,  # processed
+        f_flags[:, 2 * s:3 * s] != 0,  # emit
+        f_flags[:, 3 * s:4 * s],       # phase_used
     )
     return new_state, flags
 
