@@ -123,13 +123,16 @@ def main():
             y = extract_bucket(
                 spec, jnp.asarray(bucket.starts),
                 jnp.asarray(bucket.windows), gain=float(bucket.width),
+                use_mxu=cfg.use_mxu_fft,
+                keep_from=bucket.width - bucket.out_len,
             )
             out.append(tp.finish_bucket(bucket, y, t0))
         for bucket in pa.buckets:
             out.append(
                 extract_bucket(
                     spec_ext, jnp.asarray(bucket.starts),
-                    jnp.asarray(bucket.windows),
+                    jnp.asarray(bucket.windows), use_mxu=cfg.use_mxu_fft,
+                    keep_from=bucket.width - bucket.out_len,
                 )
             )
         for (starts, wins), w, wl in seg_tabs:
@@ -137,7 +140,7 @@ def main():
                 extract_dynamic(
                     spec_ext, starts,
                     jnp.full((starts.shape[0],), wl, jnp.int32),
-                    wins, w,
+                    wins, w, use_mxu=cfg.use_mxu_fft,
                 )
             )
         return nc, out

@@ -404,7 +404,12 @@ class ChannelizerConfig:
     # spill into the main bucket.
     extract_width_split: int = 0
     extract_budget_narrow: int = 0
-    use_mxu_fft: bool = False  # matmul-based FFT on the MXU (perf path)
+    # Subband inverse transforms as one real-representation matmul-DFT on
+    # the MXU (Precision.HIGH) instead of the VPU FFT lowering. ON by
+    # default: ~40% faster extraction on TPU (the overlap trim is folded
+    # into the constant DFT matrix so dropped samples are never computed),
+    # rel-RMS vs the FFT path ~1e-5. Set False to force the FFT lowering.
+    use_mxu_fft: bool = True
     # "auto" = C++ emission engine when the native toolchain is available;
     # True forces it (raises if unavailable), False forces pure Python
     native_emission: object = "auto"

@@ -277,12 +277,14 @@ class FrequencyDomainChannelizer:
         fused_mats = {}
         fused_pa_ext = {}
         for w, (starts, wins, n_tp, tb, pb) in self._fused_widths.items():
+            # tp and pa share the same overlap trim (out_len = w - w//R on
+            # both sides), so the fused bucket trims uniformly at extraction
             y = extract_bucket(
                 spec_ext, jnp.asarray(starts), jnp.asarray(wins),
-                use_mxu=cfg.use_mxu_fft,
-            )  # [C_tp + C_pa, B+1, w]
+                use_mxu=cfg.use_mxu_fft, keep_from=w - pb.out_len,
+            )  # [C_tp + C_pa, B+1, out_len]
             fused_mats[w] = self.throughput.finish_bucket(tb, y[:n_tp, 1:], t0)
-            fused_pa_ext[w] = y[n_tp:, :, w - pb.out_len:]
+            fused_pa_ext[w] = y[n_tp:]
 
         if self.throughput:
             # one [C_l, B*out_len] matrix per bucket (the host splits rows;
@@ -296,6 +298,7 @@ class FrequencyDomainChannelizer:
                     spec, jnp.asarray(bucket.starts),
                     jnp.asarray(bucket.windows), gain=float(bucket.width),
                     use_mxu=cfg.use_mxu_fft,
+                    keep_from=bucket.width - bucket.out_len,
                 )
                 mats.append(c2f(self.throughput.finish_bucket(bucket, y, t0)))
             out["throughput_buckets"] = mats
@@ -318,8 +321,9 @@ class FrequencyDomainChannelizer:
                 y = extract_bucket(
                     spec_ext, jnp.asarray(bucket.starts),
                     jnp.asarray(bucket.windows), use_mxu=cfg.use_mxu_fft,
+                    keep_from=bucket.width - bucket.out_len,
                 )
-                pa_ext[bucket.width] = y[..., bucket.width - bucket.out_len:]
+                pa_ext[bucket.width] = y
             out["powact"] = {
                 "rise": rise,
                 "fall": fall,

@@ -214,10 +214,11 @@ class PowerActivationBank:
             else:
                 starts = jnp.asarray(bucket.starts)
                 windows = jnp.asarray(bucket.windows)
-            y = extract_bucket(spec_ext, starts, windows,
-                               use_mxu=self.use_mxu)
-            # [C_w, rows, width], phase-0, unnormalized-IFFT scale
-            extract[bucket.width] = y[..., bucket.width - bucket.out_len :]
+            # [C_w, rows, out_len], phase-0, unnormalized-IFFT scale
+            extract[bucket.width] = extract_bucket(
+                spec_ext, starts, windows, use_mxu=self.use_mxu,
+                keep_from=bucket.width - bucket.out_len,
+            )
         return extract
 
     def step(self, spec_ext: jax.Array, state):

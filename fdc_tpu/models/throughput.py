@@ -106,21 +106,25 @@ class ThroughputChannelizer:
                 jnp.asarray(bucket.windows),
                 gain=float(bucket.width),  # trailing multiply_const == l
                 use_mxu=self.use_mxu,
-            )  # [C, B, l]
+                keep_from=bucket.width - bucket.out_len,
+            )  # [C, B, out_len]
             mat = self.finish_bucket(bucket, y, block_index0)
             for row, chan in enumerate(bucket.channel_ids):
                 out[chan] = mat[row]
         return out
 
     def finish_bucket(self, bucket: _Bucket, y: jax.Array, block_index0):
-        """Phase-compensate and trim a bucket's raw extraction [C, B, l]
-        into the per-channel stream matrix [C, B*out_len].
+        """Phase-compensate and trim a bucket's raw extraction into the
+        per-channel stream matrix [C, B*out_len].
 
-        Separated from ``extract`` so the channelizer's fused extraction
-        path (shared slice-window-IFFT with the burst bank) can reuse the
-        post-processing. Kept as ONE matrix: per-channel splitting belongs
-        on the host — splitting on device turns every channel into its own
-        XLA kernel (64 extra launches per step on the flagship workload).
+        Accepts y of [C, B, l] (trims the l//R overlap here) or already
+        overlap-trimmed [C, B, out_len] (the MXU path never computes the
+        dropped columns). Separated from ``extract`` so the channelizer's
+        fused extraction path (shared slice-window-IFFT with the burst
+        bank) can reuse the post-processing. Kept as ONE matrix:
+        per-channel splitting belongs on the host — splitting on device
+        turns every channel into its own XLA kernel (64 extra launches per
+        step on the flagship workload).
         """
         b = y.shape[1]
         l = bucket.width
@@ -131,5 +135,6 @@ class ThroughputChannelizer:
         # (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83)
         phase_idx = (t[None, :] * starts[:, None]) % self.relinvovl
         y = apply_phase(y, phase_idx, self.relinvovl)
-        y = y[..., l - bucket.out_len:]  # drop time-domain overlap
+        if y.shape[-1] == l:
+            y = y[..., l - bucket.out_len:]  # drop time-domain overlap
         return y.reshape(len(bucket.channel_ids), b * bucket.out_len)

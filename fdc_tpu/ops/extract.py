@@ -93,6 +93,7 @@ def extract_bucket(
     base_windows: jax.Array,
     gain: float = 1.0,
     use_mxu: bool = False,
+    keep_from: int = 0,
 ) -> jax.Array:
     """Extract a bucket of equal-width channels from a batch of spectra.
 
@@ -104,18 +105,23 @@ def extract_bucket(
         reference: python/FrequencyDomainChannelizer.py:231).
       use_mxu: run the subband inverse transform as a matmul-DFT on the
         MXU instead of the VPU FFT (the ``use_mxu_fft`` config knob).
+      keep_from: drop output time samples before this index (the l//R
+        overlap trim). On the MXU path the dropped columns are never
+        computed (folded into the DFT matrix); the FFT path slices.
 
-    Returns [C, B, l] phase-0 full-rate subband blocks INCLUDING the leading
-    l//R time-domain overlap samples. Callers drop the overlap and apply
-    per-block phase rotation via ``apply_phase``.
+    Returns [C, B, l - keep_from] phase-0 full-rate subband blocks. With
+    ``keep_from=0`` this INCLUDES the leading l//R time-domain overlap
+    samples. Callers apply per-block phase rotation via ``apply_phase``.
     """
     l = base_windows.shape[-1]
     slices = gather_slices(spectrum, starts, l)  # [C, B, l]
     z = slices * base_windows[:, None, :].astype(slices.dtype)
-    y = subband_ifft_mxu(z) if use_mxu else subband_ifft(z)
+    if use_mxu:
+        return subband_ifft_mxu(z, keep_from=keep_from, gain=gain)
+    y = subband_ifft(z)
     if gain != 1.0:
         y = y * jnp.asarray(gain, dtype=y.dtype)
-    return y
+    return y[..., keep_from:] if keep_from else y
 
 
 def extract_dynamic(

@@ -101,54 +101,73 @@ import functools
 
 
 @functools.lru_cache(maxsize=None)
-def _dft_matrices(l: int, signs: bool):
-    """(E_re, E_im) [l, l] float32 with E[k, m] = e^{2πi k m / l}
-    (times (-1)^m when ``signs``) — the unnormalized-IFFT DFT matrix used
-    by the MXU matmul path."""
+def _rr_idft_matrix(l: int, keep_from: int, signs: bool, gain: float):
+    """[2l, 2(l-keep_from)] float32 real-representation IDFT matrix.
+
+    ``[zr zi] @ M == [yr yi]`` for ``y[m] = gain * l * ifft(z)[m]``
+    (times ``(-1)^m`` when ``signs``), output columns restricted to
+    ``m in [keep_from, l)``. One real matmul replaces the four of the
+    classic split-complex formulation — at l=64 the matrix is exactly one
+    128x128 MXU tile — and trimming the overlap prefix plus folding the
+    gain happen for free in the constant matrix.
+    """
     k = np.arange(l)[:, None].astype(np.float64)
-    m = np.arange(l)[None, :].astype(np.float64)
+    m = np.arange(keep_from, l)[None, :].astype(np.float64)
     ang = 2.0 * np.pi * (k * m % l) / l
-    e_re = np.cos(ang)
-    e_im = np.sin(ang)
+    e_re = np.cos(ang) * gain
+    e_im = np.sin(ang) * gain
     if signs:
-        s = np.where(np.arange(l) % 2 == 0, 1.0, -1.0)[None, :]
+        s = np.where(np.arange(keep_from, l) % 2 == 0, 1.0, -1.0)[None, :]
         e_re = e_re * s
         e_im = e_im * s
-    return e_re.astype(np.float32), e_im.astype(np.float32)
+    top = np.concatenate([e_re, e_im], axis=1)
+    bot = np.concatenate([-e_im, e_re], axis=1)
+    return np.concatenate([top, bot], axis=0).astype(np.float32)
 
 
-def _complex_matmul_dft(z: jax.Array, l: int, signs: bool) -> jax.Array:
-    """y[..., m] = sum_k z[..., k] * E[k, m] as four real MXU matmuls.
+def _rr_matmul(z: jax.Array, mat_np) -> jax.Array:
+    """Complex-in/complex-out via ONE real [..., 2l] x [2l, 2k] matmul.
 
-    precision=HIGHEST keeps f32 accuracy on the MXU (default precision
-    would round the DFT matrix through bf16)."""
-    e_re, e_im = _dft_matrices(l, signs)
-    er = jnp.asarray(e_re)
-    ei = jnp.asarray(e_im)
-    zr = jnp.real(z)
-    zi = jnp.imag(z)
-    dot = functools.partial(
-        jnp.matmul, precision=jax.lax.Precision.HIGHEST,
+    Precision.HIGH (bf16x3 passes) holds f32-level accuracy for these
+    unit-magnitude DFT matrices (measured rel-RMS ~1e-5 on the flagship
+    workload) at half the MXU passes of HIGHEST; DEFAULT (single bf16
+    pass) costs ~40 dB of output SNR and is not acceptable."""
+    mat = jnp.asarray(mat_np)
+    zri = jnp.concatenate([jnp.real(z), jnp.imag(z)], axis=-1)
+    yri = jnp.matmul(
+        zri, mat, precision=jax.lax.Precision.HIGH,
         preferred_element_type=jnp.float32,
     )
-    y_re = dot(zr, er) - dot(zi, ei)
-    y_im = dot(zr, ei) + dot(zi, er)
-    return jax.lax.complex(y_re, y_im)
+    kept = mat.shape[1] // 2
+    return jax.lax.complex(yri[..., :kept], yri[..., kept:])
 
 
-def subband_ifft_mxu(z: jax.Array) -> jax.Array:
-    """MXU matmul-DFT variant of :func:`subband_ifft` (same contract):
-    the w<=512 subband inverse transforms are matmuls against a constant
-    [l, l] DFT matrix — moving them from the VPU FFT custom-call onto the
-    systolic array (the ``use_mxu_fft`` config knob)."""
-    return _complex_matmul_dft(z, z.shape[-1], signs=True)
+def subband_ifft_mxu(
+    z: jax.Array, keep_from: int = 0, gain: float = 1.0
+) -> jax.Array:
+    """MXU matmul-DFT variant of :func:`subband_ifft`: the w<=512 subband
+    inverse transforms are one real matmul against a constant
+    real-representation DFT matrix — moving them from the VPU FFT
+    custom-call onto the systolic array (the ``use_mxu_fft`` config knob,
+    ON by default: measured ~40% faster than the FFT lowering on the
+    flagship workload).
+
+    Extensions over :func:`subband_ifft`'s contract: only output samples
+    ``[keep_from, l)`` are computed (the caller's overlap trim, folded
+    into the matrix), scaled by ``gain``.
+    """
+    return _rr_matmul(
+        z, _rr_idft_matrix(z.shape[-1], keep_from, True, float(gain))
+    )
 
 
 def interp_subband_ifft_mxu(z_pad: jax.Array, w_max: int) -> jax.Array:
     """MXU matmul-DFT variant of :func:`interp_subband_ifft`
     (same contract)."""
     del w_max  # fixed by the last axis, kept for API symmetry
-    return _complex_matmul_dft(z_pad, z_pad.shape[-1], signs=False)
+    return _rr_matmul(
+        z_pad, _rr_idft_matrix(z_pad.shape[-1], 0, False, 1.0)
+    )
 
 
 def interp_subband_ifft(z_pad: jax.Array, w_max: int) -> jax.Array:

@@ -214,10 +214,11 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             ):
                 l = bucket.width
                 y = extract_bucket(spec, starts, wins, gain=float(l),
-                                   use_mxu=cfg.use_mxu_fft)
+                                   use_mxu=cfg.use_mxu_fft,
+                                   keep_from=l - bucket.out_len)
                 phase_idx = (t[None, :] * starts[:, None]) % cfg.relinvovl
                 y = apply_phase(y, phase_idx, cfg.relinvovl)
-                y = y[..., l - bucket.out_len:]  # [C_loc, b_local, out_len]
+                # [C_loc, b_local, out_len]
                 c_loc = y.shape[0]
                 mats.append(c2f(y.reshape(c_loc, b_local * bucket.out_len)))
             out["throughput_mats"] = mats
@@ -231,12 +232,12 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 self._sh_fused, fused_tables
             ):
                 y = extract_bucket(spec_ext, starts, wins,
-                                   use_mxu=cfg.use_mxu_fft)  # [C_loc, b+1, w]
+                                   use_mxu=cfg.use_mxu_fft,
+                                   keep_from=w - tb.out_len)
                 phase_idx = (
                     t_rows[None, :] * psel[:, None]
                 ) % cfg.relinvovl
                 y = apply_phase(y, phase_idx, cfg.relinvovl)
-                y = y[..., w - tb.out_len:]
                 fused_out.append(c2f(y[:, None]))  # [C_loc, 1, b+1, L, 2]
             out["fused"] = fused_out
 
@@ -259,9 +260,10 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             for (bucket, _, _), (s, wmat) in zip(
                 self._pa_unfused, pa_tables
             ):
-                y = extract_bucket(spec_ext, s, wmat,
-                                   use_mxu=cfg.use_mxu_fft)
-                ext[bucket.width] = y[..., bucket.width - bucket.out_len:]
+                ext[bucket.width] = extract_bucket(
+                    spec_ext, s, wmat, use_mxu=cfg.use_mxu_fft,
+                    keep_from=bucket.width - bucket.out_len,
+                )
             out["powact"] = {
                 "rise": rise,
                 "fall": fall,
