@@ -40,7 +40,7 @@ _BIG = np.int32(2**30)  # plain scalar: jnp constants can't be kernel-captured
 
 def _lifecycle_kernel(
     # inputs
-    cand_ref, state_ref, counters_ref,
+    cand_ref, work_ref, state_ref, counters_ref,
     # outputs
     o_state, o_counters, f_flags,
     *,
@@ -53,11 +53,15 @@ def _lifecycle_kernel(
 
     # Mosaic cannot legalize scf.for with vector loop-carries: the vector
     # state lives in the output ref (initialized below, mutated per block);
-    # only the two scalar counters ride the fori_loop carry. All 10 state
-    # vectors share ONE [10, S] ref so each block does a single VMEM read
-    # and a single write instead of 10 of each (static sublane slices are
-    # free); likewise the 4 per-block flags store as one [1, 4S] row.
+    # the scalar counters live in the SMEM output ref (so both pl.when
+    # branches below can update them). All 10 state vectors share ONE
+    # [10, S] ref so each block does a single VMEM read and a single write
+    # instead of 10 of each (static sublane slices are free); likewise the
+    # 4 per-block flags store as one [1, 4S] row.
     o_state[:] = state_ref[:]
+    o_counters[0] = counters_ref[0]
+    o_counters[1] = counters_ref[1]
+    o_counters[2] = counters_ref[2]  # n_live: live (non-tomb active) slots
 
     k_dim = n_cand
     kp = cand_ref.shape[1]  # 7 * K: all candidate vectors packed in one row
@@ -80,8 +84,32 @@ def _lifecycle_kernel(
         <= jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 1)
     ).astype(jnp.float32)  # tri_s[a, b] = a <= b
 
-    def body(i, carry):
-        alloc_counter, dropped = carry
+    def body(i, _):
+        # Idle fast path: a block with no valid candidates and no live
+        # slots cannot change any state — its whole lifecycle is "store
+        # four trivial flag rows". In steady state (sparse carriers, the
+        # common case) this removes nearly the entire per-block serial
+        # chain, the same way the reference's per-block loop does no
+        # channel work when nothing is detected or active
+        # (reference: lib/SegmentDetection_impl.cc:163-176,346-365).
+        busy = (work_ref[i] != 0) | (o_counters[2] > 0)
+        row = pl.ds(i, 1)
+
+        @pl.when(jnp.logical_not(busy))
+        def _idle():
+            f_flags[row, 0 * s_dim:3 * s_dim] = jnp.zeros(
+                (1, 3 * s_dim), jnp.int32
+            )
+            f_flags[row, 3 * s_dim:4 * s_dim] = o_state[6:7, :]  # phase
+
+        @pl.when(busy)
+        def _full():
+            _lifecycle_block(i)
+        return 0
+
+    def _lifecycle_block(i):
+        alloc_counter = o_counters[0]
+        dropped = o_counters[1]
         st = o_state[:]  # [10, S], one read per block
         active = st[0:1, :] != 0
         tomb = st[1:2, :] != 0
@@ -202,13 +230,13 @@ def _lifecycle_kernel(
         o_state[7:8, :] = phase_inc
         o_state[8:9, :] = inactive
         o_state[9:10, :] = order
-        return alloc_counter, dropped
+        o_counters[0] = alloc_counter
+        o_counters[1] = dropped
+        # live slots after this block == processed (live & ~emit_now,
+        # which includes freshly-allocated ones)
+        o_counters[2] = jnp.sum(processed.astype(jnp.int32))
 
-    alloc_counter, dropped = jax.lax.fori_loop(
-        0, n_blocks, body, (counters_ref[0], counters_ref[1])
-    )
-    o_counters[0] = alloc_counter
-    o_counters[1] = dropped
+    jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
 @functools.partial(
@@ -243,6 +271,16 @@ def slot_lifecycle(
     nb = cand_packed.shape[0]
     s = state["active"].shape[0]
 
+    # per-block "any valid candidate" + incoming live-slot count feed the
+    # kernel's idle fast path (both computed batched/off-chain here)
+    cand_packed = cand_packed.astype(jnp.int32)
+    has_work = jnp.any(
+        cand_packed[:, 2 * n_cand:3 * n_cand] != 0, axis=1
+    ).astype(jnp.int32)  # [B]
+    n_live0 = jnp.sum(
+        (state["active"] & ~state["tomb"]).astype(jnp.int32)
+    )
+
     state_rows = jnp.stack(
         [
             state["active"].astype(jnp.int32),
@@ -258,16 +296,21 @@ def slot_lifecycle(
         ]
     )  # [10, S]
     ins = (
-        cand_packed.astype(jnp.int32),
+        cand_packed,
+        has_work,
         state_rows,
         jnp.stack(
-            [state["alloc_counter"], state["dropped"]]
-        ).astype(jnp.int32),
+            [
+                jnp.asarray(state["alloc_counter"], jnp.int32),
+                jnp.asarray(state["dropped"], jnp.int32),
+                n_live0,
+            ]
+        ),
     )
 
     out_shape = (
         jax.ShapeDtypeStruct((10, s), jnp.int32),
-        jax.ShapeDtypeStruct((2,), jnp.int32),
+        jax.ShapeDtypeStruct((3,), jnp.int32),
         jax.ShapeDtypeStruct((nb, 4 * s), jnp.int32),
     )
     kernel = functools.partial(
@@ -279,7 +322,7 @@ def slot_lifecycle(
     o_state, o_counters, f_flags = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vm, vm, sm],
+        in_specs=[vm, sm, vm, sm],
         out_specs=(vm, sm, vm),
         interpret=interpret,
     )(*ins)

@@ -183,6 +183,36 @@ def main():
         power = sd0.measure(spec, jnp.abs(spec) ** 2)
         return nc, {"p": power}
 
+    def v_seg_cand(carry, xf_in, t0):
+        # candidate preprocessing only: detect + geometry + pack + has_work
+        # (everything scan_slots does BEFORE the Pallas kernel)
+        import jax as _jax
+        from fdc_tpu.ops.detect import candidate_geometry, detect_candidates
+
+        x = f2c(xf_in)
+        blocks, hist = frame_blocks(x, carry["hist"], cfg.blocksize)
+        spec = forward_spectrum(blocks)
+        nc = dict(carry)
+        nc["hist"] = hist
+        power = sd0.measure(spec, jnp.abs(spec) ** 2)
+        g = sd0.geometry
+        k = sd0.max_candidates or (g.n_cells - 1)
+        cand_s, cand_e, cand_v = _jax.vmap(
+            lambda p: detect_candidates(p, sd0.thresh, k, zero_floor=sd0.vcm)
+        )(power)
+        cand_s = cand_s * g.decimation + g.start
+        cand_e = cand_e * g.decimation + g.start
+        wl2, es, too_big = candidate_geometry(
+            cand_s, cand_e, puffer=sd0.flank_puffer, w_cap=sd0.w_cap,
+            w_cap_log2=sd0.w_cap_log2, n=cfg.blocksize,
+        )
+        packed = jnp.concatenate(
+            [cand_s, cand_e, cand_v.astype(jnp.int32),
+             wl2, es, es % cfg.relinvovl, too_big.astype(jnp.int32)],
+            axis=1,
+        )
+        return nc, {"p": packed}
+
     def v_seg_scan(carry, xf_in, t0):
         x = f2c(xf_in)
         blocks, hist = frame_blocks(x, carry["hist"], cfg.blocksize)
@@ -195,13 +225,9 @@ def main():
 
     run("front", v_front, 64)
     run("seg_measure", v_seg_measure, 48)
+    run("seg_cand", v_seg_cand, 48)
     run("seg_scan", v_seg_scan, 48)
     run("full_now", fdc._device_step, 24)
-    run("full_restated", make_step(), 24)           # sanity: == full_now
-    run("full_rawc64", make_step(conv=False), 24)   # no c2f passes
-    run("full_nopower", make_step(power_out=False), 24)
-    run("full_nosegext", make_step(seg_extract=False), 24)
-    run("full_notp", make_step(tp=False), 24)
 
     print(json.dumps(results))
 
