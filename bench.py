@@ -113,7 +113,7 @@ def main():
     def step_roofline(carry, xf_in, t0):
         xx = f2c(xf_in)
         blocks, hist = frame_blocks(xx, carry["hist"], cfg.blocksize)
-        spec = forward_spectrum(blocks)
+        spec = forward_spectrum(blocks, use_mxu=cfg.use_mxu_fft)
         nc = dict(carry)
         nc["hist"] = hist
         spec_ext = jnp.concatenate([carry["prev_spec"][None], spec])
@@ -153,7 +153,7 @@ def main():
     def step_fft(carry, xf_in, t0):
         xx = f2c(xf_in)
         blocks, hist = frame_blocks(xx, carry["hist"], cfg.blocksize)
-        spec = forward_spectrum(blocks)
+        spec = forward_spectrum(blocks, use_mxu=cfg.use_mxu_fft)
         nc = dict(carry)
         nc["hist"] = hist
         return nc, [spec]

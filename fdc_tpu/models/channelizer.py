@@ -254,7 +254,7 @@ class FrequencyDomainChannelizer:
         cfg = self.config
         x = f2c(xf)
         blocks, hist = frame_blocks(x, carry["hist"], cfg.blocksize)
-        spec = forward_spectrum(blocks)  # [B, N]
+        spec = forward_spectrum(blocks, use_mxu=cfg.use_mxu_fft)  # [B, N]
         new_carry = dict(carry)
         new_carry["hist"] = hist
         return self._step_from_spec(new_carry, spec, t0)

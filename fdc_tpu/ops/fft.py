@@ -21,12 +21,14 @@ identities keep all of that in single fused batched ops here:
 
 from __future__ import annotations
 
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 __all__ = [
     "forward_spectrum",
+    "forward_spectrum_mxu",
     "subband_ifft",
     "comb_subband_ifft",
     "interp_subband_ifft",
@@ -35,17 +37,103 @@ __all__ = [
 ]
 
 
-def forward_spectrum(blocks: jax.Array) -> jax.Array:
+def forward_spectrum(blocks: jax.Array, use_mxu: bool = False) -> jax.Array:
     """Batched forward FFT with fftshifted output and 1/N scaling.
 
     blocks: [..., N] complex -> [..., N] complex spectrum, DC at bin N/2,
     bin b at normalized FDC frequency b/N
     (reference: python/FrequencyDomainChannelizer.py:206,214-216).
+
+    use_mxu routes to :func:`forward_spectrum_mxu` (the ``use_mxu_fft``
+    config knob) for N >= 256; smaller transforms stay on the FFT path
+    (the matmul split is pointless below one MXU tile).
     """
+    if use_mxu and blocks.shape[-1] >= 256:
+        return forward_spectrum_mxu(blocks)
     n = blocks.shape[-1]
     spec = jnp.fft.fft(blocks, axis=-1)
     spec = jnp.fft.fftshift(spec, axes=-1)
     return spec * (1.0 / n)
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_matrices(n: int):
+    """Constant matrices for the two-stage (four-step) MXU forward FFT.
+
+    N = m1*m2 (m1 = 2^ceil(log2(N)/2)). Stage 1 (left-multiply, FFT over
+    the n1 axis of the [m1, m2] view): rr matrix W1 [2m1, 2m1] of the
+    forward DFT e^{-2pi i a b / m1}. Twiddle (tr, ti) [m1, m2]:
+    T[k1, n2] = e^{-2pi i k1 n2 / N}. Stage 2 (right-multiply): rr matrix
+    E2 [2m2, 2m2] of W_{m2} transposed, with the output fftshift folded
+    in as (-1)^{n2} column signs and the 1/N scaling.
+    """
+    if n & (n - 1):
+        raise ValueError(f"forward_spectrum_mxu needs power-of-2 N, got {n}")
+    log2n = int(np.log2(n))
+    m1 = 1 << ((log2n + 1) // 2)
+    m2 = n // m1
+
+    def dft(m):
+        a = np.arange(m)[:, None].astype(np.float64)
+        b = np.arange(m)[None, :].astype(np.float64)
+        ang = -2.0 * np.pi * (a * b % m) / m
+        return np.cos(ang), np.sin(ang)
+
+    wr1, wi1 = dft(m1)
+    # left rr form: [yr; yi] = [[wr, -wi], [wi, wr]] @ [xr; xi]
+    w1 = np.block([[wr1, -wi1], [wi1, wr1]]).astype(np.float32)
+    tang = -2.0 * np.pi * (
+        np.arange(m1)[:, None] * np.arange(m2)[None, :] % n
+    ).astype(np.float64) / n
+    tr = np.cos(tang).astype(np.float32)
+    ti = np.sin(tang).astype(np.float32)
+    # stage 2: X_mat[k1, k2] = sum_{n2} Y'[k1, n2] W_{m2}[k2, n2]; fftshift
+    # (k += N/2 == rotate k2 by m2/2) == (-1)^{n2} column signs; 1/N scale
+    wr2, wi2 = dft(m2)
+    s = np.where(np.arange(m2) % 2 == 0, 1.0, -1.0)[:, None]
+    e_re = wr2.T * s / n
+    e_im = wi2.T * s / n
+    # right rr form: [yr yi] @ [[er, ei], [-ei, er]]
+    e2 = np.block([[e_re, e_im], [-e_im, e_re]]).astype(np.float32)
+    return m1, m2, w1, tr, ti, e2
+
+
+def forward_spectrum_mxu(blocks: jax.Array) -> jax.Array:
+    """:func:`forward_spectrum` as two DFT matmul stages on the MXU.
+
+    Four-step N = m1*m2 decomposition (64x64 for the flagship 4096): view
+    each block as an [m1, m2] matrix, DFT the columns (one rr matmul with
+    contraction 2*m1 = 128 — an exact MXU tile), twiddle, DFT the rows
+    (second rr matmul, with the output fftshift folded into the matrix as
+    column signs plus the 1/N scale), then transpose-and-flatten. Both
+    matmuls run at Precision.HIGH (bf16x3): measured rel-RMS vs the FFT
+    lowering ~3e-7.
+    """
+    n = blocks.shape[-1]
+    m1, m2, w1, tr, ti, e2 = _four_step_matrices(n)
+    lead = blocks.shape[:-1]
+    z = blocks.reshape(lead + (m1, m2))
+    dot = functools.partial(
+        jnp.matmul, precision=jax.lax.Precision.HIGH,
+        preferred_element_type=jnp.float32,
+    )
+    # stage 1: FFT over n1 (sublane axis) — left rr matmul
+    x_ri = jnp.concatenate(
+        [jnp.real(z), jnp.imag(z)], axis=-2
+    )  # [..., 2*m1, m2]
+    y_ri = dot(jnp.asarray(w1), x_ri)
+    yr, yi = y_ri[..., :m1, :], y_ri[..., m1:, :]
+    # twiddle Y'[k1, n2] = Y * e^{-2pi i k1 n2 / N}
+    trj = jnp.asarray(tr)
+    tij = jnp.asarray(ti)
+    zr = yr * trj - yi * tij
+    zi = yr * tij + yi * trj
+    # stage 2: FFT over n2 (lane axis) — right rr matmul, shift/scale folded
+    z_ri = jnp.concatenate([zr, zi], axis=-1)  # [..., m1, 2*m2]
+    o_ri = dot(z_ri, jnp.asarray(e2))
+    x_mat = jax.lax.complex(o_ri[..., :m2], o_ri[..., m2:])  # [k1, k2]
+    # spec[k] = X_mat[k % m1, k // m1] -> transpose then flatten
+    return jnp.swapaxes(x_mat, -1, -2).reshape(lead + (n,))
 
 
 def _alternating_signs(n: int, dtype=jnp.float32) -> jax.Array:
@@ -95,9 +183,6 @@ def comb_subband_ifft(z_pad: jax.Array, width_log2: jax.Array, w_max: int) -> ja
     comb = jnp.where(on_comb, jnp.take_along_axis(z_pad, src, axis=-1), 0.0)
     y = jnp.fft.ifft(comb, axis=-1)
     return y * (_alternating_signs(w_max) * w_max).astype(y.dtype)
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=None)

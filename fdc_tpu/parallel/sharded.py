@@ -191,7 +191,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         recv = _shift_right(tail, n_time)
         hist_local = jnp.where(tidx == 0, carry["hist"], recv)
         blocks, _ = frame_blocks(x, hist_local, n)
-        spec = forward_spectrum(blocks)  # [b_local, N]
+        spec = forward_spectrum(blocks, use_mxu=cfg.use_mxu_fft)  # [b_local, N]
 
         last_spec = spec[-1]
         recv_spec = _shift_right(last_spec, n_time)

@@ -91,6 +91,23 @@ def test_forward_spectrum_matches_golden():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("n", [256, 1024, 4096])
+def test_forward_spectrum_mxu_matches_fft_path(n):
+    """Four-step MXU formulation == FFT lowering (the use_mxu_fft front-end,
+    reference front-end: python/FrequencyDomainChannelizer.py:206,214-216)."""
+    from fdc_tpu.ops.fft import forward_spectrum_mxu
+
+    blocks = crandn(5, n)
+    ref = np.asarray(forward_spectrum(jnp.asarray(blocks)))
+    got = np.asarray(forward_spectrum_mxu(jnp.asarray(blocks)))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 1e-5
+
+    # routed variant engages only at N >= 256
+    routed = np.asarray(forward_spectrum(jnp.asarray(blocks), use_mxu=True))
+    np.testing.assert_allclose(routed, got, atol=0)
+
+
 @pytest.mark.parametrize("l", [8, 64, 256])
 def test_subband_ifft_equals_fftshift_then_unnormalized_ifft(l):
     z = crandn(5, l)
