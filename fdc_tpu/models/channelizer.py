@@ -273,7 +273,10 @@ class FrequencyDomainChannelizer:
 
         out = {}
         # fused extraction: throughput + burst channels of equal width run
-        # as one bucketed slice-window-IFFT over spec_ext
+        # as one bucketed slice-window-IFFT over spec_ext. pairs=True:
+        # the MXU matmul-DFT emits the [..., 2] float-pair host layout
+        # directly (interleaved matrix columns) — no complexify/c2f pass
+        # ever touches the (large) extraction outputs.
         fused_mats = {}
         fused_pa_ext = {}
         for w, (starts, wins, n_tp, tb, pb) in self._fused_widths.items():
@@ -282,25 +285,31 @@ class FrequencyDomainChannelizer:
             y = extract_bucket(
                 spec_ext, jnp.asarray(starts), jnp.asarray(wins),
                 use_mxu=cfg.use_mxu_fft, keep_from=w - pb.out_len,
-            )  # [C_tp + C_pa, B+1, out_len]
-            fused_mats[w] = self.throughput.finish_bucket(tb, y[:n_tp, 1:], t0)
+                pairs=True,
+            )  # [C_tp + C_pa, B+1, out_len, 2]
+            fused_mats[w] = self.throughput.finish_bucket(
+                tb, y[:n_tp, 1:], t0, pairs=True
+            )
             fused_pa_ext[w] = y[n_tp:]
 
         if self.throughput:
-            # one [C_l, B*out_len] matrix per bucket (the host splits rows;
-            # device-side per-channel splitting costs a kernel per channel)
+            # one [C_l, B*out_len, 2] matrix per bucket (the host splits
+            # rows; device-side per-channel splitting costs a kernel per
+            # channel)
             mats = []
             for bucket in self.throughput.buckets:
                 if bucket.width in self._fused_widths:
-                    mats.append(c2f(fused_mats[bucket.width]))
+                    mats.append(fused_mats[bucket.width])
                     continue
                 y = extract_bucket(
                     spec, jnp.asarray(bucket.starts),
                     jnp.asarray(bucket.windows), gain=float(bucket.width),
                     use_mxu=cfg.use_mxu_fft,
-                    keep_from=bucket.width - bucket.out_len,
+                    keep_from=bucket.width - bucket.out_len, pairs=True,
                 )
-                mats.append(c2f(self.throughput.finish_bucket(bucket, y, t0)))
+                mats.append(
+                    self.throughput.finish_bucket(bucket, y, t0, pairs=True)
+                )
             out["throughput_buckets"] = mats
         # one shared |X|^2 pass feeds every detection consumer
         sq = (
@@ -321,7 +330,7 @@ class FrequencyDomainChannelizer:
                 y = extract_bucket(
                     spec_ext, jnp.asarray(bucket.starts),
                     jnp.asarray(bucket.windows), use_mxu=cfg.use_mxu_fft,
-                    keep_from=bucket.width - bucket.out_len,
+                    keep_from=bucket.width - bucket.out_len, pairs=True,
                 )
                 pa_ext[bucket.width] = y
             out["powact"] = {
@@ -329,7 +338,7 @@ class FrequencyDomainChannelizer:
                 "fall": fall,
                 "processed": processed,
                 "phase_used": phase_used,
-                "extract": {w: c2f(v) for w, v in pa_ext.items()},
+                "extract": pa_ext,
             }
         for i, sd in enumerate(self.segments):
             power = sd.measure(spec, sq)
@@ -353,20 +362,20 @@ class FrequencyDomainChannelizer:
                 ids_n, ids_w, overflow = sd.extract_plan_split(
                     got, processed, seg_state["wlog2"]
                 )
-                so["extract"] = c2f(
-                    sd.extract_slots(spec_ext, seg_state, ids_w)
+                so["extract"] = sd.extract_slots(
+                    spec_ext, seg_state, ids_w, pairs=True
                 )
                 so["slot_ids"] = ids_w
-                so["extract_narrow"] = c2f(sd.extract_slots(
+                so["extract_narrow"] = sd.extract_slots(
                     spec_ext, seg_state, ids_n,
-                    width=sd.extract_width_split,
-                ))
+                    width=sd.extract_width_split, pairs=True,
+                )
                 so["slot_ids_narrow"] = ids_n
                 so["ext_overflow"] = overflow
             else:
                 slot_ids, overflow = sd.extract_plan(got, processed)
-                so["extract"] = c2f(
-                    sd.extract_slots(spec_ext, seg_state, slot_ids)
+                so["extract"] = sd.extract_slots(
+                    spec_ext, seg_state, slot_ids, pairs=True
                 )
                 so["slot_ids"] = slot_ids
                 so["ext_overflow"] = overflow

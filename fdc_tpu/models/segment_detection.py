@@ -461,7 +461,7 @@ class SegmentDetector:
         return ids_n, ids_w, overflow
 
     def extract_slots(self, spec_ext: jax.Array, state, slot_ids=None,
-                      width: int = None):
+                      width: int = None, pairs: bool = False):
         """Batched variable-width extraction of the slots named by
         ``slot_ids`` ([E_local] int32, traced — an extract_plan slice) over
         every spectrum row; None extracts all slots. ``width`` selects the
@@ -503,7 +503,7 @@ class SegmentDetector:
         )
         return extract_dynamic(
             spec_ext, ext_start, wlog2, windows_pad, w_bucket,
-            use_mxu=self.use_mxu,
+            use_mxu=self.use_mxu, pairs=pairs,
         )
 
     def step(self, spec_ext: jax.Array, state):

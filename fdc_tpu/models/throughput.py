@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fdc_tpu.config import WindowType, solve_throughput_channel
-from fdc_tpu.ops.extract import apply_phase, extract_bucket
+from fdc_tpu.ops.extract import apply_phase, apply_phase_pairs, extract_bucket
 from fdc_tpu.ops.windows import base_window
 
 __all__ = ["ThroughputChannelizer"]
@@ -113,15 +113,19 @@ class ThroughputChannelizer:
                 out[chan] = mat[row]
         return out
 
-    def finish_bucket(self, bucket: _Bucket, y: jax.Array, block_index0):
+    def finish_bucket(
+        self, bucket: _Bucket, y: jax.Array, block_index0,
+        pairs: bool = False,
+    ):
         """Phase-compensate and trim a bucket's raw extraction into the
-        per-channel stream matrix [C, B*out_len].
+        per-channel stream matrix [C, B*out_len] (``pairs``: float32
+        [C, B*out_len, 2], y then being a pairs extraction).
 
-        Accepts y of [C, B, l] (trims the l//R overlap here) or already
-        overlap-trimmed [C, B, out_len] (the MXU path never computes the
-        dropped columns). Separated from ``extract`` so the channelizer's
-        fused extraction path (shared slice-window-IFFT with the burst
-        bank) can reuse the post-processing. Kept as ONE matrix:
+        Accepts y of [C, B, l(, 2)] (trims the l//R overlap here) or
+        already overlap-trimmed [C, B, out_len(, 2)] (the MXU path never
+        computes the dropped columns). Separated from ``extract`` so the
+        channelizer's fused extraction path (shared slice-window-IFFT with
+        the burst bank) can reuse the post-processing. Kept as ONE matrix:
         per-channel splitting belongs on the host — splitting on device
         turns every channel into its own XLA kernel (64 extra launches per
         step on the flagship workload).
@@ -134,6 +138,13 @@ class ThroughputChannelizer:
         # overlap-save phase compensation: window index (t * start) % R
         # (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83)
         phase_idx = (t[None, :] * starts[:, None]) % self.relinvovl
+        if pairs:
+            y = apply_phase_pairs(y, phase_idx, self.relinvovl)
+            if y.shape[-2] == l:
+                y = y[..., l - bucket.out_len:, :]
+            return y.reshape(
+                len(bucket.channel_ids), b * bucket.out_len, 2
+            )
         y = apply_phase(y, phase_idx, self.relinvovl)
         if y.shape[-1] == l:
             y = y[..., l - bucket.out_len:]  # drop time-domain overlap

@@ -32,10 +32,12 @@ from fdc_tpu.ops.fft import (
     subband_ifft,
     subband_ifft_mxu,
 )
+from fdc_tpu.utils.cplx import c2f
 
 __all__ = [
     "phase_table",
     "apply_phase",
+    "apply_phase_pairs",
     "gather_slices",
     "extract_bucket",
     "extract_dynamic",
@@ -70,6 +72,27 @@ def apply_phase(y: jax.Array, phase_idx: jax.Array, relinvovl: int) -> jax.Array
     return y * jax.lax.complex(re, im)[..., None]
 
 
+def apply_phase_pairs(
+    y: jax.Array, phase_idx: jax.Array, relinvovl: int
+) -> jax.Array:
+    """:func:`apply_phase` on the float32 ``[..., L, 2]`` pair layout.
+
+    The complex rotation (a+bi)(c+di) in pair form is
+    ``c*y + d*flip(y)*[-1, 1]`` — two fused elementwise passes, no
+    complexify/split. Same one-hot table lookup as :func:`apply_phase`.
+    """
+    ang = (2.0 * np.pi / relinvovl) * jnp.arange(
+        relinvovl, dtype=jnp.float32
+    )
+    onehot = (
+        phase_idx[..., None] == jnp.arange(relinvovl, dtype=phase_idx.dtype)
+    ).astype(jnp.float32)
+    re = jnp.sum(onehot * jnp.cos(ang), axis=-1)[..., None, None]
+    im = jnp.sum(onehot * jnp.sin(ang), axis=-1)[..., None, None]
+    rot = jnp.flip(y, axis=-1) * jnp.asarray([-1.0, 1.0], y.dtype)
+    return y * re + rot * im
+
+
 def gather_slices(spectrum: jax.Array, starts: jax.Array, width: int) -> jax.Array:
     """Cut [C] bin slices of static length ``width`` out of [B, N] spectra.
 
@@ -94,6 +117,7 @@ def extract_bucket(
     gain: float = 1.0,
     use_mxu: bool = False,
     keep_from: int = 0,
+    pairs: bool = False,
 ) -> jax.Array:
     """Extract a bucket of equal-width channels from a batch of spectra.
 
@@ -108,20 +132,28 @@ def extract_bucket(
       keep_from: drop output time samples before this index (the l//R
         overlap trim). On the MXU path the dropped columns are never
         computed (folded into the DFT matrix); the FFT path slices.
+      pairs: return the float32 ``[..., 2]`` host-boundary pair layout
+        instead of complex. On the MXU path the pairs come straight out
+        of the (column-interleaved) matmul — the complexify + c2f passes
+        over the output tensor disappear; values are bit-identical.
 
-    Returns [C, B, l - keep_from] phase-0 full-rate subband blocks. With
+    Returns [C, B, l - keep_from] phase-0 full-rate subband blocks
+    (complex, or float32 [C, B, l - keep_from, 2] when ``pairs``). With
     ``keep_from=0`` this INCLUDES the leading l//R time-domain overlap
-    samples. Callers apply per-block phase rotation via ``apply_phase``.
+    samples. Callers apply per-block phase rotation via ``apply_phase`` /
+    ``apply_phase_pairs``.
     """
     l = base_windows.shape[-1]
     slices = gather_slices(spectrum, starts, l)  # [C, B, l]
     z = slices * base_windows[:, None, :].astype(slices.dtype)
     if use_mxu:
-        return subband_ifft_mxu(z, keep_from=keep_from, gain=gain)
+        return subband_ifft_mxu(z, keep_from=keep_from, gain=gain,
+                                pairs=pairs)
     y = subband_ifft(z)
     if gain != 1.0:
         y = y * jnp.asarray(gain, dtype=y.dtype)
-    return y[..., keep_from:] if keep_from else y
+    y = y[..., keep_from:] if keep_from else y
+    return c2f(y) if pairs else y
 
 
 def extract_dynamic(
@@ -131,6 +163,7 @@ def extract_dynamic(
     windows_pad: jax.Array,
     w_max: int,
     use_mxu: bool = False,
+    pairs: bool = False,
 ) -> jax.Array:
     """Extract variable-width channels (dynamic slot table) at one static shape.
 
@@ -148,7 +181,8 @@ def extract_dynamic(
     w = 2**width_log2[s] and q = w_max // w, sample ``y[s, b, m*q]`` equals
     the slot's w-point unnormalized subband IFFT at time index m (including
     the ovl prefix), without fftshift sign compensation — consumers stride
-    by q and apply ``(-1)^m`` (see interp_subband_ifft).
+    by q and apply ``(-1)^m`` (see interp_subband_ifft). ``pairs``
+    returns float32 [S, B, w_max, 2] (see extract_bucket).
     """
     del width_log2  # shape-static path; kept for API symmetry
     # Zero-pad the spectrum tail so a w_max-long slice starting anywhere in
@@ -158,5 +192,6 @@ def extract_dynamic(
     slices = gather_slices(spectrum, starts, w_max)  # [S, B, w_max]
     z = slices * windows_pad[:, None, :].astype(slices.dtype)
     if use_mxu:
-        return interp_subband_ifft_mxu(z, w_max)
-    return interp_subband_ifft(z, w_max)
+        return interp_subband_ifft_mxu(z, w_max, pairs=pairs)
+    y = interp_subband_ifft(z, w_max)
+    return c2f(y) if pairs else y

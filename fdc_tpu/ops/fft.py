@@ -186,7 +186,9 @@ def comb_subband_ifft(z_pad: jax.Array, width_log2: jax.Array, w_max: int) -> ja
 
 
 @functools.lru_cache(maxsize=None)
-def _rr_idft_matrix(l: int, keep_from: int, signs: bool, gain: float):
+def _rr_idft_matrix(
+    l: int, keep_from: int, signs: bool, gain: float, pairs: bool = False
+):
     """[2l, 2(l-keep_from)] float32 real-representation IDFT matrix.
 
     ``[zr zi] @ M == [yr yi]`` for ``y[m] = gain * l * ifft(z)[m]``
@@ -195,6 +197,12 @@ def _rr_idft_matrix(l: int, keep_from: int, signs: bool, gain: float):
     classic split-complex formulation — at l=64 the matrix is exactly one
     128x128 MXU tile — and trimming the overlap prefix plus folding the
     gain happen for free in the constant matrix.
+
+    ``pairs`` interleaves the output columns (re0, im0, re1, im1, ...) so
+    the matmul result bit-casts straight into the float32 ``[..., k, 2]``
+    host-boundary pair layout (``fdc_tpu.utils.cplx``) — the complexify +
+    c2f passes over the (large) extraction outputs vanish entirely; each
+    column's dot product is unchanged, so values stay bit-identical.
     """
     k = np.arange(l)[:, None].astype(np.float64)
     m = np.arange(keep_from, l)[None, :].astype(np.float64)
@@ -207,11 +215,20 @@ def _rr_idft_matrix(l: int, keep_from: int, signs: bool, gain: float):
         e_im = e_im * s
     top = np.concatenate([e_re, e_im], axis=1)
     bot = np.concatenate([-e_im, e_re], axis=1)
-    return np.concatenate([top, bot], axis=0).astype(np.float32)
+    mat = np.concatenate([top, bot], axis=0).astype(np.float32)
+    if pairs:
+        kept = mat.shape[1] // 2
+        mat = np.stack([mat[:, :kept], mat[:, kept:]], axis=2).reshape(
+            mat.shape[0], 2 * kept
+        )
+    return mat
 
 
-def _rr_matmul(z: jax.Array, mat_np) -> jax.Array:
-    """Complex-in/complex-out via ONE real [..., 2l] x [2l, 2k] matmul.
+def _rr_matmul(z: jax.Array, mat_np, pairs: bool = False) -> jax.Array:
+    """Complex-in via ONE real [..., 2l] x [2l, 2k] matmul.
+
+    Returns complex [..., k], or float32 [..., k, 2] pairs when ``pairs``
+    (the matrix must then be column-interleaved — see _rr_idft_matrix).
 
     Precision.HIGH (bf16x3 passes) holds f32-level accuracy for these
     unit-magnitude DFT matrices (measured rel-RMS ~1e-5 on the flagship
@@ -224,11 +241,13 @@ def _rr_matmul(z: jax.Array, mat_np) -> jax.Array:
         preferred_element_type=jnp.float32,
     )
     kept = mat.shape[1] // 2
+    if pairs:
+        return yri.reshape(*yri.shape[:-1], kept, 2)
     return jax.lax.complex(yri[..., :kept], yri[..., kept:])
 
 
 def subband_ifft_mxu(
-    z: jax.Array, keep_from: int = 0, gain: float = 1.0
+    z: jax.Array, keep_from: int = 0, gain: float = 1.0, pairs: bool = False
 ) -> jax.Array:
     """MXU matmul-DFT variant of :func:`subband_ifft`: the w<=512 subband
     inverse transforms are one real matmul against a constant
@@ -239,19 +258,24 @@ def subband_ifft_mxu(
 
     Extensions over :func:`subband_ifft`'s contract: only output samples
     ``[keep_from, l)`` are computed (the caller's overlap trim, folded
-    into the matrix), scaled by ``gain``.
+    into the matrix), scaled by ``gain``; ``pairs`` returns the float32
+    ``[..., k, 2]`` host-boundary layout directly (no complexify pass).
     """
     return _rr_matmul(
-        z, _rr_idft_matrix(z.shape[-1], keep_from, True, float(gain))
+        z, _rr_idft_matrix(z.shape[-1], keep_from, True, float(gain), pairs),
+        pairs=pairs,
     )
 
 
-def interp_subband_ifft_mxu(z_pad: jax.Array, w_max: int) -> jax.Array:
+def interp_subband_ifft_mxu(
+    z_pad: jax.Array, w_max: int, pairs: bool = False
+) -> jax.Array:
     """MXU matmul-DFT variant of :func:`interp_subband_ifft`
-    (same contract)."""
+    (same contract; ``pairs`` as in :func:`subband_ifft_mxu`)."""
     del w_max  # fixed by the last axis, kept for API symmetry
     return _rr_matmul(
-        z_pad, _rr_idft_matrix(z_pad.shape[-1], 0, False, 1.0)
+        z_pad, _rr_idft_matrix(z_pad.shape[-1], 0, False, 1.0, pairs),
+        pairs=pairs,
     )
 
 

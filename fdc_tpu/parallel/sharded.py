@@ -40,7 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fdc_tpu.config import ChannelizerConfig
 from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
-from fdc_tpu.ops.extract import apply_phase, extract_bucket
+from fdc_tpu.ops.extract import apply_phase_pairs, extract_bucket
 from fdc_tpu.ops.fft import forward_spectrum
 from fdc_tpu.ops.framing import frame_blocks
 from fdc_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
@@ -215,12 +215,12 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 l = bucket.width
                 y = extract_bucket(spec, starts, wins, gain=float(l),
                                    use_mxu=cfg.use_mxu_fft,
-                                   keep_from=l - bucket.out_len)
+                                   keep_from=l - bucket.out_len, pairs=True)
                 phase_idx = (t[None, :] * starts[:, None]) % cfg.relinvovl
-                y = apply_phase(y, phase_idx, cfg.relinvovl)
-                # [C_loc, b_local, out_len]
+                y = apply_phase_pairs(y, phase_idx, cfg.relinvovl)
+                # [C_loc, b_local, out_len, 2]
                 c_loc = y.shape[0]
-                mats.append(c2f(y.reshape(c_loc, b_local * bucket.out_len)))
+                mats.append(y.reshape(c_loc, b_local * bucket.out_len, 2))
             out["throughput_mats"] = mats
 
         if self._sh_fused:
@@ -233,12 +233,12 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             ):
                 y = extract_bucket(spec_ext, starts, wins,
                                    use_mxu=cfg.use_mxu_fft,
-                                   keep_from=w - tb.out_len)
+                                   keep_from=w - tb.out_len, pairs=True)
                 phase_idx = (
                     t_rows[None, :] * psel[:, None]
                 ) % cfg.relinvovl
-                y = apply_phase(y, phase_idx, cfg.relinvovl)
-                fused_out.append(c2f(y[:, None]))  # [C_loc, 1, b+1, L, 2]
+                y = apply_phase_pairs(y, phase_idx, cfg.relinvovl)
+                fused_out.append(y[:, None])  # [C_loc, 1, b+1, L, 2]
             out["fused"] = fused_out
 
         sq_local = (
@@ -262,7 +262,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             ):
                 ext[bucket.width] = extract_bucket(
                     spec_ext, s, wmat, use_mxu=cfg.use_mxu_fft,
-                    keep_from=bucket.width - bucket.out_len,
+                    keep_from=bucket.width - bucket.out_len, pairs=True,
                 )
             out["powact"] = {
                 "rise": rise,
@@ -270,7 +270,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 "processed": processed,
                 "phase_used": phase_used,
                 # keep a leading per-shard axis so time shards concatenate
-                "extract": {w: c2f(v[:, None]) for w, v in ext.items()},
+                "extract": {w: v[:, None] for w, v in ext.items()},
             }
 
         for i, sd in enumerate(self.segments):
@@ -308,25 +308,26 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                     got, processed, seg_state["wlog2"]
                 )
                 y = sd.extract_slots(
-                    spec_ext, seg_state, my_slice(ids_w, sd.extract_budget)
+                    spec_ext, seg_state, my_slice(ids_w, sd.extract_budget),
+                    pairs=True,
                 )
                 yn = sd.extract_slots(
                     spec_ext, seg_state,
                     my_slice(ids_n, sd.extract_budget_narrow),
-                    width=sd.extract_width_split,
+                    width=sd.extract_width_split, pairs=True,
                 )
-                so["extract"] = c2f(y[:, None])
+                so["extract"] = y[:, None]
                 so["slot_ids"] = ids_w
-                so["extract_narrow"] = c2f(yn[:, None])
+                so["extract_narrow"] = yn[:, None]
                 so["slot_ids_narrow"] = ids_n
                 so["ext_overflow"] = overflow
             else:
                 slot_ids, overflow = sd.extract_plan(got, processed)
                 y = sd.extract_slots(
                     spec_ext, seg_state,
-                    my_slice(slot_ids, sd.extract_budget),
-                )  # [e_local, b_local+1, w_cap]
-                so["extract"] = c2f(y[:, None])
+                    my_slice(slot_ids, sd.extract_budget), pairs=True,
+                )  # [e_local, b_local+1, w_cap, 2]
+                so["extract"] = y[:, None]
                 so["slot_ids"] = slot_ids
                 so["ext_overflow"] = overflow
             out[f"seg{i}"] = so

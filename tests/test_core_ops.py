@@ -285,3 +285,41 @@ def test_waterfall_handles_nonfinite_power():
     wf.feed_power(np.nan_to_num(p, nan=0.0, posinf=1e30))
     img = wf.render()
     assert img.shape == (4, 16, 3)
+
+
+@pytest.mark.parametrize("use_mxu", [True, False])
+def test_extract_pairs_layout_bit_identical(use_mxu):
+    """pairs=True ships the float-pair host layout with values identical to
+    complexify + c2f (MXU path: interleaved matrix columns, same dot
+    products; FFT path: literal c2f)."""
+    from fdc_tpu.ops.extract import (
+        apply_phase, apply_phase_pairs, extract_bucket, extract_dynamic,
+    )
+    from fdc_tpu.utils.cplx import c2f
+
+    spec = jnp.asarray(crandn(7, 256))
+    starts = jnp.asarray(np.array([3, 40, 100], np.int32))
+    wins = jnp.asarray(np.random.default_rng(1).uniform(
+        0.1, 1.0, (3, 64)).astype(np.float32))
+
+    yc = extract_bucket(spec, starts, wins, gain=2.0, use_mxu=use_mxu,
+                        keep_from=16)
+    yp = extract_bucket(spec, starts, wins, gain=2.0, use_mxu=use_mxu,
+                        keep_from=16, pairs=True)
+    np.testing.assert_array_equal(np.asarray(c2f(yc)), np.asarray(yp))
+
+    # phase rotation on pairs == phase rotation on complex
+    pidx = jnp.asarray((np.arange(7)[None, :] * np.array(
+        [1, 2, 3])[:, None]).astype(np.int32) % 4)
+    rc = apply_phase(yc, pidx, 4)
+    rp = apply_phase_pairs(yp, pidx, 4)
+    np.testing.assert_allclose(np.asarray(c2f(rc)), np.asarray(rp),
+                               atol=1e-6)
+
+    wl2 = jnp.asarray(np.array([5, 6, 4], np.int32))
+    wpad = jnp.asarray(np.random.default_rng(2).uniform(
+        0.1, 1.0, (3, 64)).astype(np.float32))
+    dc = extract_dynamic(spec, starts, wl2, wpad, 64, use_mxu=use_mxu)
+    dp = extract_dynamic(spec, starts, wl2, wpad, 64, use_mxu=use_mxu,
+                         pairs=True)
+    np.testing.assert_array_equal(np.asarray(c2f(dc)), np.asarray(dp))
