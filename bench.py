@@ -20,8 +20,10 @@ framing + 4096-pt forward FFT + every consumer's windowed extraction
 (slice·window·IFFT for all 64 throughput channels, the burst bank, and all
 detection slots at full width, at compile-time-constant starts) — i.e. all
 of the arithmetic the workload fundamentally requires, none of the
-detection/lifecycle logic. The FFT-front-end-only throughput is also
-reported (``fft_only_msps``) for reference.
+detection/lifecycle logic. The roofline uses the same float-pair output
+layout as the pipeline (pairs=True; a complex-output roofline is ~10%
+slower and would flatter the ratio). The FFT-front-end-only throughput is
+also reported (``fft_only_msps``) for reference.
 
 Prints ONE JSON line.
 """
@@ -124,15 +126,15 @@ def main():
                 spec, jnp.asarray(bucket.starts),
                 jnp.asarray(bucket.windows), gain=float(bucket.width),
                 use_mxu=cfg.use_mxu_fft,
-                keep_from=bucket.width - bucket.out_len,
+                keep_from=bucket.width - bucket.out_len, pairs=True,
             )
-            out.append(tp.finish_bucket(bucket, y, t0))
+            out.append(tp.finish_bucket(bucket, y, t0, pairs=True))
         for bucket in pa.buckets:
             out.append(
                 extract_bucket(
                     spec_ext, jnp.asarray(bucket.starts),
                     jnp.asarray(bucket.windows), use_mxu=cfg.use_mxu_fft,
-                    keep_from=bucket.width - bucket.out_len,
+                    keep_from=bucket.width - bucket.out_len, pairs=True,
                 )
             )
         for (starts, wins), w, wl in seg_tabs:
@@ -140,7 +142,7 @@ def main():
                 extract_dynamic(
                     spec_ext, starts,
                     jnp.full((starts.shape[0],), wl, jnp.int32),
-                    wins, w, use_mxu=cfg.use_mxu_fft,
+                    wins, w, use_mxu=cfg.use_mxu_fft, pairs=True,
                 )
             )
         return nc, out
