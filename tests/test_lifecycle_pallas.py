@@ -132,3 +132,40 @@ def test_powact_pallas_matches_scan(seed):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=nm
         )
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_powact_assoc_matches_scan(seed):
+    """Batched associative-scan automaton == lax.scan, bit-exact.
+
+    Random powers straddling the threshold churn rise/fall/phase; random
+    carried state exercises bursts continuing across the batch boundary
+    and the pre-first-rise phase branch."""
+    rng = np.random.default_rng(seed)
+    chans = [(0.2, 0.03), (0.45, 0.05), (0.7, 0.02), (0.85, 0.04)]
+    pa_scan = PowerActivationBank(1024, 4, chans, 10.0, "scan")
+    pa_assoc = PowerActivationBank(1024, 4, chans, 10.0, "assoc")
+
+    c = pa_scan.num_channels
+    nb = 48
+    powers = jnp.asarray(
+        np.exp(rng.normal(0, 2.0, (nb, c))).astype(np.float32)
+    )
+    state = {
+        "active": jnp.asarray(rng.random(c) < 0.5),
+        "lastpower": jnp.asarray(
+            np.exp(rng.normal(0, 2.0, c)).astype(np.float32)
+        ),
+        "phase": jnp.asarray(rng.integers(0, 4, c), jnp.int32),
+    }
+
+    ns_a, fl_a = jax.jit(pa_scan.scan_flags)(powers, state)
+    ns_b, fl_b = jax.jit(pa_assoc.scan_flags)(powers, state)
+    for k in ns_a:
+        np.testing.assert_array_equal(
+            np.asarray(ns_a[k]), np.asarray(ns_b[k]), err_msg=f"state[{k}]"
+        )
+    for nm, a, b in zip(("rise", "fall", "proc", "pu"), fl_a, fl_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=nm
+        )
