@@ -124,7 +124,7 @@ def main():
         for bucket in tp.buckets:
             y = extract_bucket(
                 spec, jnp.asarray(bucket.starts),
-                jnp.asarray(bucket.windows), gain=float(bucket.width),
+                bucket.windows, gain=float(bucket.width),
                 use_mxu=cfg.use_mxu_fft,
                 keep_from=bucket.width - bucket.out_len, pairs=True,
             )
@@ -133,7 +133,7 @@ def main():
             out.append(
                 extract_bucket(
                     spec_ext, jnp.asarray(bucket.starts),
-                    jnp.asarray(bucket.windows), use_mxu=cfg.use_mxu_fft,
+                    bucket.windows, use_mxu=cfg.use_mxu_fft,
                     keep_from=bucket.width - bucket.out_len, pairs=True,
                 )
             )

@@ -283,7 +283,7 @@ class FrequencyDomainChannelizer:
             # tp and pa share the same overlap trim (out_len = w - w//R on
             # both sides), so the fused bucket trims uniformly at extraction
             y = extract_bucket(
-                spec_ext, jnp.asarray(starts), jnp.asarray(wins),
+                spec_ext, jnp.asarray(starts), wins,
                 use_mxu=cfg.use_mxu_fft, keep_from=w - pb.out_len,
                 pairs=True,
             )  # [C_tp + C_pa, B+1, out_len, 2]
@@ -303,7 +303,7 @@ class FrequencyDomainChannelizer:
                     continue
                 y = extract_bucket(
                     spec, jnp.asarray(bucket.starts),
-                    jnp.asarray(bucket.windows), gain=float(bucket.width),
+                    bucket.windows, gain=float(bucket.width),
                     use_mxu=cfg.use_mxu_fft,
                     keep_from=bucket.width - bucket.out_len, pairs=True,
                 )
@@ -329,7 +329,7 @@ class FrequencyDomainChannelizer:
                     continue
                 y = extract_bucket(
                     spec_ext, jnp.asarray(bucket.starts),
-                    jnp.asarray(bucket.windows), use_mxu=cfg.use_mxu_fft,
+                    bucket.windows, use_mxu=cfg.use_mxu_fft,
                     keep_from=bucket.width - bucket.out_len, pairs=True,
                 )
                 pa_ext[bucket.width] = y

@@ -300,7 +300,7 @@ class PowerActivationBank:
                 starts, windows = bucket_tables[i]
             else:
                 starts = jnp.asarray(bucket.starts)
-                windows = jnp.asarray(bucket.windows)
+                windows = bucket.windows  # np: folds into the DFT matrix
             # [C_w, rows, out_len], phase-0, unnormalized-IFFT scale
             extract[bucket.width] = extract_bucket(
                 spec_ext, starts, windows, use_mxu=self.use_mxu,

@@ -103,7 +103,7 @@ class ThroughputChannelizer:
             y = extract_bucket(
                 spectrum,
                 jnp.asarray(bucket.starts),
-                jnp.asarray(bucket.windows),
+                bucket.windows,  # np: folds into the DFT matrix
                 gain=float(bucket.width),  # trailing multiply_const == l
                 use_mxu=self.use_mxu,
                 keep_from=bucket.width - bucket.out_len,

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fdc_tpu.ops.fft import (
+    _rr_idft_matrix,
     interp_subband_ifft,
     interp_subband_ifft_mxu,
     subband_ifft,
@@ -124,7 +125,11 @@ def extract_bucket(
     Args:
       spectrum: [B, N] normalized fftshifted spectra.
       starts: [C] int32 slice start bins.
-      base_windows: [C, l] window amplitudes (phase-0 copies).
+      base_windows: [C, l] window amplitudes (phase-0 copies). Pass a
+        CONCRETE np.ndarray on the MXU path to fold the window into the
+        per-channel DFT matrix at trace time (drops the windowed-multiply
+        pass over the slices); traced arrays (e.g. sharded table views)
+        take the multiply-then-matmul path.
       gain: scalar gain (the reference's trailing multiply_const,
         reference: python/FrequencyDomainChannelizer.py:231).
       use_mxu: run the subband inverse transform as a matmul-DFT on the
@@ -145,7 +150,29 @@ def extract_bucket(
     """
     l = base_windows.shape[-1]
     slices = gather_slices(spectrum, starts, l)  # [C, B, l]
-    z = slices * base_windows[:, None, :].astype(slices.dtype)
+    if use_mxu and isinstance(base_windows, np.ndarray):
+        # static windows fold into per-channel DFT matrices at trace time:
+        # (z ⊙ w) @ M == z @ (diag([w; w]) M). Drops the whole windowed-
+        # multiply pass over the [C, B, l] slices (bit-identical on TPU,
+        # measured -25% on the tp bucket marginal; tools/ablate11_tpu.py).
+        m = _rr_idft_matrix(l, keep_from, True, float(gain), pairs=pairs)
+        mc = (
+            np.concatenate([base_windows, base_windows], axis=1)[:, :, None]
+            * m[None]
+        ).astype(np.float32)  # [C, 2l, 2k]
+        zri = jnp.concatenate(
+            [jnp.real(slices), jnp.imag(slices)], axis=-1
+        )  # [C, B, 2l]
+        y = jax.lax.dot_general(
+            zri, jnp.asarray(mc), (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        )  # [C, B, 2k]
+        kept = mc.shape[-1] // 2
+        if pairs:
+            return y.reshape(*y.shape[:-1], kept, 2)
+        return jax.lax.complex(y[..., :kept], y[..., kept:])
+    z = slices * jnp.asarray(base_windows)[:, None, :].astype(slices.dtype)
     if use_mxu:
         return subband_ifft_mxu(z, keep_from=keep_from, gain=gain,
                                 pairs=pairs)
