@@ -156,18 +156,37 @@ def extract_bucket(
         # multiply pass over the [C, B, l] slices (bit-identical on TPU,
         # measured -25% on the tp bucket marginal; tools/ablate11_tpu.py).
         m = _rr_idft_matrix(l, keep_from, True, float(gain), pairs=pairs)
-        mc = (
-            np.concatenate([base_windows, base_windows], axis=1)[:, :, None]
-            * m[None]
-        ).astype(np.float32)  # [C, 2l, 2k]
         zri = jnp.concatenate(
             [jnp.real(slices), jnp.imag(slices)], axis=-1
         )  # [C, B, 2l]
-        y = jax.lax.dot_general(
-            zri, jnp.asarray(mc), (((2,), (1,)), ((0,), (0,))),
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
-        )  # [C, B, 2k]
+        if (base_windows == base_windows[:1]).all():
+            # equal windows across the bucket (the common equal-bandwidth
+            # case): ONE flat matmul [C*B, 2l] @ [2l, 2k] instead of C
+            # batched small matmuls — the M dimension tiles the MXU far
+            # better than 513-row batch elements. Bit-identical (same
+            # per-element contraction).
+            mc = (
+                np.concatenate([base_windows[0], base_windows[0]])[:, None]
+                * m
+            ).astype(np.float32)  # [2l, 2k]
+            c, b, l2 = zri.shape
+            y = jnp.dot(
+                zri.reshape(c * b, l2), jnp.asarray(mc),
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
+            ).reshape(c, b, -1)  # [C, B, 2k]
+        else:
+            mc = (
+                np.concatenate(
+                    [base_windows, base_windows], axis=1
+                )[:, :, None]
+                * m[None]
+            ).astype(np.float32)  # [C, 2l, 2k]
+            y = jax.lax.dot_general(
+                zri, jnp.asarray(mc), (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
+            )  # [C, B, 2k]
         kept = mc.shape[-1] // 2
         if pairs:
             return y.reshape(*y.shape[:-1], kept, 2)

@@ -40,7 +40,7 @@ _BIG = np.int32(2**30)  # plain scalar: jnp constants can't be kernel-captured
 
 def _lifecycle_kernel(
     # inputs
-    cand_ref, work_ref, state_ref, counters_ref,
+    cand_ref, work_ref, chunk_work_ref, state_ref, counters_ref,
     # outputs
     o_state, o_counters, f_flags,
     *,
@@ -48,6 +48,7 @@ def _lifecycle_kernel(
     n_cand: int,
     r: int,
     delay: int,
+    chunk: int,
 ):
     s_dim = state_ref.shape[1]  # state is a [10, S] row pack
 
@@ -105,6 +106,32 @@ def _lifecycle_kernel(
         @pl.when(busy)
         def _full():
             _lifecycle_block(i)
+        return 0
+
+    def chunk_body(c, _):
+        # Chunked idle fast path: a chunk of blocks with no valid
+        # candidates anywhere and no live slots entering it is one
+        # multi-row store instead of `chunk` serial iterations — the
+        # serial chain of a sparse batch shrinks from n_blocks to
+        # n_chunks (+ chunk per busy chunk). Chunk-idleness is sound
+        # because live slots can only appear via an allocation, which
+        # needs a candidate: no work in the chunk + no live slots at its
+        # start ⇒ every block in it is idle.
+        busy = (chunk_work_ref[c] != 0) | (o_counters[2] > 0)
+        rows = pl.ds(c * chunk, chunk)
+
+        @pl.when(jnp.logical_not(busy))
+        def _idle():
+            f_flags[rows, 0 * s_dim:3 * s_dim] = jnp.zeros(
+                (chunk, 3 * s_dim), jnp.int32
+            )
+            f_flags[rows, 3 * s_dim:4 * s_dim] = jnp.broadcast_to(
+                o_state[6:7, :], (chunk, s_dim)
+            )
+
+        @pl.when(busy)
+        def _scan_chunk():
+            jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
         return 0
 
     def _lifecycle_block(i):
@@ -236,16 +263,19 @@ def _lifecycle_kernel(
         # which includes freshly-allocated ones)
         o_counters[2] = jnp.sum(processed.astype(jnp.int32))
 
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    if chunk > 1:
+        jax.lax.fori_loop(0, n_blocks // chunk, chunk_body, 0)
+    else:
+        jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cand", "r", "delay", "interpret"),
+    static_argnames=("n_cand", "r", "delay", "chunk", "interpret"),
 )
 def slot_lifecycle(
     cand_packed, state,
-    *, n_cand, r, delay, interpret=False,
+    *, n_cand, r, delay, chunk=32, interpret=False,
 ):
     """Run the slot lifecycle over a batch of candidate sets.
 
@@ -277,6 +307,12 @@ def slot_lifecycle(
     has_work = jnp.any(
         cand_packed[:, 2 * n_cand:3 * n_cand] != 0, axis=1
     ).astype(jnp.int32)  # [B]
+    if nb % chunk != 0:
+        chunk = 1  # odd batch sizes fall back to the per-block loop
+    if chunk > 1:
+        chunk_work = jnp.max(has_work.reshape(-1, chunk), axis=1)
+    else:
+        chunk_work = has_work  # unused by the kernel, keeps the arity
     n_live0 = jnp.sum(
         (state["active"] & ~state["tomb"]).astype(jnp.int32)
     )
@@ -298,6 +334,7 @@ def slot_lifecycle(
     ins = (
         cand_packed,
         has_work,
+        chunk_work,
         state_rows,
         jnp.stack(
             [
@@ -315,14 +352,14 @@ def slot_lifecycle(
     )
     kernel = functools.partial(
         _lifecycle_kernel,
-        n_blocks=nb, n_cand=n_cand, r=r, delay=delay,
+        n_blocks=nb, n_cand=n_cand, r=r, delay=delay, chunk=chunk,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     o_state, o_counters, f_flags = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vm, sm, vm, sm],
+        in_specs=[vm, sm, sm, vm, sm],
         out_specs=(vm, sm, vm),
         interpret=interpret,
     )(*ins)

@@ -95,6 +95,61 @@ def test_pallas_slot_exhaustion():
     assert int(ns_a["alloc_counter"]) == int(ns_b["alloc_counter"])
 
 
+def idle_until(sd, rng, nb, first_on):
+    """Power with no candidates before block ``first_on`` (chunk-idle runs)."""
+    nc = sd.geometry.n_cells
+    p = np.full((nb, nc), 1e-6) + rng.random((nb, nc)) * 2e-7
+    c = rng.integers(2, nc - 10)
+    p[first_on:, c:c + 3] += 2.0
+    return jnp.asarray(p, jnp.float32)
+
+
+@pytest.mark.parametrize("chunk", [1, 4, 8, 32])
+@pytest.mark.parametrize("first_on", [0, 7, 31, 32, 33, 63, 64])
+def test_pallas_chunked_idle_matches_scan(chunk, first_on):
+    """Chunked idle fast path == scan across chunk-boundary activity.
+
+    first_on=64 (nb=64) is the fully-idle batch; 31/32/33 straddle the
+    32-chunk boundary; chunk sizes not dividing nb fall back per-block.
+    """
+    from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle
+
+    rng = np.random.default_rng(first_on * 7 + chunk)
+    sd_scan = make_detector("scan")
+    sd_pal = make_detector("pallas_interpret")
+    nb = 64
+    power = idle_until(sd_scan, rng, nb, first_on)
+    state = sd_scan.init_state()  # empty table: chunk idling reachable
+
+    ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, state)
+
+    # drive the kernel at the requested chunk size directly (scan_slots
+    # uses the default); reuse its candidate packing via the detector
+    import fdc_tpu.ops.lifecycle_pallas as lp
+
+    orig = lp.slot_lifecycle
+
+    def patched(cand_packed, st, **kw):
+        kw["chunk"] = chunk
+        return orig(cand_packed, st, **kw)
+
+    lp.slot_lifecycle = patched
+    try:
+        ns_b, fl_b = sd_pal.scan_slots(power, sd_pal.init_state())
+    finally:
+        lp.slot_lifecycle = orig
+
+    for k in ns_a:
+        np.testing.assert_array_equal(
+            np.asarray(ns_a[k]), np.asarray(ns_b[k]), err_msg=f"state[{k}]"
+        )
+    for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                        fl_a, fl_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"flags[{nm}]"
+        )
+
+
 # ---------------------------------------------------------------------------
 # powact automaton kernel
 # ---------------------------------------------------------------------------
