@@ -185,7 +185,24 @@ def detect_candidates(
         power, thresh, k, zero_floor=zero_floor
     )
 
-    # greedy overlap rejection in strength order, exact reference test
+    # greedy overlap rejection in strength order, exact reference test.
+    # Small K unrolls statically: candidate j only needs the accepted set
+    # so far, which lives in registers — the whole acceptance chain fuses
+    # into one kernel with no loop machinery. Large K (the exact
+    # all-edges mode on wide segments) keeps the lax.scan.
+    if k <= 16:
+        acc_v = jnp.zeros(k, bool)
+        acc_s = jnp.where(has_pair, cand_s, 0)
+        acc_e = jnp.where(has_pair, cand_e, 0)
+        for j in range(k):
+            overlap = jnp.any(
+                acc_v & (cand_s[j] < acc_e) & (cand_e[j] >= acc_s)
+            )
+            acc_v = acc_v.at[j].set(has_pair[j] & ~overlap)
+        acc_s = jnp.where(acc_v, acc_s, 0)
+        acc_e = jnp.where(acc_v, acc_e, 0)
+        return acc_s, acc_e, acc_v
+
     def scan_body(carry, x):
         acc_s, acc_e, acc_v, j = carry
         s, e, ok = x
