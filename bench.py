@@ -123,7 +123,7 @@ def main():
         out = []
         for bucket in tp.buckets:
             y = extract_bucket(
-                spec, jnp.asarray(bucket.starts),
+                spec, bucket.starts,
                 bucket.windows, gain=float(bucket.width),
                 use_mxu=cfg.use_mxu_fft,
                 keep_from=bucket.width - bucket.out_len, pairs=True,
@@ -132,7 +132,7 @@ def main():
         for bucket in pa.buckets:
             out.append(
                 extract_bucket(
-                    spec_ext, jnp.asarray(bucket.starts),
+                    spec_ext, bucket.starts,
                     bucket.windows, use_mxu=cfg.use_mxu_fft,
                     keep_from=bucket.width - bucket.out_len, pairs=True,
                 )

@@ -283,7 +283,7 @@ class FrequencyDomainChannelizer:
             # tp and pa share the same overlap trim (out_len = w - w//R on
             # both sides), so the fused bucket trims uniformly at extraction
             y = extract_bucket(
-                spec_ext, jnp.asarray(starts), wins,
+                spec_ext, starts, wins,
                 use_mxu=cfg.use_mxu_fft, keep_from=w - pb.out_len,
                 pairs=True,
             )  # [C_tp + C_pa, B+1, out_len, 2]
@@ -302,7 +302,7 @@ class FrequencyDomainChannelizer:
                     mats.append(fused_mats[bucket.width])
                     continue
                 y = extract_bucket(
-                    spec, jnp.asarray(bucket.starts),
+                    spec, bucket.starts,
                     bucket.windows, gain=float(bucket.width),
                     use_mxu=cfg.use_mxu_fft,
                     keep_from=bucket.width - bucket.out_len, pairs=True,
@@ -328,7 +328,7 @@ class FrequencyDomainChannelizer:
                 if bucket.width in pa_ext:
                     continue
                 y = extract_bucket(
-                    spec_ext, jnp.asarray(bucket.starts),
+                    spec_ext, bucket.starts,
                     bucket.windows, use_mxu=cfg.use_mxu_fft,
                     keep_from=bucket.width - bucket.out_len, pairs=True,
                 )

@@ -299,7 +299,7 @@ class PowerActivationBank:
             if bucket_tables is not None:
                 starts, windows = bucket_tables[i]
             else:
-                starts = jnp.asarray(bucket.starts)
+                starts = bucket.starts  # np: static -> fused Pallas path
                 windows = bucket.windows  # np: folds into the DFT matrix
             # [C_w, rows, out_len], phase-0, unnormalized-IFFT scale
             extract[bucket.width] = extract_bucket(

@@ -102,7 +102,7 @@ class ThroughputChannelizer:
         for bucket in self.buckets:
             y = extract_bucket(
                 spectrum,
-                jnp.asarray(bucket.starts),
+                bucket.starts,
                 bucket.windows,  # np: folds into the DFT matrix
                 gain=float(bucket.width),  # trailing multiply_const == l
                 use_mxu=self.use_mxu,

@@ -149,13 +149,38 @@ def extract_bucket(
     ``apply_phase_pairs``.
     """
     l = base_windows.shape[-1]
-    slices = gather_slices(spectrum, starts, l)  # [C, B, l]
     if use_mxu and isinstance(base_windows, np.ndarray):
         # static windows fold into per-channel DFT matrices at trace time:
         # (z ⊙ w) @ M == z @ (diag([w; w]) M). Drops the whole windowed-
         # multiply pass over the [C, B, l] slices (bit-identical on TPU,
         # measured -25% on the tp bucket marginal; tools/ablate11_tpu.py).
         m = _rr_idft_matrix(l, keep_from, True, float(gain), pairs=pairs)
+        if (
+            pairs
+            and isinstance(starts, np.ndarray)
+            and jax.default_backend() == "tpu"
+        ):
+            # fully static bucket on TPU: fused Pallas slice+matmul keeps
+            # the spectrum tile in VMEM — no gathered-slice or planar
+            # intermediates ever hit HBM (3.4x on the flagship tp bucket;
+            # fdc_tpu/ops/extract_pallas.py)
+            from fdc_tpu.ops.extract_pallas import (
+                fits_vmem, fused_extract_static,
+            )
+
+            folded = (
+                np.concatenate(
+                    [base_windows, base_windows], axis=1
+                )[:, :, None]
+                * m[None]
+            ).astype(np.float32)  # [C, 2l, 2k]
+            if fits_vmem(
+                folded.shape[0], l, folded.shape[2], spectrum.shape[1]
+            ):
+                return fused_extract_static(
+                    spectrum, starts, folded, pairs=True
+                )
+        slices = gather_slices(spectrum, starts, l)  # [C, B, l]
         zri = jnp.concatenate(
             [jnp.real(slices), jnp.imag(slices)], axis=-1
         )  # [C, B, 2l]
@@ -191,6 +216,7 @@ def extract_bucket(
         if pairs:
             return y.reshape(*y.shape[:-1], kept, 2)
         return jax.lax.complex(y[..., :kept], y[..., kept:])
+    slices = gather_slices(spectrum, starts, l)  # [C, B, l]
     z = slices * jnp.asarray(base_windows)[:, None, :].astype(slices.dtype)
     if use_mxu:
         return subband_ifft_mxu(z, keep_from=keep_from, gain=gain,
