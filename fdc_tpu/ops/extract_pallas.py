@@ -83,7 +83,9 @@ def fused_extract_static(
     """Extract C static channels from [B, N] spectra in one fused kernel.
 
     Args:
-      spectrum: [B, N] complex64 spectra (normalized, fftshifted).
+      spectrum: [B, N] complex64 spectra (normalized, fftshifted), or a
+        (re, im) tuple of float32 planes (planar pipelines skip the
+        complex materialization entirely).
       starts: length-C sequence of PYTHON ints (static slice starts).
       folded: [C, 2l, 2k] float32 window-folded rr-IDFT matrices, rows
         0..l the real-plane half, l..2l the imaginary-plane half (the
@@ -94,14 +96,18 @@ def fused_extract_static(
 
     Returns [C, B, k, 2] float32 (pairs) or [C, B, k] complex64.
     """
-    b, n = spectrum.shape
+    if isinstance(spectrum, tuple):
+        re, im = spectrum
+    else:
+        re, im = jnp.real(spectrum), jnp.imag(spectrum)
+    b, n = re.shape
     c_dim, l2, k2 = folded.shape
     l = l2 // 2
     starts = [int(s) for s in starts]
     assert len(starts) == c_dim
     b_pad = ((b + tb - 1) // tb) * tb
-    re = jnp.pad(jnp.real(spectrum), ((0, b_pad - b), (0, 0)))
-    im = jnp.pad(jnp.imag(spectrum), ((0, b_pad - b), (0, 0)))
+    re = jnp.pad(re, ((0, b_pad - b), (0, 0)))
+    im = jnp.pad(im, ((0, b_pad - b), (0, 0)))
     mt = jnp.asarray(folded[:, :l])
     mb = jnp.asarray(folded[:, l:])
     grid = b_pad // tb

@@ -209,9 +209,13 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         out = {}
         if self._tp_unfused:
             mats = []
-            for (bucket, _, _), (starts, wins) in zip(
+            for (bucket, s_np, w_np), (starts, wins) in zip(
                 self._tp_unfused, tp_tables
             ):
+                if self.n_chan == 1:
+                    # replicated chan tables: keep them STATIC so the
+                    # fused Pallas extraction engages per time shard
+                    starts, wins = s_np, w_np
                 l = bucket.width
                 y = extract_bucket(spec, starts, wins, gain=float(l),
                                    use_mxu=cfg.use_mxu_fft,
@@ -228,9 +232,12 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             # t_local0-1 .. (row 0 = burst history row, discarded by tp)
             t_rows = t_local0 - 1 + jnp.arange(b_local + 1, dtype=jnp.int32)
             fused_out = []
-            for (w, tb, pb, n_tp, n_pa, *_), (starts, wins, psel) in zip(
+            for (w, tb, pb, n_tp, n_pa, s_np, w_np, p_np), \
+                    (starts, wins, psel) in zip(
                 self._sh_fused, fused_tables
             ):
+                if self.n_chan == 1:
+                    starts, wins, psel = s_np, w_np, p_np
                 y = extract_bucket(spec_ext, starts, wins,
                                    use_mxu=cfg.use_mxu_fft,
                                    keep_from=w - tb.out_len, pairs=True)
@@ -257,9 +264,11 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             )
             new_carry["powact"] = pa_state
             ext = {}
-            for (bucket, _, _), (s, wmat) in zip(
+            for (bucket, s_np, w_np), (s, wmat) in zip(
                 self._pa_unfused, pa_tables
             ):
+                if self.n_chan == 1:
+                    s, wmat = s_np, w_np
                 ext[bucket.width] = extract_bucket(
                     spec_ext, s, wmat, use_mxu=cfg.use_mxu_fft,
                     keep_from=bucket.width - bucket.out_len, pairs=True,
