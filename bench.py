@@ -36,7 +36,10 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=16, help="K (timed as 2K-K)")
+    # K sized so K*step >= 25 ms at the current ~0.55 ms step — the
+    # tunnel's several-ms dispatch spikes poison shorter timed windows
+    # (one run read 3x slow at K=16 while fft_only was normal)
+    ap.add_argument("--steps", type=int, default=48, help="K (timed as 2K-K)")
     ap.add_argument("--batch-blocks", type=int, default=512)
     args = ap.parse_args()
 

@@ -93,17 +93,49 @@ def _lifecycle_kernel(
         # chain, the same way the reference's per-block loop does no
         # channel work when nothing is detected or active
         # (reference: lib/SegmentDetection_impl.cc:163-176,346-365).
-        busy = (work_ref[i] != 0) | (o_counters[2] > 0)
+        has_cand = work_ref[i] != 0
+        live_in = o_counters[2] > 0
         row = pl.ds(i, 1)
 
-        @pl.when(jnp.logical_not(busy))
+        @pl.when(jnp.logical_not(has_cand | live_in))
         def _idle():
             f_flags[row, 0 * s_dim:3 * s_dim] = jnp.zeros(
                 (1, 3 * s_dim), jnp.int32
             )
             f_flags[row, 3 * s_dim:4 * s_dim] = o_state[6:7, :]  # phase
 
-        @pl.when(busy)
+        @pl.when(jnp.logical_not(has_cand) & live_in)
+        def _age_only():
+            # live slots but no candidates this block: the full body
+            # degenerates to aging + retiring (no match matrix, no
+            # candidate unpack matmul, no allocation ranking) — exactly
+            # _lifecycle_block with every candidate invalid. This is the
+            # common busy case on sparse streams: one live carrier makes
+            # every block "busy" for its whole dwell.
+            st = o_state[:]
+            active = st[0:1, :] != 0
+            tomb = st[1:2, :] != 0
+            phase = st[6:7, :]
+            phase_inc = st[7:8, :]
+            inactive = st[8:9, :]
+            live = active & ~tomb
+            inactive = jnp.where(live, inactive + 1, inactive)
+            emit_now = live & (inactive > delay)
+            tomb = tomb | emit_now
+            processed = live & ~emit_now
+            f_flags[row, 0 * s_dim:1 * s_dim] = jnp.zeros(
+                (1, s_dim), jnp.int32
+            )
+            f_flags[row, 1 * s_dim:2 * s_dim] = processed.astype(jnp.int32)
+            f_flags[row, 2 * s_dim:3 * s_dim] = emit_now.astype(jnp.int32)
+            f_flags[row, 3 * s_dim:4 * s_dim] = phase
+            phase = jnp.where(processed, (phase + phase_inc) % r, phase)
+            o_state[1:2, :] = tomb.astype(jnp.int32)
+            o_state[6:7, :] = phase
+            o_state[8:9, :] = inactive
+            o_counters[2] = jnp.sum(processed.astype(jnp.int32))
+
+        @pl.when(has_cand)
         def _full():
             _lifecycle_block(i)
         return 0

@@ -104,6 +104,32 @@ def idle_until(sd, rng, nb, first_on):
     return jnp.asarray(p, jnp.float32)
 
 
+@pytest.mark.parametrize("occupancy", [0.3, 1.0])
+def test_pallas_age_only_dwell_matches_scan(occupancy):
+    """Live slots aging across many candidate-free blocks (the kernel's
+    age-only middle path) retire identically to the scan reference."""
+    rng = np.random.default_rng(17)
+    sd_scan = make_detector("scan")
+    sd_pal = make_detector("pallas_interpret")
+    state = random_state(sd_scan, rng, occupancy)
+    nc = sd_scan.geometry.n_cells
+    # flat noise floor: no candidates anywhere; live slots only age out
+    power = jnp.asarray(
+        np.full((64, nc), 1e-6) + rng.random((64, nc)) * 1e-7, jnp.float32
+    )
+    ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, state)
+    ns_b, fl_b = sd_pal.scan_slots(power, state)
+    for k in ns_a:
+        np.testing.assert_array_equal(
+            np.asarray(ns_a[k]), np.asarray(ns_b[k]), err_msg=f"state[{k}]"
+        )
+    for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                        fl_a, fl_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"flags[{nm}]"
+        )
+
+
 @pytest.mark.parametrize("chunk", [1, 4, 8, 32])
 @pytest.mark.parametrize("first_on", [0, 7, 31, 32, 33, 63, 64])
 def test_pallas_chunked_idle_matches_scan(chunk, first_on):

@@ -160,12 +160,12 @@ def main():
 
     results = {}
     for name, step, k in [
-        ("A0_front", a0, 48),
-        ("A1_tp_pa_extract", a1, 32),
-        ("A2_powact", a2, 32),
-        ("A3_lifecycle", a3, 32),
-        ("A4_seg_extract", a4, 32),
-        ("A5_full", a5, 32),
+        ("A0_front", a0, 96),
+        ("A1_tp_pa_extract", a1, 64),
+        ("A2_powact", a2, 64),
+        ("A3_lifecycle", a3, 64),
+        ("A4_seg_extract", a4, 64),
+        ("A5_full", a5, 64),
     ]:
         t0 = time.time()
         dt = time_scanned(step, carry0, xf, k=k, repeats=5)
