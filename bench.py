@@ -41,6 +41,10 @@ def main():
     # (one run read 3x slow at K=16 while fft_only was normal)
     ap.add_argument("--steps", type=int, default=48, help="K (timed as 2K-K)")
     ap.add_argument("--batch-blocks", type=int, default=512)
+    # each repeat is ~100 ms of device time vs minutes of (cached) compile;
+    # the median over 5 still left the roofline with ~±7% spread, which
+    # dominates vs_baseline — 15 tightens it for ~1 s extra wall
+    ap.add_argument("--repeats", type=int, default=15)
     args = ap.parse_args()
 
     import os
@@ -86,7 +90,9 @@ def main():
             carry, xf_in, t_idx * jnp.int32(cfg.batch_blocks)
         )
 
-    dt_full = time_scanned(step_full, carry0, xf, k=args.steps, repeats=5)
+    dt_full = time_scanned(
+        step_full, carry0, xf, k=args.steps, repeats=args.repeats
+    )
 
     # -- roofline: framing + FFT + every consumer's windowing/IFFT ----------
     # detection slots at the CONFIGURED extraction budgets (the pipeline
@@ -151,7 +157,7 @@ def main():
         return nc, out
 
     dt_roof = time_scanned(
-        step_roofline, carry0, xf, k=2 * args.steps, repeats=5
+        step_roofline, carry0, xf, k=2 * args.steps, repeats=args.repeats
     )
 
     # -- FFT front-end alone (context, not the baseline denominator) --------
@@ -163,7 +169,9 @@ def main():
         nc["hist"] = hist
         return nc, [spec]
 
-    dt_fft = time_scanned(step_fft, carry0, xf, k=4 * args.steps, repeats=5)
+    dt_fft = time_scanned(
+        step_fft, carry0, xf, k=4 * args.steps, repeats=args.repeats
+    )
 
     msps = n / dt_full / 1e6
     msps_roof = n / dt_roof / 1e6
