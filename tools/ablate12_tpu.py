@@ -168,7 +168,7 @@ def main():
         ("A5_full", a5, 64),
     ]:
         t0 = time.time()
-        dt = time_scanned(step, carry0, xf, k=k, repeats=5)
+        dt = time_scanned(step, carry0, xf, k=k, repeats=15)
         results[name] = dt
         print(
             f"{name}: {dt*1e3:.4f} ms  (wall {time.time()-t0:.0f}s)",

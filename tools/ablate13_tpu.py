@@ -153,14 +153,14 @@ def main():
 
     results = {}
     for name, step, kk in [
-        ("L0_base", l0, 32),
-        ("L1_measure", l1, 32),
-        ("L2_candidates", l2, 32),
-        ("L3_geometry_pack", l3, 32),
-        ("L4_kernel", l4, 32),
+        ("L0_base", l0, 64),
+        ("L1_measure", l1, 64),
+        ("L2_candidates", l2, 64),
+        ("L3_geometry_pack", l3, 64),
+        ("L4_kernel", l4, 64),
     ]:
         t0 = time.time()
-        dt = time_scanned(step, carry0, xf, k=kk, repeats=5)
+        dt = time_scanned(step, carry0, xf, k=kk, repeats=15)
         results[name] = dt
         print(
             f"{name}: {dt*1e3:.4f} ms  (wall {time.time()-t0:.0f}s)",
