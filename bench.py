@@ -65,7 +65,11 @@ def main():
 
     from __graft_entry__ import _flagship
     from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
-    from fdc_tpu.ops.extract import extract_bucket, extract_dynamic
+    from fdc_tpu.ops.extract import (
+        extract_bucket,
+        extract_bucket_phased,
+        extract_dynamic,
+    )
     from fdc_tpu.ops.fft import forward_spectrum
     from fdc_tpu.ops.framing import frame_blocks
     from fdc_tpu.utils.cplx import c2f_host, f2c
@@ -131,13 +135,17 @@ def main():
         nc["prev_spec"] = spec[-1]
         out = []
         for bucket in tp.buckets:
-            y = extract_bucket(
+            # same routing as _step_from_spec: phase compensation folded
+            # into the fused shared-matrix kernel (batch_blocks % R == 0)
+            y = extract_bucket_phased(
                 spec, bucket.starts,
-                bucket.windows, gain=float(bucket.width),
+                bucket.windows, cfg.relinvovl, gain=float(bucket.width),
                 use_mxu=cfg.use_mxu_fft,
-                keep_from=bucket.width - bucket.out_len, pairs=True,
+                keep_from=bucket.width - bucket.out_len,
             )
-            out.append(tp.finish_bucket(bucket, y, t0, pairs=True))
+            out.append(
+                tp.finish_bucket(bucket, y, t0, pairs=True, prephased=True)
+            )
         for bucket in pa.buckets:
             out.append(
                 extract_bucket(

@@ -31,7 +31,7 @@ from fdc_tpu.config import ChannelizerConfig, VerboseMode
 from fdc_tpu.models.power_activation import PowerActivationBank
 from fdc_tpu.models.segment_detection import SegmentDetector
 from fdc_tpu.models.throughput import ThroughputChannelizer
-from fdc_tpu.ops.extract import extract_bucket
+from fdc_tpu.ops.extract import extract_bucket, extract_bucket_phased
 from fdc_tpu.ops.framing import frame_blocks
 from fdc_tpu.ops.fft import forward_spectrum
 from fdc_tpu.runtime.emission import (
@@ -296,10 +296,27 @@ class FrequencyDomainChannelizer:
             # one [C_l, B*out_len, 2] matrix per bucket (the host splits
             # rows; device-side per-channel splitting costs a kernel per
             # channel)
+            # t0 is always a whole number of batches (self._t0 += B), so
+            # with B % R == 0 the per-row phase pattern is static and the
+            # fused kernel folds the compensation in (extract_bucket_phased)
+            fold_phase = cfg.batch_blocks % cfg.relinvovl == 0
             mats = []
             for bucket in self.throughput.buckets:
                 if bucket.width in self._fused_widths:
                     mats.append(fused_mats[bucket.width])
+                    continue
+                if fold_phase:
+                    y = extract_bucket_phased(
+                        spec, bucket.starts, bucket.windows,
+                        cfg.relinvovl, gain=float(bucket.width),
+                        use_mxu=cfg.use_mxu_fft,
+                        keep_from=bucket.width - bucket.out_len,
+                    )
+                    mats.append(
+                        self.throughput.finish_bucket(
+                            bucket, y, t0, pairs=True, prephased=True
+                        )
+                    )
                     continue
                 y = extract_bucket(
                     spec, bucket.starts,

@@ -115,7 +115,7 @@ class ThroughputChannelizer:
 
     def finish_bucket(
         self, bucket: _Bucket, y: jax.Array, block_index0,
-        pairs: bool = False,
+        pairs: bool = False, prephased: bool = False,
     ):
         """Phase-compensate and trim a bucket's raw extraction into the
         per-channel stream matrix [C, B*out_len] (``pairs``: float32
@@ -123,7 +123,9 @@ class ThroughputChannelizer:
 
         Accepts y of [C, B, l(, 2)] (trims the l//R overlap here) or
         already overlap-trimmed [C, B, out_len(, 2)] (the MXU path never
-        computes the dropped columns). Separated from ``extract`` so the
+        computes the dropped columns). ``prephased``: y already carries
+        the per-block phase compensation (extract_bucket_phased) — only
+        trim + reshape here. Separated from ``extract`` so the
         channelizer's fused extraction path (shared slice-window-IFFT with
         the burst bank) can reuse the post-processing. Kept as ONE matrix:
         per-channel splitting belongs on the host — splitting on device
@@ -139,7 +141,8 @@ class ThroughputChannelizer:
         # (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83)
         phase_idx = (t[None, :] * starts[:, None]) % self.relinvovl
         if pairs:
-            y = apply_phase_pairs(y, phase_idx, self.relinvovl)
+            if not prephased:
+                y = apply_phase_pairs(y, phase_idx, self.relinvovl)
             if y.shape[-2] == l:
                 y = y[..., l - bucket.out_len:, :]
             return y.reshape(

@@ -41,6 +41,7 @@ __all__ = [
     "apply_phase_pairs",
     "gather_slices",
     "extract_bucket",
+    "extract_bucket_phased",
     "extract_dynamic",
 ]
 
@@ -165,9 +166,30 @@ def extract_bucket(
             # intermediates ever hit HBM (3.4x on the flagship tp bucket;
             # fdc_tpu/ops/extract_pallas.py)
             from fdc_tpu.ops.extract_pallas import (
-                fits_vmem, fused_extract_static,
+                fits_vmem, fused_extract_shared, fused_extract_static,
+                fused_shared_vmem_bytes, _VMEM_BUDGET,
             )
 
+            if (base_windows == base_windows[:1]).all():
+                # equal-window bucket: ONE shared matrix instead of C
+                # redundant copies — the flagship's 64-channel bucket
+                # only fits the VMEM budget in this form
+                folded_sh = (
+                    np.concatenate([base_windows[0], base_windows[0]])[
+                        :, None
+                    ]
+                    * m
+                ).astype(np.float32)  # [2l, 2k]
+                if (
+                    fused_shared_vmem_bytes(
+                        len(starts), l, folded_sh.shape[1],
+                        spectrum.shape[1],
+                    )
+                    <= _VMEM_BUDGET
+                ):
+                    return fused_extract_shared(
+                        spectrum, starts, folded_sh, pairs=True
+                    )
             folded = (
                 np.concatenate(
                     [base_windows, base_windows], axis=1
@@ -226,6 +248,77 @@ def extract_bucket(
         y = y * jnp.asarray(gain, dtype=y.dtype)
     y = y[..., keep_from:] if keep_from else y
     return c2f(y) if pairs else y
+
+
+def extract_bucket_phased(
+    spectrum: jax.Array,
+    starts,
+    base_windows,
+    relinvovl: int,
+    gain: float = 1.0,
+    use_mxu: bool = False,
+    keep_from: int = 0,
+) -> jax.Array:
+    """:func:`extract_bucket` with the overlap-save phase compensation
+    APPLIED (pairs layout), under the static contract that the global
+    block index of spectrum row 0 is ≡ 0 (mod relinvovl) — callers
+    guarantee it by keeping batch_blocks a multiple of relinvovl (t0 is
+    always a whole number of batches). Then the per-row phase index
+    ((t0 + b) * start_c) % R == ((b % R) * start_c) % R is a STATIC
+    pattern, and for R in {1, 2, 4} every factor is an exact quarter
+    turn — the fused Pallas path folds it into the extraction kernel as
+    selects/negates/swaps, eliminating the apply_phase_pairs pass over
+    the [C, B, k, 2] output (reference semantics:
+    lib/phase_shifting_windowing_vcc_impl.cc:80-83).
+
+    Falls back to extract_bucket + apply_phase_pairs (same values up to
+    the quarter-turn trig round-off of the one-hot path, which the fold
+    computes exactly) whenever the fused shared-matrix path cannot
+    engage. Always returns phase-compensated [C, B, k, 2] float32.
+    """
+    l = base_windows.shape[-1] if hasattr(base_windows, "shape") else len(
+        base_windows[0]
+    )
+    r = relinvovl
+    if (
+        use_mxu
+        and r in (1, 2, 4)
+        and isinstance(base_windows, np.ndarray)
+        and isinstance(starts, np.ndarray)
+        and (base_windows == base_windows[:1]).all()
+        and jax.default_backend() == "tpu"
+    ):
+        from fdc_tpu.ops.extract_pallas import (
+            _TB, _VMEM_BUDGET, fused_extract_shared,
+            fused_shared_vmem_bytes,
+        )
+
+        if _TB % r == 0:
+            m = _rr_idft_matrix(l, keep_from, True, float(gain), pairs=True)
+            folded_sh = (
+                np.concatenate([base_windows[0], base_windows[0]])[:, None]
+                * m
+            ).astype(np.float32)  # [2l, 2k]
+            if (
+                fused_shared_vmem_bytes(
+                    len(starts), l, folded_sh.shape[1], spectrum.shape[1]
+                )
+                <= _VMEM_BUDGET
+            ):
+                return fused_extract_shared(
+                    spectrum, starts, folded_sh, fold_phase_r=r,
+                    pairs=True,
+                )
+    y = extract_bucket(
+        spectrum, starts, base_windows, gain=gain, use_mxu=use_mxu,
+        keep_from=keep_from, pairs=True,
+    )
+    b = y.shape[1]
+    phase_idx = (
+        jnp.arange(b, dtype=jnp.int32)[None, :]
+        * jnp.asarray(starts, jnp.int32)[:, None]
+    ) % r
+    return apply_phase_pairs(y, phase_idx, r)
 
 
 def extract_dynamic(

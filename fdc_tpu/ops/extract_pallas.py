@@ -32,7 +32,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_extract_static", "fused_extract_vmem_bytes"]
+__all__ = [
+    "fused_extract_static",
+    "fused_extract_shared",
+    "fused_extract_vmem_bytes",
+    "fused_shared_vmem_bytes",
+]
 
 # default spectrum-tile height; 513-row batches pad to 9 tiles of 64
 _TB = 64
@@ -69,6 +74,150 @@ def _kernel(re_ref, im_ref, mt_ref, mb_ref, out_ref, *, starts, l):
             preferred_element_type=jnp.float32,
         )
         out_ref[c] = yr + yi
+
+
+_TB_SHARED = 32  # smaller tiles: the stacked scratch multiplies by C
+
+
+def fused_shared_vmem_bytes(
+    c: int, l: int, k2: int, n: int, tb: int = _TB_SHARED
+) -> int:
+    """VMEM footprint of one fused_extract_shared grid step."""
+    tiles = 2 * 2 * tb * n * 4          # re+im tiles, double-buffered
+    mats = 2 * l * k2 * 4               # ONE shared [2l, 2k] matrix
+    scratch = c * tb * 2 * l * 4        # stacked slices
+    y = c * tb * k2 * 4                 # matmul result
+    out = c * tb * k2 * 4
+    return tiles + mats + scratch + y + out
+
+
+def _kernel_shared(
+    re_ref, im_ref, m_ref, out_ref, z_scr, *, starts, l, fold_phase_r
+):
+    # Gather all channel slices into ONE scratch operand and run ONE
+    # [C*TB, 2l] @ [2l, 2k] matmul: per-channel [TB, l] matmuls would be
+    # a serial small-matmul chain (the anti-pattern that sank the fused
+    # Pallas FFT — see PERFORMANCE.md), while the stacked form tiles the
+    # MXU with thousands of rows. The copies are cheap VMEM moves.
+    tb = re_ref.shape[0]
+    k2 = out_ref.shape[2]
+    r = fold_phase_r
+    for c, s in enumerate(starts):
+        z_scr[c * tb:(c + 1) * tb, :l] = re_ref[:, s:s + l]
+        z_scr[c * tb:(c + 1) * tb, l:] = im_ref[:, s:s + l]
+    y = jax.lax.dot_general(
+        z_scr[:], m_ref[:],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [C*TB, 2k]
+    if r is not None:
+        # quarter-turn phase compensation masks: interleaved pairs swap
+        # via two lane rolls + parity select — Mosaic lowers static-shift
+        # rolls, while strided VALUE slices would lower as unsupported
+        # gathers. Patterns are regenerated from iotas with static-int
+        # arithmetic (Pallas kernels cannot capture constant arrays).
+        even = (
+            jax.lax.broadcasted_iota(jnp.int32, (tb, k2), 1) % 2 == 0
+        )
+        row_mod_r = jax.lax.broadcasted_iota(jnp.int32, (tb, 1), 0) % r
+    for c, s in enumerate(starts):
+        yc = y[c * tb:(c + 1) * tb]
+        if r is None or (s % r) == 0:
+            out_ref[c] = yc
+            continue
+        # per-row quarter-turn phase, applied as SELECTS (exact: rotation
+        # by j on an interleaved pair is (re, im) -> (-im, re), no trig
+        # round-off). Row b's phase index is the static pattern
+        # ((b % r) * s) % r, rescaled to quarter turns.
+        z = jnp.where(
+            even,
+            # even col k <- -y[:, k+1] = -im (roll by k2-1 == -1, Mosaic
+            # rolls must be non-negative)
+            -pltpu.roll(yc, k2 - 1, 1),
+            pltpu.roll(yc, 1, 1),   # odd col k  <-  y[:, k-1] =  re
+        )
+        qr = ((row_mod_r * int(s % r)) % r) * (4 // r)  # [TB, 1]
+        out_ref[c] = jnp.where(
+            qr == 0, yc,
+            jnp.where(qr == 1, z, jnp.where(qr == 2, -yc, -z)),
+        )
+
+
+def fused_extract_shared(
+    spectrum: jax.Array,
+    starts,
+    folded: np.ndarray,
+    *,
+    fold_phase_r: int | None = None,
+    pairs: bool = True,
+    tb: int = _TB_SHARED,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused extraction for an equal-window bucket: ONE shared matrix.
+
+    Equal-bandwidth buckets (the common case, e.g. the flagship's 64
+    channels) share a single window, hence a single folded window+IDFT
+    matrix — the per-channel [C, 2l, 2k] operand of
+    :func:`fused_extract_static` is C-times redundant and busts the VMEM
+    budget at C=64. This variant holds one [2l, 2k] matrix in VMEM, so
+    large buckets stay on the fused path.
+
+    Optionally folds the per-block overlap-save phase compensation in
+    (``fold_phase_r`` = relinvovl R, in {1, 2, 4}, dividing the tile
+    height): when the global index of spectrum row 0 is ≡ 0 (mod R),
+    the phase index of row b is the STATIC pattern ((b % R) * start_c)
+    % R, and every factor is a quarter turn, applied as an exact
+    select/negate/swap on the interleaved pair columns — the separate
+    apply_phase_pairs pass over the [C, B, k, 2] output disappears.
+
+    Args / returns otherwise as :func:`fused_extract_static`, with
+    ``folded`` of shape [2l, 2k].
+    """
+    if isinstance(spectrum, tuple):
+        re, im = spectrum
+    else:
+        re, im = jnp.real(spectrum), jnp.imag(spectrum)
+    b, n = re.shape
+    l2, k2 = folded.shape
+    l = l2 // 2
+    starts = [int(s) for s in starts]
+    c_dim = len(starts)
+    if fold_phase_r is not None:
+        assert fold_phase_r in (1, 2, 4) and tb % fold_phase_r == 0, (
+            fold_phase_r, tb,
+        )
+    b_pad = ((b + tb - 1) // tb) * tb
+    re = jnp.pad(re, ((0, b_pad - b), (0, 0)))
+    im = jnp.pad(im, ((0, b_pad - b), (0, 0)))
+    m = jnp.asarray(folded)  # [2l, 2k]
+    grid = b_pad // tb
+    kernel = functools.partial(
+        _kernel_shared, starts=starts, l=l, fold_phase_r=fold_phase_r
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((l2, k2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c_dim, tb, k2), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((c_dim, b_pad, k2), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c_dim * tb, l2), jnp.float32)],
+        interpret=interpret,
+    )(re, im, m)
+    out = out[:, :b]
+    if pairs:
+        return out.reshape(c_dim, b, -1, 2)
+    kept = k2 // 2
+    y = out.reshape(c_dim, b, kept, 2)
+    return jax.lax.complex(y[..., 0], y[..., 1])
 
 
 def fused_extract_static(

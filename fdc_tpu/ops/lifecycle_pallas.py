@@ -149,10 +149,11 @@ def _lifecycle_kernel(
         # because live slots can only appear via an allocation, which
         # needs a candidate: no work in the chunk + no live slots at its
         # start ⇒ every block in it is idle.
-        busy = (chunk_work_ref[c] != 0) | (o_counters[2] > 0)
+        has_work = chunk_work_ref[c] != 0
+        live_in = o_counters[2] > 0
         rows = pl.ds(c * chunk, chunk)
 
-        @pl.when(jnp.logical_not(busy))
+        @pl.when(jnp.logical_not(has_work | live_in))
         def _idle():
             f_flags[rows, 0 * s_dim:3 * s_dim] = jnp.zeros(
                 (chunk, 3 * s_dim), jnp.int32
@@ -161,7 +162,54 @@ def _lifecycle_kernel(
                 o_state[6:7, :], (chunk, s_dim)
             )
 
-        @pl.when(busy)
+        @pl.when(jnp.logical_not(has_work) & live_in)
+        def _age_chunk():
+            # Candidate-free chunk with live slots: aging is CLOSED FORM.
+            # A live slot entering with age a0 retires at in-chunk block
+            # j* = max(delay - a0, 0) (aged first, then emit when
+            # age > delay), processes blocks j < j*, and advances its
+            # phase once per processed block — all per-block flags and
+            # the end-of-chunk state are computable vectorized, so a
+            # carrier's dwell costs one serial iteration per chunk
+            # instead of one per block.
+            st = o_state[:]
+            active = st[0:1, :] != 0
+            tomb = st[1:2, :] != 0
+            phase0 = st[6:7, :]
+            phase_inc = st[7:8, :]
+            a0 = st[8:9, :]
+            live0 = active & ~tomb  # [1, S]
+            jstar = jnp.maximum(delay - a0, 0)  # [1, S]
+
+            j = jax.lax.broadcasted_iota(jnp.int32, (chunk, s_dim), 0)
+            processed = live0 & (j < jstar)  # [chunk, S]
+            emit = live0 & (j == jstar)
+            phase_used = jnp.where(
+                live0,
+                (phase0 + jnp.minimum(j, jstar) * phase_inc) % r,
+                phase0,
+            )
+            f_flags[rows, 0 * s_dim:1 * s_dim] = jnp.zeros(
+                (chunk, s_dim), jnp.int32
+            )
+            f_flags[rows, 1 * s_dim:2 * s_dim] = processed.astype(jnp.int32)
+            f_flags[rows, 2 * s_dim:3 * s_dim] = emit.astype(jnp.int32)
+            f_flags[rows, 3 * s_dim:4 * s_dim] = phase_used
+
+            retires = live0 & (jstar < chunk)
+            n_steps = jnp.minimum(jstar, chunk)  # processed blocks
+            o_state[1:2, :] = (tomb | retires).astype(jnp.int32)
+            o_state[6:7, :] = jnp.where(
+                live0, (phase0 + n_steps * phase_inc) % r, phase0
+            )
+            o_state[8:9, :] = jnp.where(
+                live0, a0 + jnp.minimum(jstar + 1, chunk), a0
+            )
+            o_counters[2] = jnp.sum(
+                (live0 & (jstar >= chunk)).astype(jnp.int32)
+            )
+
+        @pl.when(has_work)
         def _scan_chunk():
             jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
         return 0

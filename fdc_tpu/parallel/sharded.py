@@ -40,7 +40,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fdc_tpu.config import ChannelizerConfig
 from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
-from fdc_tpu.ops.extract import apply_phase_pairs, extract_bucket
+from fdc_tpu.ops.extract import (
+    apply_phase_pairs,
+    extract_bucket,
+    extract_bucket_phased,
+)
 from fdc_tpu.ops.fft import forward_spectrum
 from fdc_tpu.ops.framing import frame_blocks
 from fdc_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
@@ -208,6 +212,13 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
 
         out = {}
         if self._tp_unfused:
+            # phase folding is shard-safe when every shard's first global
+            # block index stays ≡ 0 (mod R): t0 is a whole number of
+            # batches and t_local0 = t0 + tidx*b_local, so b_local % R == 0
+            # suffices (same contract as the unsharded step)
+            fold_phase = (
+                self.n_chan == 1 and b_local % cfg.relinvovl == 0
+            )
             mats = []
             for (bucket, s_np, w_np), (starts, wins) in zip(
                 self._tp_unfused, tp_tables
@@ -217,11 +228,21 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                     # fused Pallas extraction engages per time shard
                     starts, wins = s_np, w_np
                 l = bucket.width
-                y = extract_bucket(spec, starts, wins, gain=float(l),
-                                   use_mxu=cfg.use_mxu_fft,
-                                   keep_from=l - bucket.out_len, pairs=True)
-                phase_idx = (t[None, :] * starts[:, None]) % cfg.relinvovl
-                y = apply_phase_pairs(y, phase_idx, cfg.relinvovl)
+                if fold_phase:
+                    y = extract_bucket_phased(
+                        spec, starts, wins, cfg.relinvovl, gain=float(l),
+                        use_mxu=cfg.use_mxu_fft,
+                        keep_from=l - bucket.out_len,
+                    )
+                else:
+                    y = extract_bucket(spec, starts, wins, gain=float(l),
+                                       use_mxu=cfg.use_mxu_fft,
+                                       keep_from=l - bucket.out_len,
+                                       pairs=True)
+                    phase_idx = (
+                        t[None, :] * starts[:, None]
+                    ) % cfg.relinvovl
+                    y = apply_phase_pairs(y, phase_idx, cfg.relinvovl)
                 # [C_loc, b_local, out_len, 2]
                 c_loc = y.shape[0]
                 mats.append(y.reshape(c_loc, b_local * bucket.out_len, 2))

@@ -6,8 +6,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from fdc_tpu.ops.extract import extract_bucket
-from fdc_tpu.ops.extract_pallas import fused_extract_static
+from fdc_tpu.ops.extract import apply_phase_pairs, extract_bucket
+from fdc_tpu.ops.extract_pallas import (
+    fused_extract_shared,
+    fused_extract_static,
+)
 from fdc_tpu.ops.fft import _rr_idft_matrix
 
 
@@ -49,6 +52,111 @@ def test_fused_matches_fold_path(seed, b, n, l, c, keep_from, gain):
     assert g.shape == a.shape
     rel = np.sqrt(np.mean((a - g) ** 2) / np.mean(a**2))
     assert rel < 1e-6, rel
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+@pytest.mark.parametrize(
+    "b,n,l,c,keep_from,gain",
+    [
+        (13, 512, 64, 5, 16, 64.0),
+        (64, 1024, 128, 3, 32, 1.0),
+    ],
+)
+def test_fused_shared_matches_fold_path(seed, b, n, l, c, keep_from, gain):
+    """Equal-window bucket through the shared-matrix kernel (no phase)."""
+    rng = np.random.default_rng(seed)
+    spec = (
+        rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))
+    ).astype(np.complex64)
+    starts = np.sort(rng.choice(n - l, size=c, replace=False)).astype(
+        np.int32
+    )
+    win = (rng.random(l).astype(np.float32) + 0.1)
+    wins = np.tile(win, (c, 1))
+
+    ref = extract_bucket(
+        jnp.asarray(spec), starts, wins, gain=gain, use_mxu=True,
+        keep_from=keep_from, pairs=True,
+    )
+    m = _rr_idft_matrix(l, keep_from, True, float(gain), pairs=True)
+    folded = (np.concatenate([win, win])[:, None] * m).astype(np.float32)
+    got = fused_extract_shared(
+        jnp.asarray(spec), starts, folded, pairs=True, tb=8, interpret=True,
+    )
+    a, g = np.asarray(ref), np.asarray(got)
+    assert g.shape == a.shape
+    rel = np.sqrt(np.mean((a - g) ** 2) / np.mean(a**2))
+    assert rel < 1e-6, rel
+
+
+@pytest.mark.parametrize("r", [1, 2, 4])
+def test_fused_shared_phase_fold(r):
+    """qpat quarter-turn folding == extract + apply_phase_pairs (t0=0)."""
+    rng = np.random.default_rng(7)
+    b, n, l, c, keep_from, tb = 21, 512, 64, 5, 16, 8
+    spec = (
+        rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))
+    ).astype(np.complex64)
+    starts = np.sort(rng.choice(n - l, size=c, replace=False)).astype(
+        np.int32
+    )
+    win = rng.random(l).astype(np.float32) + 0.1
+    wins = np.tile(win, (c, 1))
+
+    y = extract_bucket(
+        jnp.asarray(spec), starts, wins, gain=float(l), use_mxu=True,
+        keep_from=keep_from, pairs=True,
+    )
+    phase_idx = (
+        jnp.arange(b, dtype=jnp.int32)[None, :]
+        * jnp.asarray(starts)[:, None]
+    ) % r
+    ref = np.asarray(apply_phase_pairs(y, phase_idx, r))
+
+    m = _rr_idft_matrix(l, keep_from, True, float(l), pairs=True)
+    folded = (np.concatenate([win, win])[:, None] * m).astype(np.float32)
+    got = np.asarray(
+        fused_extract_shared(
+            jnp.asarray(spec), starts, folded, fold_phase_r=r, pairs=True,
+            tb=tb, interpret=True,
+        )
+    )
+    assert got.shape == ref.shape
+    rel = np.sqrt(np.mean((ref - got) ** 2) / np.mean(ref**2))
+    # the fold applies EXACT quarter turns; apply_phase_pairs carries the
+    # ~1e-7 trig round-off of cos(pi/2) etc.
+    assert rel < 2e-6, rel
+
+
+def test_extract_bucket_phased_fallback_matches():
+    """On CPU the phased wrapper falls back to extract + apply (bit-equal)."""
+    from fdc_tpu.ops.extract import apply_phase_pairs, extract_bucket_phased
+
+    rng = np.random.default_rng(11)
+    b, n, l, c, keep_from, r = 12, 512, 64, 4, 16, 4
+    spec = (
+        rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))
+    ).astype(np.complex64)
+    starts = np.sort(rng.choice(n - l, size=c, replace=False)).astype(
+        np.int32
+    )
+    wins = np.tile(rng.random(l).astype(np.float32) + 0.1, (c, 1))
+    y = extract_bucket(
+        jnp.asarray(spec), starts, wins, gain=float(l), use_mxu=True,
+        keep_from=keep_from, pairs=True,
+    )
+    phase_idx = (
+        jnp.arange(b, dtype=jnp.int32)[None, :]
+        * jnp.asarray(starts)[:, None]
+    ) % r
+    ref = np.asarray(apply_phase_pairs(y, phase_idx, r))
+    got = np.asarray(
+        extract_bucket_phased(
+            jnp.asarray(spec), starts, wins, r, gain=float(l),
+            use_mxu=True, keep_from=keep_from,
+        )
+    )
+    np.testing.assert_array_equal(ref, got)
 
 
 def test_fused_complex_output():

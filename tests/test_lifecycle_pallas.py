@@ -130,6 +130,47 @@ def test_pallas_age_only_dwell_matches_scan(occupancy):
         )
 
 
+@pytest.mark.parametrize("delay", [0, 5, 31, 32, 33, 100])
+def test_pallas_age_chunk_retirement_offsets(delay):
+    """Dwell retirement at every chunk-relative offset (the closed-form
+    chunked age path): a carrier turns on, the band then goes flat, and
+    the slot must age out at exactly block on_end + delay + 1 regardless
+    of where that lands relative to the 32-block chunk grid."""
+    rng = np.random.default_rng(5)
+
+    def det(backend):
+        return SegmentDetector(
+            0, 1024, 4, 0.1, 0.6, 6.0, 0.02, 0.2,
+            channel_deactivation_delay=delay,
+            max_slots=16, max_candidates=8, max_extract_width=256,
+            lifecycle_backend=backend,
+        )
+
+    sd_scan, sd_pal = det("scan"), det("pallas_interpret")
+    nc = sd_scan.geometry.n_cells
+    nb = 192
+    p = np.full((nb, nc), 1e-6) + rng.random((nb, nc)) * 1e-7
+    p[3:9, 10:13] += 2.0  # carrier on blocks 3..8; flat afterwards
+    power = jnp.asarray(p, jnp.float32)
+    state = sd_scan.init_state()
+
+    ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, state)
+    ns_b, fl_b = sd_pal.scan_slots(power, state)
+    for k in ns_a:
+        np.testing.assert_array_equal(
+            np.asarray(ns_a[k]), np.asarray(ns_b[k]), err_msg=f"state[{k}]"
+        )
+    for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                        fl_a, fl_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"flags[{nm}]"
+        )
+    # the slot must actually have lived and retired (when delay allows)
+    emits = np.asarray(fl_a[2])
+    if delay <= nb - 12:
+        assert emits.any(), "expected a retirement inside the batch"
+
+
 @pytest.mark.parametrize("chunk", [1, 4, 8, 32])
 @pytest.mark.parametrize("first_on", [0, 7, 31, 32, 33, 63, 64])
 def test_pallas_chunked_idle_matches_scan(chunk, first_on):
