@@ -78,10 +78,12 @@ def _cmd_config(args) -> int:
 
 
 def _cmd_run(args) -> int:
-    if args.cpu:
+    if args.cpu or args.cpu_devices:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        if args.cpu_devices:
+            jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
     import dataclasses
 
@@ -96,7 +98,13 @@ def _cmd_run(args) -> int:
         )
     if args.waterfall and not cfg.debug:
         cfg = dataclasses.replace(cfg, debug=True)
-    fdc = FrequencyDomainChannelizer(cfg)
+    if args.time_shards > 1 or args.chan_shards > 1:
+        from fdc_tpu.parallel import ShardedChannelizer, make_mesh
+
+        mesh = make_mesh(n_time=args.time_shards, n_chan=args.chan_shards)
+        fdc = ShardedChannelizer(cfg, mesh=mesh)
+    else:
+        fdc = FrequencyDomainChannelizer(cfg)
 
     events = []
     tp_parts: list = [[] for _ in cfg.fdc_throughput_channels()]
@@ -198,6 +206,12 @@ def main(argv=None) -> int:
     p_run.add_argument("--cpu", action="store_true", help="force CPU")
     p_run.add_argument("--no-native", action="store_true",
                        help="skip the native ring (pure-Python buffering)")
+    p_run.add_argument("--time-shards", type=int, default=1,
+                       help="shard time-blocks over this many devices")
+    p_run.add_argument("--chan-shards", type=int, default=1,
+                       help="shard channel groups over this many devices")
+    p_run.add_argument("--cpu-devices", type=int, default=0,
+                       help="force N virtual CPU devices (mesh testing)")
     args = ap.parse_args(argv)
 
     return {"template": _cmd_template,

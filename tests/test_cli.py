@@ -99,3 +99,15 @@ def test_run_capture(config_path, tmp_path, capsys):
 def test_run_missing_file_raises(config_path, tmp_path):
     with pytest.raises(IOError):
         main(["run", str(config_path), str(tmp_path / "nope.c64")])
+
+
+def test_run_sharded_matches_plain(config_path, tmp_path):
+    """--time-shards/--chan-shards produce the identical throughput stream
+    (the conftest mesh provides 8 virtual CPU devices)."""
+    cap, _ = _capture(tmp_path)
+    _run(config_path, cap, tmp_path / "plain", tmp_path / "ev_p.jsonl")
+    _run(config_path, cap, tmp_path / "shard", tmp_path / "ev_s.jsonl",
+         extra=("--time-shards", "4", "--chan-shards", "2"))
+    a = np.fromfile(tmp_path / "plain" / "throughput_ch0.c64", np.complex64)
+    b = np.fromfile(tmp_path / "shard" / "throughput_ch0.c64", np.complex64)
+    np.testing.assert_array_equal(a, b)
