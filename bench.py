@@ -134,17 +134,26 @@ def main():
         spec_ext = jnp.concatenate([carry["prev_spec"][None], spec])
         nc["prev_spec"] = spec[-1]
         out = []
+        # same routing as _step_from_spec: the fold (and its t0 ≡ 0 mod R
+        # contract) only holds when batch_blocks is a multiple of relinvovl
+        fold_phase = cfg.batch_blocks % cfg.relinvovl == 0
         for bucket in tp.buckets:
-            # same routing as _step_from_spec: phase compensation folded
-            # into the fused shared-matrix kernel (batch_blocks % R == 0)
-            y = extract_bucket_phased(
-                spec, bucket.starts,
-                bucket.windows, cfg.relinvovl, gain=float(bucket.width),
-                use_mxu=cfg.use_mxu_fft,
-                keep_from=bucket.width - bucket.out_len,
-            )
+            if fold_phase:
+                y = extract_bucket_phased(
+                    spec, bucket.starts,
+                    bucket.windows, cfg.relinvovl, gain=float(bucket.width),
+                    use_mxu=cfg.use_mxu_fft,
+                    keep_from=bucket.width - bucket.out_len,
+                )
+            else:
+                y = extract_bucket(
+                    spec, bucket.starts, bucket.windows,
+                    gain=float(bucket.width), use_mxu=cfg.use_mxu_fft,
+                    keep_from=bucket.width - bucket.out_len, pairs=True,
+                )
             out.append(
-                tp.finish_bucket(bucket, y, t0, pairs=True, prephased=True)
+                tp.finish_bucket(bucket, y, t0, pairs=True,
+                                 prephased=fold_phase)
             )
         for bucket in pa.buckets:
             out.append(

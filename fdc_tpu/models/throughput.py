@@ -134,21 +134,26 @@ class ThroughputChannelizer:
         """
         b = y.shape[1]
         l = bucket.width
-        block_index0 = jnp.asarray(block_index0, dtype=jnp.int32)
-        t = block_index0 + jnp.arange(b, dtype=jnp.int32)  # [B] global blocks
-        starts = jnp.asarray(bucket.starts)
-        # overlap-save phase compensation: window index (t * start) % R
-        # (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83)
-        phase_idx = (t[None, :] * starts[:, None]) % self.relinvovl
+
+        def phase_idx():
+            # overlap-save phase compensation: window index (t * start) % R
+            # (reference: lib/phase_shifting_windowing_vcc_impl.cc:80-83);
+            # block_index0 is unused (dead) when prephased
+            t = jnp.asarray(block_index0, dtype=jnp.int32) + jnp.arange(
+                b, dtype=jnp.int32
+            )  # [B] global blocks
+            return (t[None, :] * jnp.asarray(bucket.starts)[:, None]) \
+                % self.relinvovl
+
         if pairs:
             if not prephased:
-                y = apply_phase_pairs(y, phase_idx, self.relinvovl)
+                y = apply_phase_pairs(y, phase_idx(), self.relinvovl)
             if y.shape[-2] == l:
                 y = y[..., l - bucket.out_len:, :]
             return y.reshape(
                 len(bucket.channel_ids), b * bucket.out_len, 2
             )
-        y = apply_phase(y, phase_idx, self.relinvovl)
+        y = apply_phase(y, phase_idx(), self.relinvovl)
         if y.shape[-1] == l:
             y = y[..., l - bucket.out_len:]  # drop time-domain overlap
         return y.reshape(len(bucket.channel_ids), b * bucket.out_len)

@@ -112,6 +112,51 @@ def gather_slices(spectrum: jax.Array, starts: jax.Array, width: int) -> jax.Arr
     return jax.vmap(cut)(starts.astype(jnp.int32))
 
 
+def _shared_fused_matrix(
+    spectrum, starts, base_windows, l, keep_from, gain, fold_phase_r=0
+):
+    """Decide whether the fused shared-matrix Pallas kernel can engage,
+    and build its folded window+IDFT matrix if so.
+
+    Engagement requires an equal-window fully static bucket (numpy
+    windows AND starts) on the TPU backend within the kernel's VMEM
+    budget; with ``fold_phase_r`` set, additionally R in {1, 2, 4} with
+    the kernel's block tile a multiple of R (the quarter-turn fold's
+    row-group pattern must align to tiles). Returns the [2l, 2k] float32
+    matrix, or None when the caller must take a fallback path. The single
+    decision point for both :func:`extract_bucket` and
+    :func:`extract_bucket_phased` — keep the gates and the fold layout
+    here so the two entry points cannot drift.
+    """
+    if not (
+        isinstance(base_windows, np.ndarray)
+        and isinstance(starts, np.ndarray)
+        and jax.default_backend() == "tpu"
+        and (base_windows == base_windows[:1]).all()
+    ):
+        return None
+    from fdc_tpu.ops.extract_pallas import (
+        _TB_SHARED, _VMEM_BUDGET, fused_shared_vmem_bytes,
+    )
+
+    if fold_phase_r and (
+        fold_phase_r not in (1, 2, 4) or _TB_SHARED % fold_phase_r
+    ):
+        return None
+    m = _rr_idft_matrix(l, keep_from, True, float(gain), pairs=True)
+    folded_sh = (
+        np.concatenate([base_windows[0], base_windows[0]])[:, None] * m
+    ).astype(np.float32)  # [2l, 2k]
+    if (
+        fused_shared_vmem_bytes(
+            len(starts), l, folded_sh.shape[1], spectrum.shape[1]
+        )
+        > _VMEM_BUDGET
+    ):
+        return None
+    return folded_sh
+
+
 def extract_bucket(
     spectrum: jax.Array,
     starts: jax.Array,
@@ -167,29 +212,15 @@ def extract_bucket(
             # fdc_tpu/ops/extract_pallas.py)
             from fdc_tpu.ops.extract_pallas import (
                 fits_vmem, fused_extract_shared, fused_extract_static,
-                fused_shared_vmem_bytes, _VMEM_BUDGET,
             )
 
-            if (base_windows == base_windows[:1]).all():
-                # equal-window bucket: ONE shared matrix instead of C
-                # redundant copies — the flagship's 64-channel bucket
-                # only fits the VMEM budget in this form
-                folded_sh = (
-                    np.concatenate([base_windows[0], base_windows[0]])[
-                        :, None
-                    ]
-                    * m
-                ).astype(np.float32)  # [2l, 2k]
-                if (
-                    fused_shared_vmem_bytes(
-                        len(starts), l, folded_sh.shape[1],
-                        spectrum.shape[1],
-                    )
-                    <= _VMEM_BUDGET
-                ):
-                    return fused_extract_shared(
-                        spectrum, starts, folded_sh, pairs=True
-                    )
+            folded_sh = _shared_fused_matrix(
+                spectrum, starts, base_windows, l, keep_from, gain
+            )
+            if folded_sh is not None:
+                return fused_extract_shared(
+                    spectrum, starts, folded_sh, pairs=True
+                )
             folded = (
                 np.concatenate(
                     [base_windows, base_windows], axis=1
@@ -280,35 +311,17 @@ def extract_bucket_phased(
         base_windows[0]
     )
     r = relinvovl
-    if (
-        use_mxu
-        and r in (1, 2, 4)
-        and isinstance(base_windows, np.ndarray)
-        and isinstance(starts, np.ndarray)
-        and (base_windows == base_windows[:1]).all()
-        and jax.default_backend() == "tpu"
-    ):
-        from fdc_tpu.ops.extract_pallas import (
-            _TB, _VMEM_BUDGET, fused_extract_shared,
-            fused_shared_vmem_bytes,
+    if use_mxu:
+        folded_sh = _shared_fused_matrix(
+            spectrum, starts, base_windows, l, keep_from, gain,
+            fold_phase_r=r,
         )
+        if folded_sh is not None:
+            from fdc_tpu.ops.extract_pallas import fused_extract_shared
 
-        if _TB % r == 0:
-            m = _rr_idft_matrix(l, keep_from, True, float(gain), pairs=True)
-            folded_sh = (
-                np.concatenate([base_windows[0], base_windows[0]])[:, None]
-                * m
-            ).astype(np.float32)  # [2l, 2k]
-            if (
-                fused_shared_vmem_bytes(
-                    len(starts), l, folded_sh.shape[1], spectrum.shape[1]
-                )
-                <= _VMEM_BUDGET
-            ):
-                return fused_extract_shared(
-                    spectrum, starts, folded_sh, fold_phase_r=r,
-                    pairs=True,
-                )
+            return fused_extract_shared(
+                spectrum, starts, folded_sh, fold_phase_r=r, pairs=True,
+            )
     y = extract_bucket(
         spectrum, starts, base_windows, gain=gain, use_mxu=use_mxu,
         keep_from=keep_from, pairs=True,
