@@ -105,6 +105,11 @@ def _cmd_run(args) -> int:
         fdc = ShardedChannelizer(cfg, mesh=mesh)
     else:
         fdc = FrequencyDomainChannelizer(cfg)
+    if args.resume:
+        from fdc_tpu.runtime.checkpoint import load_checkpoint
+
+        load_checkpoint(fdc, args.resume)
+        print(f"resumed from {args.resume}")
 
     events = []
     tp_parts: list = [[] for _ in cfg.fdc_throughput_channels()]
@@ -155,6 +160,12 @@ def _cmd_run(args) -> int:
         # event payloads were already written by the channelizer's FileSink
         print(f"event files in {args.out_dir}/ "
               f"(<ID>.fin / <ID>.parted.<n>)")
+
+    if args.checkpoint:
+        from fdc_tpu.runtime.checkpoint import save_checkpoint
+
+        save_checkpoint(fdc, args.checkpoint)
+        print(f"wrote {args.checkpoint}")
 
     if args.events_jsonl:
         with open(args.events_jsonl, "w") as f:
@@ -212,6 +223,10 @@ def main(argv=None) -> int:
                        help="shard channel groups over this many devices")
     p_run.add_argument("--cpu-devices", type=int, default=0,
                        help="force N virtual CPU devices (mesh testing)")
+    p_run.add_argument("--checkpoint", default="",
+                       help="save the streaming state here when done")
+    p_run.add_argument("--resume", default="",
+                       help="restore streaming state saved by --checkpoint")
     args = ap.parse_args(argv)
 
     return {"template": _cmd_template,

@@ -101,6 +101,29 @@ def test_run_missing_file_raises(config_path, tmp_path):
         main(["run", str(config_path), str(tmp_path / "nope.c64")])
 
 
+def test_run_checkpoint_resume(config_path, tmp_path):
+    """Splitting a capture across two runs with --checkpoint/--resume
+    yields the same throughput stream as one uninterrupted run."""
+    cap, _ = _capture(tmp_path)  # 48 blocks = 3 exact batches
+    x = np.fromfile(cap, np.complex64)
+    split = 2 * 16 * 768  # 2 batches
+    (tmp_path / "a.c64").write_bytes(x[:split].tobytes())
+    (tmp_path / "b.c64").write_bytes(x[split:].tobytes())
+    ckpt = tmp_path / "state.ckpt"
+
+    _run(config_path, cap, tmp_path / "full", tmp_path / "ev_f.jsonl")
+    _run(config_path, tmp_path / "a.c64", tmp_path / "p1",
+         tmp_path / "ev1.jsonl", extra=("--checkpoint", str(ckpt)))
+    _run(config_path, tmp_path / "b.c64", tmp_path / "p2",
+         tmp_path / "ev2.jsonl", extra=("--resume", str(ckpt)))
+
+    full = np.fromfile(tmp_path / "full" / "throughput_ch0.c64",
+                       np.complex64)
+    a = np.fromfile(tmp_path / "p1" / "throughput_ch0.c64", np.complex64)
+    b = np.fromfile(tmp_path / "p2" / "throughput_ch0.c64", np.complex64)
+    np.testing.assert_array_equal(full, np.concatenate([a, b]))
+
+
 def test_run_sharded_matches_plain(config_path, tmp_path):
     """--time-shards/--chan-shards produce the identical throughput stream
     (the conftest mesh provides 8 virtual CPU devices)."""
