@@ -191,6 +191,104 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_vcm(args) -> int:
+    """Standalone multi-segment detector over a capture — the analog of
+    wiring the reference's activity_detection_channelizer_vcm block
+    behind an external FFT (reference:
+    grc/FDC_activity_detection_channelizer_vcm.xml): an overlap-save
+    FFT front-end feeds pre-FFT'd spectra into ActivityDetectionRunner.
+    """
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from fdc_tpu.models.activity_detection import (
+        ActivityDetectionChannelizer,
+        ActivityDetectionRunner,
+    )
+    from fdc_tpu.ops.fft import forward_spectrum
+    from fdc_tpu.ops.framing import frame_blocks
+    from fdc_tpu.utils.cplx import c2f, c2f_host, f2c, f2c_host
+    from fdc_tpu.utils.events import FileSink
+
+    cfg = _load_config(args.config)
+    segs = [list(s) for s in cfg.fdc_activity_detection_segments()]
+    if not segs:
+        print("config has no activity_detection_segments", file=sys.stderr)
+        return 2
+    adc = ActivityDetectionChannelizer(
+        blocklen=cfg.blocksize,
+        segments=segs,
+        thresh_db=cfg.act_det_threshold,
+        relinvovl=cfg.relinvovl,
+        minchandist=cfg.minchandist,
+        channel_deactivation_delay=cfg.act_det_deactivation_delay,
+        window_flank_puffer=cfg.minchanflankpuffer,
+        max_slots=cfg.max_slots,
+        max_candidates=cfg.max_candidates,
+        max_extract_width=cfg.max_extract_width,
+        verbose=cfg.verbose,
+        extract_budget=cfg.extract_budget,
+        extract_width_split=cfg.extract_width_split,
+        extract_budget_narrow=cfg.extract_budget_narrow,
+    )
+    sink = None
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        sink = FileSink(args.out_dir)
+    runner = ActivityDetectionRunner(
+        adc, maxblocks=cfg.act_det_maxblocks, file_sink=sink,
+        msg_output=True, native_emission=cfg.native_emission,
+    )
+
+    blocklen, r = cfg.blocksize, cfg.relinvovl
+    inplen = blocklen - blocklen // r
+
+    @jax.jit
+    def front(histf, xf):
+        blocks, hist2 = frame_blocks(f2c(xf), f2c(histf), blocklen)
+        return c2f(hist2), c2f(
+            forward_spectrum(blocks, use_mxu=cfg.use_mxu_fft)
+        )
+
+    x = np.fromfile(args.capture, dtype=np.complex64)
+    nb_total = len(x) // inplen
+    if nb_total == 0:
+        print("capture shorter than one block", file=sys.stderr)
+        return 2
+    histf = jnp.asarray(c2f_host(np.zeros(blocklen // r, np.complex64)))
+    events = []
+    t_start = time.time()
+    step = cfg.batch_blocks * inplen
+    for off in range(0, nb_total * inplen, step):
+        chunk = x[off: off + step]
+        chunk = chunk[: (len(chunk) // inplen) * inplen]
+        if not len(chunk):
+            break
+        histf, specf = front(histf, jnp.asarray(c2f_host(chunk)))
+        events.extend(runner.process_spectra(f2c_host(np.asarray(specf))))
+    wall = time.time() - t_start
+
+    print(f"blocks processed: {nb_total}")
+    print(f"events:           {len(events)}")
+    print(f"throughput:       {nb_total * inplen / max(wall, 1e-9) / 1e6:.3g}"
+          f" MS/s (wall {wall:.1f}s, includes compile)")
+    if args.out_dir:
+        print(f"event files in {args.out_dir}/")
+    if args.events_jsonl:
+        with open(args.events_jsonl, "w") as f:
+            for e in events:
+                d = e.to_dict()
+                d["nsamples"] = int(len(e.data))
+                f.write(json.dumps(d) + "\n")
+        print(f"wrote {args.events_jsonl}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m fdc_tpu",
@@ -227,11 +325,23 @@ def main(argv=None) -> int:
                        help="save the streaming state here when done")
     p_run.add_argument("--resume", default="",
                        help="restore streaming state saved by --checkpoint")
+
+    p_vcm = sub.add_parser(
+        "vcm", help="standalone multi-segment detector (vcm semantics)"
+    )
+    p_vcm.add_argument("config")
+    p_vcm.add_argument("capture", help="raw complex64 file")
+    p_vcm.add_argument("--out-dir", default="",
+                       help="write event payload files here")
+    p_vcm.add_argument("--events-jsonl", default="",
+                       help="write event metadata as JSON lines")
+    p_vcm.add_argument("--cpu", action="store_true", help="force CPU")
     args = ap.parse_args(argv)
 
     return {"template": _cmd_template,
             "config": _cmd_config,
-            "run": _cmd_run}[args.cmd](args)
+            "run": _cmd_run,
+            "vcm": _cmd_vcm}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -96,6 +96,37 @@ def test_run_capture(config_path, tmp_path, capsys):
     np.testing.assert_array_equal(tp, tp2)
 
 
+def test_vcm_standalone(config_path, tmp_path, capsys):
+    """vcm subcommand detects a scripted burst inside the segment and
+    writes payload files + metadata JSONL."""
+    # segment (0.30, 0.42) is normalized-freqmode, i.e. FDC coords
+    # [0.80, 0.92); a carrier at normalized 0.35 (FDC 0.85) sits inside
+    rng = np.random.default_rng(3)
+    inplen = 768
+    n = 64 * inplen
+    t = np.arange(n)
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    burst = np.zeros(n)
+    burst[16 * inplen: 40 * inplen] = 1.0
+    x = x + 0.9 * burst * np.exp(2j * np.pi * 0.35 * t)
+    cap = tmp_path / "vcm.c64"
+    x.astype(np.complex64).tofile(cap)
+
+    ev_path = tmp_path / "vcm_events.jsonl"
+    assert main(["vcm", str(config_path), str(cap),
+                 "--out-dir", str(tmp_path / "vout"),
+                 "--events-jsonl", str(ev_path)]) == 0
+    out = capsys.readouterr().out
+    assert "blocks processed: 64" in out
+    lines = [json.loads(s) for s in ev_path.read_text().splitlines()]
+    assert lines, "burst in-segment must emit at least one event"
+    hits = [d for d in lines
+            if d["finalized"] and 0.80 < d["rel_cfreq"] < 0.92
+            and d["blockend"] >= 16 and d["blockstart"] <= 40]
+    assert hits, f"no finalized event matches the burst: {lines}"
+    assert list((tmp_path / "vout").glob("*.fin"))
+
+
 def test_run_missing_file_raises(config_path, tmp_path):
     with pytest.raises(IOError):
         main(["run", str(config_path), str(tmp_path / "nope.c64")])
