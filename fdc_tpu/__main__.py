@@ -128,8 +128,12 @@ def _cmd_run(args) -> int:
     except RuntimeError:
         driver = StreamDriver(fdc, use_native=False)
 
+    # with --checkpoint the tail must stay unprocessed (carried in the
+    # checkpoint's pending buffer) instead of being zero-pad flushed
+    do_flush = not args.checkpoint
     if driver.ring is not None:
-        results = driver.run_file(args.capture, on_result=consume)
+        results = driver.run_file(args.capture, on_result=consume,
+                                  flush=do_flush)
         assert not results  # streamed through on_result
     else:
         # Python fallback: read the whole capture, process in batches.
@@ -140,6 +144,12 @@ def _cmd_run(args) -> int:
             if res is None:
                 break
             consume(res)
+        if do_flush:
+            res = driver.flush()
+            if res is not None:
+                consume(res)
+    if args.checkpoint:
+        driver.drain_pending()
     wall = time.time() - t_start
 
     n_in = driver.stats.samples_in
@@ -322,7 +332,9 @@ def main(argv=None) -> int:
     p_run.add_argument("--cpu-devices", type=int, default=0,
                        help="force N virtual CPU devices (mesh testing)")
     p_run.add_argument("--checkpoint", default="",
-                       help="save the streaming state here when done")
+                       help="save the streaming state here when done "
+                            "(skips the end-of-stream flush: the "
+                            "sub-batch tail is carried in the checkpoint)")
     p_run.add_argument("--resume", default="",
                        help="restore streaming state saved by --checkpoint")
 

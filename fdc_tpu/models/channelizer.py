@@ -452,6 +452,53 @@ class FrequencyDomainChannelizer:
             result.debug_spectrum = np.concatenate(dbg)
         return result
 
+    def flush(self) -> ProcessResult:
+        """End-of-stream: process the buffered sample remainder.
+
+        ``process`` only runs whole device batches, so a finite capture
+        leaves up to ``batch_samples - 1`` samples buffered forever (the
+        reference has the same property at FFT-block granularity — a
+        tail shorter than one input vector is never processed). flush
+        zero-pads the remainder up to one whole batch, runs it, and trims
+        the stream outputs back to the blocks that contain real samples.
+        The zero padding drives in-band power to zero, so open bursts see
+        a falling edge and finalize — emitted events may carry block
+        spans extending into the padded region, exactly as if the
+        capture ended in silence. Idempotent: a second flush with nothing
+        buffered returns an empty result.
+        """
+        cfg = self.config
+        n_pend = len(self._pending)
+        if n_pend == 0:
+            return ProcessResult(
+                throughput=[
+                    np.zeros(0, np.complex64)
+                    for _ in range(
+                        self.throughput.num_channels if self.throughput
+                        else 0
+                    )
+                ],
+                segment_power=[
+                    np.zeros((0, sd.geometry.n_cells), np.float32)
+                    for sd in self.segments
+                ],
+            )
+        n_real = -(-n_pend // cfg.inplen)  # blocks with real samples
+        res = self.process(
+            np.zeros(self.batch_samples - n_pend, np.complex64)
+        )
+        if self.throughput:
+            for bucket in self.throughput.buckets:
+                for chan in bucket.channel_ids:
+                    res.throughput[chan] = res.throughput[chan][
+                        : n_real * bucket.out_len
+                    ]
+        if res.debug_spectrum is not None:
+            res.debug_spectrum = res.debug_spectrum[:n_real]
+        res.segment_power = [p[:n_real] for p in res.segment_power]
+        res.blocks_processed = n_real
+        return res
+
     def process_spectra(self, spectra: np.ndarray) -> ProcessResult:
         """Pre-FFT'd streaming entry point (reference inpveclen>1 mode):
         consumes [B, blocksize] normalized fftshifted complex spectra

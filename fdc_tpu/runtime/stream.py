@@ -65,6 +65,7 @@ class StreamDriver:
                     "pass use_native=False for the Python fallback"
                 )
         self._py_buf = np.zeros(0, np.complex64)
+        self._tail = np.zeros(0, np.complex64)  # post-close ring remainder
 
     # -- producer side --------------------------------------------------------
 
@@ -91,17 +92,49 @@ class StreamDriver:
     def _pop_batch(self, timeout: float) -> Optional[np.ndarray]:
         if self._ring is not None:
             # The native blocking pop consumes nothing on timeout (returns 0
-            # samples) and returns a partial batch only after close — so a
-            # short-batch result here never discards mid-stream samples
+            # samples) and returns a partial batch only after close — keep
+            # such a post-close tail for flush() instead of discarding it
             # (ring.cc fdc_ring_pop_blocking).
             got = self._ring.pop(self.batch_samples, blocking=True,
                                  timeout=timeout)
-            return got if len(got) == self.batch_samples else None
+            if len(got) == self.batch_samples:
+                return got
+            if len(got):
+                self._tail = np.concatenate([self._tail, got])
+            return None
         if len(self._py_buf) >= self.batch_samples:
             out = self._py_buf[: self.batch_samples]
             self._py_buf = self._py_buf[self.batch_samples:]
             return out
         return None
+
+    def drain_pending(self):
+        """Move the sub-batch stream tail (post-close ring remainder +
+        python-fallback buffer) into the channelizer's pending buffer,
+        where it is carried by checkpoints and consumed by flush()."""
+        tail = self._tail
+        self._tail = np.zeros(0, np.complex64)
+        if self._ring is not None and len(self._ring):
+            tail = np.concatenate(
+                [tail, self._ring.pop(len(self._ring), blocking=False)]
+            )
+        if len(self._py_buf):
+            tail = np.concatenate([tail, self._py_buf])
+            self._py_buf = np.zeros(0, np.complex64)
+        if len(tail):
+            self.fdc.process(tail)  # < one batch: buffers into _pending
+
+    def flush(self) -> Optional[ProcessResult]:
+        """Process the sub-batch stream tail via the channelizer's
+        zero-pad-and-trim flush. None if nothing was pending."""
+        self.drain_pending()
+        res = self.fdc.flush()
+        if res.blocks_processed == 0:
+            return None
+        self.stats.batches += 1
+        self.stats.blocks_processed += res.blocks_processed
+        self.stats.events += len(res.events)
+        return res
 
     def run_once(self, timeout: float = 10.0) -> Optional[ProcessResult]:
         """Pop one batch and process it; None if no full batch available."""
@@ -120,12 +153,17 @@ class StreamDriver:
         on_result: Optional[Callable[[ProcessResult], None]] = None,
         chunk: int = 65536,
         timeout: float = 10.0,
+        flush: bool = True,
     ) -> List[ProcessResult]:
         """Stream a complex64 file through the channelizer.
 
         Starts a native background reader (double-buffered data loader) and
         consumes batches until the file is drained. Returns all results
-        (or streams them to ``on_result`` if given).
+        (or streams them to ``on_result`` if given). With ``flush`` (the
+        default) the sub-batch file tail is processed too (zero-padded,
+        outputs trimmed — see FrequencyDomainChannelizer.flush); pass
+        False for the process-whole-batches-only behavior of an
+        open-ended stream.
         """
         if self._ring is None:
             raise RuntimeError("run_file requires the native ring")
@@ -133,6 +171,13 @@ class StreamDriver:
 
         src = native.FileSource(self._ring, path, chunk=chunk)
         results: List[ProcessResult] = []
+
+        def deliver(res):
+            if on_result is not None:
+                on_result(res)
+            else:
+                results.append(res)
+
         try:
             while True:
                 res = self.run_once(timeout)
@@ -145,10 +190,11 @@ class StreamDriver:
                     if src.done and len(self._ring) < self.batch_samples:
                         break
                     continue
-                if on_result is not None:
-                    on_result(res)
-                else:
-                    results.append(res)
+                deliver(res)
+            if flush:
+                res = self.flush()
+                if res is not None:
+                    deliver(res)
         finally:
             n_read = src.samples_read
             src.stop()

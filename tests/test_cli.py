@@ -132,12 +132,34 @@ def test_run_missing_file_raises(config_path, tmp_path):
         main(["run", str(config_path), str(tmp_path / "nope.c64")])
 
 
+def test_run_flushes_ragged_tail(config_path, tmp_path, capsys):
+    """A capture that is not a whole number of batches still gets its
+    tail processed (zero-pad flush), native and fallback paths equal."""
+    cap, _ = _capture(tmp_path)
+    x = np.fromfile(cap, np.complex64)[:-1000]  # 46.7 blocks
+    x.tofile(cap)
+    n_blocks = -(-len(x) // 768)  # ceil: 47
+
+    _run(config_path, cap, tmp_path / "nat", tmp_path / "ev_n.jsonl")
+    out = capsys.readouterr().out
+    assert f"blocks processed: {n_blocks}" in out
+    _run(config_path, cap, tmp_path / "pyf", tmp_path / "ev_p.jsonl",
+         extra=("--no-native",))
+    a = np.fromfile(tmp_path / "nat" / "throughput_ch0.c64", np.complex64)
+    b = np.fromfile(tmp_path / "pyf" / "throughput_ch0.c64", np.complex64)
+    np.testing.assert_array_equal(a, b)
+    assert len(a) == n_blocks * 48  # out_len=48 for the 64-bin channel
+
+
 def test_run_checkpoint_resume(config_path, tmp_path):
     """Splitting a capture across two runs with --checkpoint/--resume
-    yields the same throughput stream as one uninterrupted run."""
+    yields the same throughput stream as one uninterrupted run — even
+    when the split point and the capture length are NOT batch multiples
+    (the checkpoint carries the sub-batch tail; flush pads the end)."""
     cap, _ = _capture(tmp_path)  # 48 blocks = 3 exact batches
-    x = np.fromfile(cap, np.complex64)
-    split = 2 * 16 * 768  # 2 batches
+    x = np.fromfile(cap, np.complex64)[:-1000]  # ragged capture end
+    x.tofile(cap)
+    split = 2 * 16 * 768 + 777  # mid-batch split point
     (tmp_path / "a.c64").write_bytes(x[:split].tobytes())
     (tmp_path / "b.c64").write_bytes(x[split:].tobytes())
     ckpt = tmp_path / "state.ckpt"

@@ -124,21 +124,35 @@ def test_stream_driver_file_end_to_end(tmp_path):
     )
     fdc = FrequencyDomainChannelizer(cfg)
 
-    n = 6 * fdc.batch_samples + 100  # partial tail stays unprocessed
+    n = 6 * fdc.batch_samples + 100  # 100-sample tail: one flush block
     t = np.arange(n)
     x = np.exp(2j * np.pi * -0.2 * t).astype(np.complex64)
     path = tmp_path / "tone.c64"
     x.tofile(path)
 
+    out_len = fdc.throughput.geometry[0].out_len
+
     drv = StreamDriver(fdc, ring_batches=2)
     results = drv.run_file(str(path), chunk=1000)
-    assert drv.stats.batches == 6
-    assert drv.stats.blocks_processed == 24
+    # 6 whole batches + the zero-pad flush of the tail (1 real block)
+    assert drv.stats.batches == 7
+    assert drv.stats.blocks_processed == 25
     assert drv.stats.samples_in == n
     y = np.concatenate([r.throughput[0] for r in results])
-    assert len(y) == 24 * fdc.throughput.geometry[0].out_len
-    # steady-state amplitude of the extracted tone ~ 1
-    assert np.abs(y[200:]).mean() == pytest.approx(1.0, abs=0.05)
+    assert len(y) == 25 * out_len
+    # steady-state amplitude of the extracted tone ~ 1 (whole batches)
+    assert np.abs(y[200: 24 * out_len]).mean() == pytest.approx(
+        1.0, abs=0.05
+    )
+
+    # flush=False: open-ended stream semantics, tail stays unprocessed
+    fdc2 = FrequencyDomainChannelizer(cfg)
+    drv2 = StreamDriver(fdc2, ring_batches=2)
+    results2 = drv2.run_file(str(path), chunk=1000, flush=False)
+    assert drv2.stats.batches == 6
+    assert drv2.stats.blocks_processed == 24
+    y2 = np.concatenate([r.throughput[0] for r in results2])
+    np.testing.assert_array_equal(y2, y[: 24 * out_len])
 
 
 def test_stream_driver_missing_file_raises(tmp_path):
