@@ -201,6 +201,71 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    """Listen on a TCP port for one connection of interleaved complex64
+    samples and channelize it live (the network analog of ``run``)."""
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+    from fdc_tpu.runtime.stream import StreamDriver
+
+    cfg = _load_config(args.config)
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        cfg = dataclasses.replace(
+            cfg, fileoutput=True, outputpath=args.out_dir
+        )
+    fdc = FrequencyDomainChannelizer(cfg)
+    driver = StreamDriver(fdc)
+
+    events = []
+    tp_parts: list = [[] for _ in cfg.fdc_throughput_channels()]
+
+    def consume(res):
+        events.extend(res.events)
+        for i, s in enumerate(res.throughput):
+            tp_parts[i].append(s)
+
+    t_start = time.time()
+    driver.run_socket(
+        port=args.port,
+        bind_addr=args.bind,
+        on_result=consume,
+        on_listen=lambda p: print(f"listening on "
+                                  f"{args.bind or '127.0.0.1'}:{p}",
+                                  flush=True),
+    )
+    wall = time.time() - t_start
+
+    n_in = driver.stats.samples_in
+    print(f"samples in:       {n_in}")
+    print(f"blocks processed: {driver.stats.blocks_processed}")
+    print(f"events:           {len(events)}")
+    if wall > 0:
+        print(f"throughput:       {n_in / wall / 1e6:.3g} MS/s "
+              f"(wall {wall:.1f}s, includes compile)")
+    if args.out_dir:
+        for i, parts in enumerate(tp_parts):
+            if parts:
+                path = os.path.join(args.out_dir, f"throughput_ch{i}.c64")
+                np.concatenate(parts).astype(np.complex64).tofile(path)
+                print(f"wrote {path}")
+        print(f"event files in {args.out_dir}/")
+    if args.events_jsonl:
+        with open(args.events_jsonl, "w") as f:
+            for e in events:
+                d = e.to_dict()
+                d["nsamples"] = int(len(e.data))
+                f.write(json.dumps(d) + "\n")
+        print(f"wrote {args.events_jsonl}")
+    return 0
+
+
 def _cmd_vcm(args) -> int:
     """Standalone multi-segment detector over a capture — the analog of
     wiring the reference's activity_detection_channelizer_vcm block
@@ -338,6 +403,20 @@ def main(argv=None) -> int:
     p_run.add_argument("--resume", default="",
                        help="restore streaming state saved by --checkpoint")
 
+    p_srv = sub.add_parser(
+        "serve", help="channelize one TCP connection of complex64 samples"
+    )
+    p_srv.add_argument("config")
+    p_srv.add_argument("--port", type=int, default=0,
+                       help="TCP port (0 = ephemeral, printed on listen)")
+    p_srv.add_argument("--bind", default="",
+                       help="bind address (default 127.0.0.1)")
+    p_srv.add_argument("--out-dir", default="",
+                       help="write event files + throughput streams here")
+    p_srv.add_argument("--events-jsonl", default="",
+                       help="write event metadata as JSON lines")
+    p_srv.add_argument("--cpu", action="store_true", help="force CPU")
+
     p_vcm = sub.add_parser(
         "vcm", help="standalone multi-segment detector (vcm semantics)"
     )
@@ -353,6 +432,7 @@ def main(argv=None) -> int:
     return {"template": _cmd_template,
             "config": _cmd_config,
             "run": _cmd_run,
+            "serve": _cmd_serve,
             "vcm": _cmd_vcm}[args.cmd](args)
 
 

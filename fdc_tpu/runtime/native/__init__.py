@@ -20,6 +20,7 @@ __all__ = [
     "available",
     "SampleRing",
     "FileSource",
+    "SocketSource",
     "EmissionEngine",
     "RawEvent",
     "NativeBuildError",
@@ -105,6 +106,18 @@ def _load():
         lib.fdc_filesource_done.argtypes = [ctypes.c_void_p]
         lib.fdc_filesource_error.restype = ctypes.c_int
         lib.fdc_filesource_error.argtypes = [ctypes.c_void_p]
+        lib.fdc_socketsource_start.restype = ctypes.c_void_p
+        lib.fdc_socketsource_start.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_size_t,
+        ]
+        lib.fdc_socketsource_stop.argtypes = [ctypes.c_void_p]
+        for name in ("fdc_socketsource_port", "fdc_socketsource_done",
+                     "fdc_socketsource_error"):
+            fn = getattr(lib, name)
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p]
+        lib.fdc_socketsource_samples_read.restype = ctypes.c_uint64
+        lib.fdc_socketsource_samples_read.argtypes = [ctypes.c_void_p]
 
         # emission engine
         c = ctypes
@@ -242,6 +255,51 @@ class FileSource:
     def stop(self):
         if getattr(self, "_h", None):
             self._lib.fdc_filesource_stop(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.stop()
+        except Exception:
+            pass
+
+
+class SocketSource:
+    """Background-thread TCP reader feeding a SampleRing: listens on
+    bind_addr:port (port 0 = ephemeral, read the bound one from ``.port``),
+    accepts ONE connection, and streams its interleaved complex64 bytes
+    into the ring until the peer closes."""
+
+    def __init__(self, ring: SampleRing, port: int = 0,
+                 bind_addr: str = "", chunk: int = 65536):
+        self._lib = _load()
+        self._ring = ring  # keep alive
+        self._h = self._lib.fdc_socketsource_start(
+            ring._h, bind_addr.encode(), port, chunk
+        )
+        if not self._h:
+            raise OSError(f"cannot listen on {bind_addr or '127.0.0.1'}"
+                          f":{port}")
+
+    @property
+    def port(self) -> int:
+        return self._lib.fdc_socketsource_port(self._h)
+
+    @property
+    def samples_read(self) -> int:
+        return self._lib.fdc_socketsource_samples_read(self._h)
+
+    @property
+    def done(self) -> bool:
+        return bool(self._lib.fdc_socketsource_done(self._h))
+
+    @property
+    def error(self) -> bool:
+        return bool(self._lib.fdc_socketsource_error(self._h))
+
+    def stop(self):
+        if getattr(self, "_h", None):
+            self._lib.fdc_socketsource_stop(self._h)
             self._h = None
 
     def __del__(self):

@@ -12,7 +12,14 @@
 //
 // C ABI only (consumed through ctypes — no pybind11 in this environment).
 
+#include <arpa/inet.h>
+#include <netinet/in.h>
+#include <poll.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
 #include <atomic>
+#include <cerrno>
 #include <chrono>
 #include <condition_variable>
 #include <cstdint>
@@ -20,6 +27,7 @@
 #include <cstring>
 #include <mutex>
 #include <thread>
+#include <vector>
 
 namespace {
 
@@ -224,6 +232,141 @@ int fdc_filesource_done(const FileSource* s) {
 }
 
 int fdc_filesource_error(const FileSource* s) {
+    return s->error.load(std::memory_order_acquire);
+}
+
+// ---------------------------------------------------------------------------
+// Background TCP socket source: accepts ONE connection and streams
+// interleaved complex64 (native-endian float32 pairs) into the ring. The
+// network analog of the file source — an external producer (SDR host,
+// another process) feeds the channelizer directly, the role the reference
+// delegates to GNU Radio's stock network sources.
+// ---------------------------------------------------------------------------
+
+struct SocketSource {
+    Ring* ring;
+    std::thread th;
+    std::atomic<uint64_t> samples_read{0};
+    std::atomic<int> stop_flag{0};
+    std::atomic<int> done{0};
+    std::atomic<int> error{0};
+    std::atomic<int> lfd{-1};
+    std::atomic<int> cfd{-1};
+    std::atomic<int> port{0};
+};
+
+// poll an fd for readability in 200 ms slices so stop_flag stays responsive
+static bool wait_readable(int fd, const std::atomic<int>& stop) {
+    for (;;) {
+        if (stop.load(std::memory_order_acquire)) return false;
+        struct pollfd p = {fd, POLLIN, 0};
+        int r = ::poll(&p, 1, 200);
+        if (r > 0) return true;
+        if (r < 0 && errno != EINTR) return false;
+    }
+}
+
+static void socketsource_main(SocketSource* s, size_t chunk) {
+    int lfd = s->lfd.load(std::memory_order_acquire);
+    int cfd = -1;
+    if (wait_readable(lfd, s->stop_flag)) {
+        cfd = ::accept(lfd, nullptr, nullptr);
+        if (cfd < 0 && !s->stop_flag.load(std::memory_order_acquire))
+            s->error.store(1, std::memory_order_release);
+    }
+    if (cfd >= 0) {
+        s->cfd.store(cfd, std::memory_order_release);
+        std::vector<float> buf(chunk * 2 + 2);
+        char* bytes = reinterpret_cast<char*>(buf.data());
+        const size_t cap_bytes = chunk * 8;
+        size_t have = 0;  // buffered bytes (may include a partial sample)
+        for (;;) {
+            if (s->stop_flag.load(std::memory_order_acquire)) break;
+            if (!wait_readable(cfd, s->stop_flag)) break;
+            ssize_t got = ::recv(cfd, bytes + have, cap_bytes - have, 0);
+            if (got == 0) break;  // clean remote close = end-of-stream
+            if (got < 0) {
+                if (errno == EINTR) continue;
+                s->error.store(1, std::memory_order_release);
+                break;
+            }
+            have += static_cast<size_t>(got);
+            size_t nsamp = have / 8;
+            if (!nsamp) continue;
+            size_t pushed = 0;
+            while (pushed < nsamp &&
+                   !s->stop_flag.load(std::memory_order_acquire)) {
+                pushed += fdc_ring_push_blocking(
+                    s->ring, buf.data() + 2 * pushed, nsamp - pushed, 0.1);
+            }
+            s->samples_read.fetch_add(nsamp, std::memory_order_release);
+            size_t rem = have - nsamp * 8;
+            std::memmove(bytes, bytes + nsamp * 8, rem);
+            have = rem;
+        }
+        ::close(cfd);
+        s->cfd.store(-1, std::memory_order_release);
+    }
+    s->done.store(1, std::memory_order_release);
+    fdc_ring_close(s->ring);
+}
+
+// Listen on bind_addr:port (empty addr = loopback; port 0 = ephemeral, read
+// back via fdc_socketsource_port) and stream one connection into the ring.
+SocketSource* fdc_socketsource_start(Ring* ring, const char* bind_addr,
+                                     int port, size_t chunk) {
+    int lfd = ::socket(AF_INET, SOCK_STREAM, 0);
+    if (lfd < 0) return nullptr;
+    int one = 1;
+    ::setsockopt(lfd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    sockaddr_in a;
+    std::memset(&a, 0, sizeof(a));
+    a.sin_family = AF_INET;
+    a.sin_port = htons(static_cast<uint16_t>(port));
+    if (!bind_addr || !*bind_addr) {
+        a.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+    } else if (::inet_pton(AF_INET, bind_addr, &a.sin_addr) != 1) {
+        ::close(lfd);
+        return nullptr;
+    }
+    if (::bind(lfd, reinterpret_cast<sockaddr*>(&a), sizeof(a)) < 0 ||
+        ::listen(lfd, 1) < 0) {
+        ::close(lfd);
+        return nullptr;
+    }
+    socklen_t alen = sizeof(a);
+    ::getsockname(lfd, reinterpret_cast<sockaddr*>(&a), &alen);
+    SocketSource* s = new SocketSource();
+    s->ring = ring;
+    s->lfd.store(lfd, std::memory_order_release);
+    s->port.store(ntohs(a.sin_port), std::memory_order_release);
+    s->th = std::thread(socketsource_main, s, chunk ? chunk : 65536);
+    return s;
+}
+
+void fdc_socketsource_stop(SocketSource* s) {
+    if (!s) return;
+    s->stop_flag.store(1, std::memory_order_release);
+    fdc_ring_close(s->ring);
+    if (s->th.joinable()) s->th.join();
+    int lfd = s->lfd.exchange(-1);
+    if (lfd >= 0) ::close(lfd);
+    delete s;
+}
+
+int fdc_socketsource_port(const SocketSource* s) {
+    return s->port.load(std::memory_order_acquire);
+}
+
+uint64_t fdc_socketsource_samples_read(const SocketSource* s) {
+    return s->samples_read.load(std::memory_order_acquire);
+}
+
+int fdc_socketsource_done(const SocketSource* s) {
+    return s->done.load(std::memory_order_acquire);
+}
+
+int fdc_socketsource_error(const SocketSource* s) {
     return s->error.load(std::memory_order_acquire);
 }
 

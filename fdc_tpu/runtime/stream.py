@@ -179,24 +179,78 @@ class StreamDriver:
                 results.append(res)
 
         try:
-            while True:
-                res = self.run_once(timeout)
-                if res is None:
-                    # error before done: filesource_main sets both on fopen
-                    # failure (ring.cc), and a silent empty result is worse
-                    # than the exception
-                    if src.error:
-                        raise IOError(f"file source failed: {path}")
-                    if src.done and len(self._ring) < self.batch_samples:
-                        break
-                    continue
-                deliver(res)
-            if flush:
-                res = self.flush()
-                if res is not None:
-                    deliver(res)
+            self._consume_source(
+                src, deliver, timeout, flush,
+                err=f"file source failed: {path}",
+            )
         finally:
             n_read = src.samples_read
             src.stop()
         self.stats.samples_in = n_read or self.stats.samples_in
         return results
+
+    def run_socket(
+        self,
+        port: int = 0,
+        bind_addr: str = "",
+        on_result: Optional[Callable[[ProcessResult], None]] = None,
+        on_listen: Optional[Callable[[int], None]] = None,
+        chunk: int = 65536,
+        timeout: float = 10.0,
+        flush: bool = True,
+    ) -> List[ProcessResult]:
+        """Serve one TCP connection of interleaved complex64 samples.
+
+        Listens on ``bind_addr:port`` (port 0 = ephemeral; the bound port
+        is passed to ``on_listen`` and printed nowhere else), streams the
+        peer's samples through the channelizer until it disconnects, then
+        flushes the tail (see run_file). The network analog of run_file —
+        the reference's flowgraphs get this from GNU Radio's stock
+        network sources.
+        """
+        if self._ring is None:
+            raise RuntimeError("run_socket requires the native ring")
+        from fdc_tpu.runtime import native
+
+        src = native.SocketSource(self._ring, port=port,
+                                  bind_addr=bind_addr, chunk=chunk)
+        if on_listen is not None:
+            on_listen(src.port)
+        results: List[ProcessResult] = []
+
+        def deliver(res):
+            if on_result is not None:
+                on_result(res)
+            else:
+                results.append(res)
+
+        try:
+            self._consume_source(
+                src, deliver, timeout, flush,
+                err=f"socket source failed: {bind_addr}:{port}",
+            )
+        finally:
+            n_read = src.samples_read
+            src.stop()
+        self.stats.samples_in = n_read or self.stats.samples_in
+        return results
+
+    def _consume_source(self, src, deliver, timeout, flush, err):
+        """Shared drain loop: consume batches until the source is done
+        and the ring holds less than one batch, then optionally flush."""
+        while True:
+            res = self.run_once(timeout)
+            if res is None:
+                # error before done: the source sets both on failure
+                # (ring.cc), and a silent empty result is worse than the
+                # exception
+                if src.error:
+                    raise IOError(err)
+                if src.done and len(self._ring) < self.batch_samples:
+                    break
+                continue
+            deliver(res)
+        if flush:
+            res = self.flush()
+            if res is not None:
+                deliver(res)

@@ -127,6 +127,50 @@ def test_vcm_standalone(config_path, tmp_path, capsys):
     assert list((tmp_path / "vout").glob("*.fin"))
 
 
+def test_serve_socket(config_path, tmp_path):
+    """serve: a TCP client streams the capture, the CLI writes the same
+    outputs run produces for the file."""
+    import socket
+    import threading
+    import time
+
+    cap, n = _capture(tmp_path)
+    x = np.fromfile(cap, np.complex64)
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.close()
+
+    out_dir = tmp_path / "sout"
+    th = threading.Thread(
+        target=main,
+        args=(["serve", str(config_path), "--port", str(port),
+               "--out-dir", str(out_dir)],),
+        daemon=True,
+    )
+    th.start()
+    deadline = time.time() + 30
+    while True:
+        try:
+            conn = socket.create_connection(("127.0.0.1", port),
+                                            timeout=0.3)
+            break
+        except OSError:
+            assert time.time() < deadline, "serve never started listening"
+            time.sleep(0.05)
+    with conn:
+        conn.sendall(x.tobytes())
+    th.join(timeout=60)
+    assert not th.is_alive()
+
+    tp = np.fromfile(out_dir / "throughput_ch0.c64", np.complex64)
+    _run(config_path, cap, tmp_path / "fout", tmp_path / "fev.jsonl")
+    tp_file = np.fromfile(tmp_path / "fout" / "throughput_ch0.c64",
+                          np.complex64)
+    np.testing.assert_array_equal(tp, tp_file)
+
+
 def test_run_missing_file_raises(config_path, tmp_path):
     with pytest.raises(IOError):
         main(["run", str(config_path), str(tmp_path / "nope.c64")])

@@ -155,6 +155,57 @@ def test_stream_driver_file_end_to_end(tmp_path):
     np.testing.assert_array_equal(y2, y[: 24 * out_len])
 
 
+def test_stream_driver_socket_end_to_end():
+    """TCP socket source: a client streams a tone, the driver extracts
+    the identical samples the direct process()+flush() path produces."""
+    import socket
+
+    cfg = ChannelizerConfig(
+        blocksize=256,
+        relinvovl=4,
+        throughput_channels=[(-0.2, 0.05)],
+        freqmode="basebandfs",
+        batch_blocks=4,
+    )
+    fdc = FrequencyDomainChannelizer(cfg)
+    n = 3 * fdc.batch_samples + 55  # ragged tail exercises the flush
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * -0.2 * t).astype(np.complex64)
+
+    def client(port):
+        with socket.create_connection(("127.0.0.1", port)) as s:
+            # send in odd-sized chunks so partial samples cross recv calls
+            raw = x.tobytes()
+            for off in range(0, len(raw), 777):
+                s.sendall(raw[off: off + 777])
+
+    drv = StreamDriver(fdc, ring_batches=2)
+    results = drv.run_socket(
+        on_listen=lambda p: threading.Thread(
+            target=client, args=(p,), daemon=True
+        ).start(),
+    )
+    assert drv.stats.samples_in == n
+    assert drv.stats.blocks_processed == 13  # 12 whole + 1 flush block
+    y = np.concatenate([r.throughput[0] for r in results])
+
+    fdc2 = FrequencyDomainChannelizer(cfg)
+    r2 = fdc2.process(x)
+    rf = fdc2.flush()
+    y2 = np.concatenate([r2.throughput[0], rf.throughput[0]])
+    np.testing.assert_array_equal(y, y2)
+
+
+def test_socket_source_stop_without_client():
+    """Stopping a listening socket source that never got a connection
+    must not hang or error."""
+    ring = native.SampleRing(4096)
+    src = native.SocketSource(ring, port=0)
+    assert src.port > 0
+    time.sleep(0.05)
+    src.stop()
+
+
 def test_stream_driver_missing_file_raises(tmp_path):
     """fopen failure sets error AND done (ring.cc filesource_main); the
     driver must surface IOError, not return an empty result (ADVICE r1)."""
