@@ -77,6 +77,37 @@ def _cmd_config(args) -> int:
     return 0
 
 
+def _print_stats(n_in, blocks, n_events, wall, batches=None):
+    print(f"samples in:       {n_in}")
+    print(f"blocks processed: {blocks}")
+    if batches is not None:
+        print(f"batches:          {batches}")
+    print(f"events:           {n_events}")
+    if wall > 0:
+        print(f"throughput:       {n_in / wall / 1e6:.3g} MS/s "
+              f"(wall {wall:.1f}s, includes compile)")
+
+
+def _write_stream_outputs(out_dir, tp_parts):
+    """Write per-channel throughput streams; event payload files were
+    already written by the channelizer's FileSink."""
+    for i, parts in enumerate(tp_parts):
+        if parts:
+            path = os.path.join(out_dir, f"throughput_ch{i}.c64")
+            np.concatenate(parts).astype(np.complex64).tofile(path)
+            print(f"wrote {path}")
+    print(f"event files in {out_dir}/ (<ID>.fin / <ID>.parted.<n>)")
+
+
+def _write_events_jsonl(path, events):
+    with open(path, "w") as f:
+        for e in events:
+            d = e.to_dict()
+            d["nsamples"] = int(len(e.data))
+            f.write(json.dumps(d) + "\n")
+    print(f"wrote {path}")
+
+
 def _cmd_run(args) -> int:
     if args.cpu or args.cpu_devices:
         import jax
@@ -152,24 +183,11 @@ def _cmd_run(args) -> int:
         driver.drain_pending()
     wall = time.time() - t_start
 
-    n_in = driver.stats.samples_in
-    print(f"samples in:       {n_in}")
-    print(f"blocks processed: {driver.stats.blocks_processed}")
-    print(f"batches:          {driver.stats.batches}")
-    print(f"events:           {len(events)}")
-    if wall > 0:
-        print(f"throughput:       {n_in / wall / 1e6:.3g} MS/s "
-              f"(wall {wall:.1f}s, includes compile)")
+    _print_stats(driver.stats.samples_in, driver.stats.blocks_processed,
+                 len(events), wall, batches=driver.stats.batches)
 
     if args.out_dir:
-        for i, parts in enumerate(tp_parts):
-            if parts:
-                path = os.path.join(args.out_dir, f"throughput_ch{i}.c64")
-                np.concatenate(parts).astype(np.complex64).tofile(path)
-                print(f"wrote {path}")
-        # event payloads were already written by the channelizer's FileSink
-        print(f"event files in {args.out_dir}/ "
-              f"(<ID>.fin / <ID>.parted.<n>)")
+        _write_stream_outputs(args.out_dir, tp_parts)
 
     if args.checkpoint:
         from fdc_tpu.runtime.checkpoint import save_checkpoint
@@ -178,12 +196,7 @@ def _cmd_run(args) -> int:
         print(f"wrote {args.checkpoint}")
 
     if args.events_jsonl:
-        with open(args.events_jsonl, "w") as f:
-            for e in events:
-                d = e.to_dict()
-                d["nsamples"] = int(len(e.data))
-                f.write(json.dumps(d) + "\n")
-        print(f"wrote {args.events_jsonl}")
+        _write_events_jsonl(args.events_jsonl, events)
 
     if args.waterfall and spectra:
         from fdc_tpu.utils.waterfall import Waterfall
@@ -231,38 +244,27 @@ def _cmd_serve(args) -> int:
         for i, s in enumerate(res.throughput):
             tp_parts[i].append(s)
 
+    def on_listen(p):
+        print(f"listening on {args.bind or '127.0.0.1'}:{p}", flush=True)
+        if args.port_file:
+            with open(args.port_file, "w") as f:
+                f.write(str(p))
+
     t_start = time.time()
     driver.run_socket(
         port=args.port,
         bind_addr=args.bind,
         on_result=consume,
-        on_listen=lambda p: print(f"listening on "
-                                  f"{args.bind or '127.0.0.1'}:{p}",
-                                  flush=True),
+        on_listen=on_listen,
     )
     wall = time.time() - t_start
 
-    n_in = driver.stats.samples_in
-    print(f"samples in:       {n_in}")
-    print(f"blocks processed: {driver.stats.blocks_processed}")
-    print(f"events:           {len(events)}")
-    if wall > 0:
-        print(f"throughput:       {n_in / wall / 1e6:.3g} MS/s "
-              f"(wall {wall:.1f}s, includes compile)")
+    _print_stats(driver.stats.samples_in, driver.stats.blocks_processed,
+                 len(events), wall, batches=driver.stats.batches)
     if args.out_dir:
-        for i, parts in enumerate(tp_parts):
-            if parts:
-                path = os.path.join(args.out_dir, f"throughput_ch{i}.c64")
-                np.concatenate(parts).astype(np.complex64).tofile(path)
-                print(f"wrote {path}")
-        print(f"event files in {args.out_dir}/")
+        _write_stream_outputs(args.out_dir, tp_parts)
     if args.events_jsonl:
-        with open(args.events_jsonl, "w") as f:
-            for e in events:
-                d = e.to_dict()
-                d["nsamples"] = int(len(e.data))
-                f.write(json.dumps(d) + "\n")
-        print(f"wrote {args.events_jsonl}")
+        _write_events_jsonl(args.events_jsonl, events)
     return 0
 
 
@@ -355,12 +357,7 @@ def _cmd_vcm(args) -> int:
     if args.out_dir:
         print(f"event files in {args.out_dir}/")
     if args.events_jsonl:
-        with open(args.events_jsonl, "w") as f:
-            for e in events:
-                d = e.to_dict()
-                d["nsamples"] = int(len(e.data))
-                f.write(json.dumps(d) + "\n")
-        print(f"wrote {args.events_jsonl}")
+        _write_events_jsonl(args.events_jsonl, events)
     return 0
 
 
@@ -411,6 +408,9 @@ def main(argv=None) -> int:
                        help="TCP port (0 = ephemeral, printed on listen)")
     p_srv.add_argument("--bind", default="",
                        help="bind address (default 127.0.0.1)")
+    p_srv.add_argument("--port-file", default="",
+                       help="write the bound port here once listening "
+                            "(for scripting with --port 0)")
     p_srv.add_argument("--out-dir", default="",
                        help="write event files + throughput streams here")
     p_srv.add_argument("--events-jsonl", default="",

@@ -13,6 +13,7 @@
 // C ABI only (consumed through ctypes — no pybind11 in this environment).
 
 #include <arpa/inet.h>
+#include <fcntl.h>
 #include <netinet/in.h>
 #include <poll.h>
 #include <sys/socket.h>
@@ -197,7 +198,9 @@ static void filesource_main(FileSource* s, std::string path, size_t chunk,
                 pushed += fdc_ring_push_blocking(s->ring, tmp + 2 * pushed,
                                                  got - pushed, 0.1);
             }
-            s->samples_read.fetch_add(got, std::memory_order_release);
+            // count only what entered the ring (stop mid-push drops the
+            // rest — samples_in must match what the consumer can see)
+            s->samples_read.fetch_add(pushed, std::memory_order_release);
         }
         std::fclose(f);
     } while (loop && !s->stop_flag.load(std::memory_order_acquire));
@@ -269,10 +272,19 @@ static bool wait_readable(int fd, const std::atomic<int>& stop) {
 static void socketsource_main(SocketSource* s, size_t chunk) {
     int lfd = s->lfd.load(std::memory_order_acquire);
     int cfd = -1;
-    if (wait_readable(lfd, s->stop_flag)) {
+    // lfd is non-blocking: a connection that is gone again by accept()
+    // time (client RST between poll and accept) yields EAGAIN and we
+    // re-poll — accept can never hang stop() on the thread join
+    while (cfd < 0 && wait_readable(lfd, s->stop_flag)) {
         cfd = ::accept(lfd, nullptr, nullptr);
-        if (cfd < 0 && !s->stop_flag.load(std::memory_order_acquire))
-            s->error.store(1, std::memory_order_release);
+        if (cfd < 0) {
+            if (errno == EAGAIN || errno == EWOULDBLOCK ||
+                errno == ECONNABORTED || errno == EINTR)
+                continue;
+            if (!s->stop_flag.load(std::memory_order_acquire))
+                s->error.store(1, std::memory_order_release);
+            break;
+        }
     }
     if (cfd >= 0) {
         s->cfd.store(cfd, std::memory_order_release);
@@ -299,7 +311,9 @@ static void socketsource_main(SocketSource* s, size_t chunk) {
                 pushed += fdc_ring_push_blocking(
                     s->ring, buf.data() + 2 * pushed, nsamp - pushed, 0.1);
             }
-            s->samples_read.fetch_add(nsamp, std::memory_order_release);
+            // count only what actually entered the ring (a stop mid-push
+            // drops the rest; the consumer must not see phantom samples)
+            s->samples_read.fetch_add(pushed, std::memory_order_release);
             size_t rem = have - nsamp * 8;
             std::memmove(bytes, bytes + nsamp * 8, rem);
             have = rem;
@@ -330,7 +344,8 @@ SocketSource* fdc_socketsource_start(Ring* ring, const char* bind_addr,
         return nullptr;
     }
     if (::bind(lfd, reinterpret_cast<sockaddr*>(&a), sizeof(a)) < 0 ||
-        ::listen(lfd, 1) < 0) {
+        ::listen(lfd, 1) < 0 ||
+        ::fcntl(lfd, F_SETFL, ::fcntl(lfd, F_GETFL, 0) | O_NONBLOCK) < 0) {
         ::close(lfd);
         return nullptr;
     }

@@ -214,6 +214,7 @@ class StreamDriver:
 
         src = native.SocketSource(self._ring, port=port,
                                   bind_addr=bind_addr, chunk=chunk)
+        bound = f"{bind_addr or '127.0.0.1'}:{src.port}"
         if on_listen is not None:
             on_listen(src.port)
         results: List[ProcessResult] = []
@@ -227,7 +228,7 @@ class StreamDriver:
         try:
             self._consume_source(
                 src, deliver, timeout, flush,
-                err=f"socket source failed: {bind_addr}:{port}",
+                err=f"socket source failed: {bound}",
             )
         finally:
             n_read = src.samples_read

@@ -137,29 +137,23 @@ def test_serve_socket(config_path, tmp_path):
     cap, n = _capture(tmp_path)
     x = np.fromfile(cap, np.complex64)
 
-    srv = socket.socket()
-    srv.bind(("127.0.0.1", 0))
-    port = srv.getsockname()[1]
-    srv.close()
-
     out_dir = tmp_path / "sout"
+    port_file = tmp_path / "port.txt"
     th = threading.Thread(
         target=main,
-        args=(["serve", str(config_path), "--port", str(port),
+        args=(["serve", str(config_path), "--port", "0",
+               "--port-file", str(port_file),
                "--out-dir", str(out_dir)],),
         daemon=True,
     )
     th.start()
     deadline = time.time() + 30
-    while True:
-        try:
-            conn = socket.create_connection(("127.0.0.1", port),
-                                            timeout=0.3)
-            break
-        except OSError:
-            assert time.time() < deadline, "serve never started listening"
-            time.sleep(0.05)
-    with conn:
+    while not port_file.exists() or not port_file.read_text():
+        assert time.time() < deadline, "serve never started listening"
+        time.sleep(0.05)
+    port = int(port_file.read_text())
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as conn:
+        conn.settimeout(None)  # sendall must block, not flake on stalls
         conn.sendall(x.tobytes())
     th.join(timeout=60)
     assert not th.is_alive()
