@@ -507,7 +507,11 @@ class FrequencyDomainChannelizer:
         Use either this or ``process`` for a given stream, not both: in
         this mode the overlap-save front-end (and its sample history) is
         bypassed entirely, exactly like the reference's vector-input mode
-        (reference: python/FrequencyDomainChannelizer.py:201-216)."""
+        (reference: python/FrequencyDomainChannelizer.py:201-216).
+
+        On a ShardedChannelizer this path runs the single-device step
+        (results identical, pinned by tests/test_parallel.py) — only
+        ``process`` takes the sharded shard_map step."""
         cfg = self.config
         if self._carry is None:
             self._carry = self._jit_init()

@@ -121,6 +121,27 @@ def test_sharded_matches_single_device(n_time, n_chan):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=0)
 
 
+def test_sharded_process_spectra_matches_single():
+    """process_spectra on a ShardedChannelizer runs the single-device
+    step (documented) — results must stay identical to the plain one."""
+    import dataclasses
+
+    cfg = config()
+    rng = np.random.default_rng(11)
+    x = make_signal(rng, 2 * cfg.batch_blocks * cfg.inplen)
+    dbg = FrequencyDomainChannelizer(dataclasses.replace(cfg, debug=True))
+    spec = dbg.process(x).debug_spectrum
+
+    r_ref = FrequencyDomainChannelizer(cfg).process_spectra(spec)
+    sh = ShardedChannelizer(cfg, mesh=make_mesh(n_time=4, n_chan=2))
+    r_sh = sh.process_spectra(spec)
+
+    assert len(r_ref.events) > 0
+    assert_events_match(r_ref.events, r_sh.events)
+    for a, b in zip(r_ref.throughput, r_sh.throughput):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_sharded_matches_single_device_with_extract_budget():
     """Compacted extraction (each chan rank extracts its slice of the
     replicated plan) must keep sharded == single-device bit-level parity."""
