@@ -97,6 +97,48 @@ def test_random_config_processes(seed):
     assert res2.blocks_processed == cfg.batch_blocks
 
 
+@pytest.mark.parametrize("seed", range(200, 204))
+def test_random_config_flush_chunking_invariance(seed):
+    """flush() makes finite-capture processing chunking-invariant: any
+    split of the same ragged capture yields identical streams and the
+    same trimmed block count."""
+    rng = np.random.default_rng(seed)
+    cfg = random_config(rng)
+    if not cfg.throughput_channels:
+        cfg = cfg.replace(throughput_channels=[(0.1, 0.05)])
+    n = int(1.5 * cfg.batch_blocks * cfg.inplen
+            + rng.integers(1, cfg.inplen))
+    t = np.arange(n)
+    x = (0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    x += np.exp(2j * np.pi * cfg.throughput_channels[0][0] * t
+                ).astype(np.complex64)
+
+    def run_chunked(chunks):
+        fdc = FrequencyDomainChannelizer(cfg)
+        parts = [[] for _ in cfg.throughput_channels]
+        blocks = 0
+        off = 0
+        for c in chunks:
+            r = fdc.process(x[off: off + c])
+            off += c
+            blocks += r.blocks_processed
+            for i, s in enumerate(r.throughput):
+                parts[i].append(s)
+        rf = fdc.flush()
+        blocks += rf.blocks_processed
+        for i, s in enumerate(rf.throughput):
+            parts[i].append(s)
+        return blocks, [np.concatenate(p) for p in parts]
+
+    b1, y1 = run_chunked([n])
+    cut = int(rng.integers(1, n - 1))
+    b2, y2 = run_chunked([cut, n - cut])
+    assert b1 == b2 == -(-n // cfg.inplen)
+    for a, b in zip(y1, y2):
+        np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.parametrize("seed", range(100, 105))
 def test_random_config_sharded_equivalence(seed):
     """Random configs: sharded step must reproduce single-device events and
