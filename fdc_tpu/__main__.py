@@ -233,6 +233,18 @@ def _cmd_serve(args) -> int:
         cfg = dataclasses.replace(
             cfg, fileoutput=True, outputpath=args.out_dir
         )
+    live = None
+    if args.waterfall_follow:
+        from fdc_tpu.utils.waterfall import LiveWaterfall, Waterfall
+
+        if not cfg.debug:
+            cfg = dataclasses.replace(cfg, debug=True)
+        live = LiveWaterfall(
+            Waterfall(blocklen=cfg.blocksize, width=1024, height=512,
+                      blockdecimation=1),
+            interval=args.waterfall_interval,
+            png_path=args.waterfall_follow,
+        )
     fdc = FrequencyDomainChannelizer(cfg)
     driver = StreamDriver(fdc)
 
@@ -243,6 +255,9 @@ def _cmd_serve(args) -> int:
         events.extend(res.events)
         for i, s in enumerate(res.throughput):
             tp_parts[i].append(s)
+        if live is not None and res.debug_spectrum is not None:
+            live.update(power_blocks=np.abs(res.debug_spectrum) ** 2,
+                        events=res.events)
 
     def on_listen(p):
         print(f"listening on {args.bind or '127.0.0.1'}:{p}", flush=True)
@@ -261,6 +276,9 @@ def _cmd_serve(args) -> int:
 
     _print_stats(driver.stats.samples_in, driver.stats.blocks_processed,
                  len(events), wall, batches=driver.stats.batches)
+    if live is not None:
+        live.update(force=True)  # final frame
+        print(f"wrote {args.waterfall_follow} ({live.frames} frames)")
     if args.out_dir:
         _write_stream_outputs(args.out_dir, tp_parts)
     if args.events_jsonl:
@@ -411,6 +429,11 @@ def main(argv=None) -> int:
     p_srv.add_argument("--port-file", default="",
                        help="write the bound port here once listening "
                             "(for scripting with --port 0)")
+    p_srv.add_argument("--waterfall-follow", default="",
+                       help="live waterfall: overwrite this PNG as "
+                            "batches arrive (forces debug spectra on)")
+    p_srv.add_argument("--waterfall-interval", type=float, default=0.2,
+                       help="minimum seconds between waterfall redraws")
     p_srv.add_argument("--out-dir", default="",
                        help="write event files + throughput streams here")
     p_srv.add_argument("--events-jsonl", default="",

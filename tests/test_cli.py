@@ -139,10 +139,12 @@ def test_serve_socket(config_path, tmp_path):
 
     out_dir = tmp_path / "sout"
     port_file = tmp_path / "port.txt"
+    wf_png = tmp_path / "live_wf.png"
     th = threading.Thread(
         target=main,
         args=(["serve", str(config_path), "--port", "0",
                "--port-file", str(port_file),
+               "--waterfall-follow", str(wf_png),
                "--out-dir", str(out_dir)],),
         daemon=True,
     )
@@ -163,6 +165,12 @@ def test_serve_socket(config_path, tmp_path):
     tp_file = np.fromfile(tmp_path / "fout" / "throughput_ch0.c64",
                           np.complex64)
     np.testing.assert_array_equal(tp, tp_file)
+
+    try:
+        import matplotlib  # noqa: F401
+        assert wf_png.exists() and wf_png.stat().st_size > 0
+    except ImportError:
+        pass
 
 
 def test_run_missing_file_raises(config_path, tmp_path):
