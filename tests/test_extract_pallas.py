@@ -128,6 +128,51 @@ def test_fused_shared_phase_fold(r):
     assert rel < 2e-6, rel
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_fused_shared_phase_fold_fuzz(seed):
+    """Fold algebra fuzz: random (B, tb, l, keep_from, C) with starts
+    covering every residue class mod R, B deliberately not a multiple
+    of the tile so the padded tail rows interact with the quarter-turn
+    row-group pattern."""
+    rng = np.random.default_rng(100 + seed)
+    r = int(rng.choice([2, 4]))
+    tb = int(rng.choice([4, 8]) * r)  # tile must be a multiple of R
+    b = int(rng.integers(tb + 1, 4 * tb) | 1)  # odd -> ragged last tile
+    l = int(rng.choice([32, 64]))
+    n = 512
+    keep_from = int(rng.choice([0, l // 4]))
+    c = 2 * r  # two starts per residue class
+    spec = (
+        rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))
+    ).astype(np.complex64)
+    base = rng.choice((n - l) // r, size=c, replace=False) * r
+    starts = np.sort(base + np.arange(c) % r).astype(np.int32)
+    win = rng.random(l).astype(np.float32) + 0.1
+    wins = np.tile(win, (c, 1))
+
+    y = extract_bucket(
+        jnp.asarray(spec), starts, wins, gain=float(l), use_mxu=True,
+        keep_from=keep_from, pairs=True,
+    )
+    phase_idx = (
+        jnp.arange(b, dtype=jnp.int32)[None, :]
+        * jnp.asarray(starts)[:, None]
+    ) % r
+    ref = np.asarray(apply_phase_pairs(y, phase_idx, r))
+
+    m = _rr_idft_matrix(l, keep_from, True, float(l), pairs=True)
+    folded = (np.concatenate([win, win])[:, None] * m).astype(np.float32)
+    got = np.asarray(
+        fused_extract_shared(
+            jnp.asarray(spec), starts, folded, fold_phase_r=r, pairs=True,
+            tb=tb, interpret=True,
+        )
+    )
+    assert got.shape == ref.shape
+    rel = np.sqrt(np.mean((ref - got) ** 2) / np.mean(ref**2))
+    assert rel < 2e-6, (rel, r, tb, b, l, keep_from)
+
+
 def test_extract_bucket_phased_fallback_matches():
     """On CPU the phased wrapper falls back to extract + apply (bit-equal)."""
     from fdc_tpu.ops.extract import apply_phase_pairs, extract_bucket_phased
