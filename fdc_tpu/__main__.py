@@ -144,15 +144,21 @@ def _cmd_run(args) -> int:
 
     events = []
     tp_parts: list = [[] for _ in cfg.fdc_throughput_channels()]
-    spectra: list = []
+    wf_hist = None
+    if args.waterfall:
+        from fdc_tpu.utils.waterfall import DecimatingPowerHistory
+
+        # RAM-bounded: long captures auto-decimate instead of holding the
+        # full debug-spectrum history (O(blocks x blocklen)) in memory
+        wf_hist = DecimatingPowerHistory(max_rows=2048)
     t_start = time.time()
 
     def consume(res):
         events.extend(res.events)
         for i, s in enumerate(res.throughput):
             tp_parts[i].append(s)
-        if args.waterfall and res.debug_spectrum is not None:
-            spectra.append(np.abs(res.debug_spectrum) ** 2)
+        if wf_hist is not None and res.debug_spectrum is not None:
+            wf_hist.add(np.abs(res.debug_spectrum) ** 2)
 
     try:
         driver = StreamDriver(fdc, use_native=not args.no_native)
@@ -198,13 +204,14 @@ def _cmd_run(args) -> int:
     if args.events_jsonl:
         _write_events_jsonl(args.events_jsonl, events)
 
-    if args.waterfall and spectra:
+    if wf_hist is not None and wf_hist.n_blocks:
         from fdc_tpu.utils.waterfall import Waterfall
 
-        power = np.concatenate(spectra)
+        rows = wf_hist.rows()
         wf = Waterfall(blocklen=cfg.blocksize, width=1024,
-                       height=max(64, len(power)), blockdecimation=1)
-        wf.feed_power(power)
+                       height=max(64, len(rows)),
+                       blockdecimation=wf_hist.dec)
+        wf.feed_rows(rows)
         wf.feed_events(events)
         if wf.save_png(args.waterfall):
             print(f"wrote {args.waterfall}")
@@ -364,6 +371,16 @@ def _cmd_vcm(args) -> int:
         chunk = chunk[: (len(chunk) // inplen) * inplen]
         if not len(chunk):
             break
+        if len(chunk) < step:
+            # zero-pad the tail to the fixed batch shape so the jitted
+            # front-end and runner step never recompile for a ragged final
+            # chunk (a TPU recompile costs minutes). Zeros drive in-band
+            # power to zero, so open bursts see a falling edge and
+            # finalize — the same end-of-stream semantics as
+            # FrequencyDomainChannelizer.flush().
+            chunk = np.concatenate(
+                [chunk, np.zeros(step - len(chunk), np.complex64)]
+            )
         histf, specf = front(histf, jnp.asarray(c2f_host(chunk)))
         events.extend(runner.process_spectra(f2c_host(np.asarray(specf))))
     wall = time.time() - t_start

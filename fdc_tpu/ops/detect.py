@@ -88,9 +88,11 @@ def detect_edges(
     paired with the nearest following falling edge) that the reference
     builds before its sequential accept loop
     (reference: lib/SegmentDetection_impl.cc:195-230). The greedy
-    acceptance is applied either by :func:`detect_candidates` (lax.scan
-    path) or inside the Pallas lifecycle kernel (static-unrolled — the
-    production path).
+    acceptance is applied by :func:`detect_candidates` on BOTH backends —
+    the Pallas lifecycle kernel documents its candidates as PRE-ACCEPTED
+    (an in-kernel unrolled acceptance was tried and reverted: it runs on
+    the kernel's serial per-block chain, +0.5 ms — see PERFORMANCE.md).
+    Do not feed detect_edges output to the kernel directly.
 
     Returns (cand_s, cand_e, has_pair): [K] int32 cell coordinates in
     strength order and the paired-validity mask.

@@ -261,6 +261,8 @@ class SegmentDetectionEmitter:
         self._live = np.zeros(s, bool)
         # blocks whose samples were beyond the extraction budget (zeroed)
         self.lost_rows = 0
+        # device-reported needy-slots-beyond-budget count (step granularity)
+        self.overflow_slots = 0
 
     def get_state(self) -> dict:
         """Host-side slot state for checkpointing (fdc_tpu.runtime.checkpoint)."""
@@ -331,6 +333,18 @@ class SegmentDetectionEmitter:
         ext_start = np.asarray(slot_meta["ext_start"])
         wlog2 = np.asarray(slot_meta["wlog2"])
         order = np.asarray(slot_meta["order"])
+
+        # surface the device-side compaction overflow (the reference's
+        # philosophy is clamp/skip + LOG, lib/SegmentDetection_impl.cc:298-308
+        # — data loss must never be silent)
+        ovf = int(np.sum(np.asarray(outputs.get("ext_overflow", 0))))
+        if ovf:
+            self.overflow_slots += ovf
+            if self.log_fn is not None:
+                self.log_fn(
+                    f"extraction budget exceeded: {ovf} needy slot(s) "
+                    f"zeroed this step (cumulative {self.overflow_slots})"
+                )
 
         # extraction rows are compacted: row_of[slot] -> extract row, or -1
         # if the slot's samples were beyond the extraction budget this step
@@ -606,9 +620,18 @@ class NativeSegmentDetectionEmitter:
             detector.blocksize,
             int(maxblocks),
         )
+        self.overflow_slots = 0
 
     def process_step(self, outputs, slot_meta, t0: int):
         order = np.asarray(slot_meta["order"])
+        ovf = int(np.sum(np.asarray(outputs.get("ext_overflow", 0))))
+        if ovf:
+            self.overflow_slots += ovf
+            if self.log_fn is not None:
+                self.log_fn(
+                    f"extraction budget exceeded: {ovf} needy slot(s) "
+                    f"zeroed this step (cumulative {self.overflow_slots})"
+                )
         ts = current_timestamp()
         ids = b"".join(
             make_event_id(

@@ -242,18 +242,27 @@ class FileSource:
 
     @property
     def samples_read(self) -> int:
+        if self._h is None:
+            return self._final[0]
         return self._lib.fdc_filesource_samples_read(self._h)
 
     @property
     def done(self) -> bool:
+        if self._h is None:
+            return self._final[1]
         return bool(self._lib.fdc_filesource_done(self._h))
 
     @property
     def error(self) -> bool:
+        if self._h is None:
+            return self._final[2]
         return bool(self._lib.fdc_filesource_error(self._h))
 
     def stop(self):
         if getattr(self, "_h", None):
+            # snapshot the terminal state: the C handle is freed below, so
+            # properties read after stop() must not dereference it
+            self._final = (self.samples_read, self.done, self.error)
             self._lib.fdc_filesource_stop(self._h)
             self._h = None
 
@@ -283,22 +292,34 @@ class SocketSource:
 
     @property
     def port(self) -> int:
+        if self._h is None:
+            return self._final[0]
         return self._lib.fdc_socketsource_port(self._h)
 
     @property
     def samples_read(self) -> int:
+        if self._h is None:
+            return self._final[1]
         return self._lib.fdc_socketsource_samples_read(self._h)
 
     @property
     def done(self) -> bool:
+        if self._h is None:
+            return self._final[2]
         return bool(self._lib.fdc_socketsource_done(self._h))
 
     @property
     def error(self) -> bool:
+        if self._h is None:
+            return self._final[3]
         return bool(self._lib.fdc_socketsource_error(self._h))
 
     def stop(self):
         if getattr(self, "_h", None):
+            # snapshot the terminal state: the C handle is freed below, so
+            # properties read after stop() must not dereference it
+            self._final = (self.port, self.samples_read, self.done,
+                           self.error)
             self._lib.fdc_socketsource_stop(self._h)
             self._h = None
 

@@ -29,7 +29,13 @@ import numpy as np
 
 from fdc_tpu.utils.events import ChannelEvent
 
-__all__ = ["Waterfall", "LiveWaterfall", "COLOR_SCHEMES", "cr_colorscheme"]
+__all__ = [
+    "Waterfall",
+    "LiveWaterfall",
+    "DecimatingPowerHistory",
+    "COLOR_SCHEMES",
+    "cr_colorscheme",
+]
 
 # the reference's four schemes by index (python/WaterfallMsgTagging.py:277-281)
 COLOR_SCHEMES = (
@@ -239,18 +245,53 @@ class Waterfall:
     def feed_power(self, power_blocks: np.ndarray):
         """Append [B, blocklen] linear power spectra (one row per block)."""
         power_blocks = np.atleast_2d(np.asarray(power_blocks))
-        for p in power_blocks:
-            self._pending.append(self._rescale(p))
-            self._block_index += 1
-            if len(self._pending) >= self.blockdecimation:
-                # raw-domain mean over the decimation window, binned as-is
-                # at render (reference: python/WaterfallMsgTagging.py:163,
-                # 261-262 — digitize on the raw values, no log conversion)
-                row = np.mean(self._pending[: self.blockdecimation], axis=0)
-                self._pending = self._pending[self.blockdecimation:]
-                self._rows = np.roll(self._rows, -1, axis=0)
-                self._rows[-1] = row
-                self._nrows += 1
+        if power_blocks.size == 0:
+            return
+        px = [self._rescale(p) for p in power_blocks]
+        self._block_index += len(px)
+        px = self._pending + px
+        d = self.blockdecimation
+        n_new = len(px) // d
+        self._pending = px[n_new * d:]
+        if not n_new:
+            return
+        # raw-domain mean over each decimation window, binned as-is at
+        # render (reference: python/WaterfallMsgTagging.py:163,261-262 —
+        # digitize on the raw values, no log conversion). The scroll is
+        # ONE concatenate for the whole batch: a per-row np.roll of the
+        # [height, width] buffer is O(rows * height) and dominates large
+        # feeds.
+        rows = (
+            np.stack(px[: n_new * d])
+            .reshape(n_new, d, self.width)
+            .mean(axis=1)
+            .astype(np.float32)
+        )
+        self._append_rows(rows)
+
+    def feed_rows(self, rows: np.ndarray, blocks_per_row: int = None):
+        """Append PRE-decimated image rows (one per ``blockdecimation``
+        blocks — or ``blocks_per_row`` of them, for externally decimated
+        histories such as :class:`DecimatingPowerHistory`). Rows longer
+        than ``width`` are rescaled like spectra; event rectangles keep
+        mapping through ``blockdecimation``, so pass histories decimated
+        by the same factor."""
+        rows = np.atleast_2d(np.asarray(rows))
+        if rows.size == 0:
+            return
+        bpr = self.blockdecimation if blocks_per_row is None else blocks_per_row
+        if rows.shape[1] != self.width:
+            rows = np.stack([self._rescale(r) for r in rows])
+        self._block_index += bpr * len(rows)
+        self._append_rows(rows.astype(np.float32))
+
+    def _append_rows(self, rows: np.ndarray):
+        n_new = len(rows)
+        if n_new >= self.height:
+            self._rows = rows[-self.height:]
+        else:
+            self._rows = np.concatenate([self._rows[n_new:], rows])
+        self._nrows += n_new
 
     def feed_events(self, events: Sequence[ChannelEvent]):
         """Register detection events as overlay rectangles
@@ -361,6 +402,84 @@ class Waterfall:
             return True
         except Exception:
             return False
+
+
+class DecimatingPowerHistory:
+    """RAM-bounded full-capture power history for post-run waterfalls.
+
+    Accumulates per-block power rows while keeping at most ``2 *
+    max_rows`` rows in memory by DOUBLING the time decimation whenever the
+    buffer fills (sums are kept, so every full window is the exact mean
+    over its ``dec`` blocks; the tail row is the exact mean over however
+    many blocks it covers). Feed the result to
+    :meth:`Waterfall.feed_rows` with ``blockdecimation=history.dec`` so
+    event rectangles map to the same rows.
+
+    The CLI's ``run --waterfall`` uses this instead of holding the whole
+    debug-spectrum history (a long capture at full resolution is O(blocks
+    x blocklen) RAM and an O(blocks^2) scroll).
+    """
+
+    def __init__(self, max_rows: int = 2048):
+        if max_rows < 1:
+            raise ValueError("max_rows must be >= 1")
+        self.max_rows = int(max_rows)
+        self.dec = 1
+        self._sums: List[np.ndarray] = []  # each: sum over dec rows
+        self._carry: np.ndarray = None  # partial-window sum
+        self._carry_n = 0
+        self.n_blocks = 0
+
+    def add(self, power_blocks: np.ndarray):
+        """Fold [B, blocklen] linear power rows into the history."""
+        p = np.atleast_2d(np.asarray(power_blocks, np.float64))
+        if p.size == 0:
+            return
+        self.n_blocks += len(p)
+        if self._carry_n:
+            take = min(self.dec - self._carry_n, len(p))
+            self._carry = self._carry + p[:take].sum(axis=0)
+            self._carry_n += take
+            p = p[take:]
+            if self._carry_n == self.dec:
+                self._sums.append(self._carry)
+                self._carry, self._carry_n = None, 0
+        n_full = len(p) // self.dec
+        if n_full:
+            self._sums.extend(
+                p[: n_full * self.dec]
+                .reshape(n_full, self.dec, -1)
+                .sum(axis=1)
+            )
+        rem = p[n_full * self.dec:]
+        if len(rem):
+            self._carry = rem.sum(axis=0)
+            self._carry_n = len(rem)
+        while len(self._sums) > 2 * self.max_rows:
+            self._double()
+
+    def _double(self):
+        s = self._sums
+        pairs = [s[i] + s[i + 1] for i in range(0, len(s) - 1, 2)]
+        if len(s) % 2:
+            # the odd tail window (a full old-dec sum) absorbs the carry
+            # and becomes the new partial window
+            tail = s[-1] if self._carry is None else s[-1] + self._carry
+            self._carry, self._carry_n = tail, self.dec + self._carry_n
+        self._sums = pairs
+        self.dec *= 2
+        if self._carry_n == self.dec:
+            self._sums.append(self._carry)
+            self._carry, self._carry_n = None, 0
+
+    def rows(self) -> np.ndarray:
+        """[rows, blocklen] float32 mean-power rows at the final ``dec``."""
+        out = [np.asarray(s, np.float64) / self.dec for s in self._sums]
+        if self._carry_n:
+            out.append(np.asarray(self._carry, np.float64) / self._carry_n)
+        if not out:
+            return np.zeros((0, 0), np.float32)
+        return np.stack(out).astype(np.float32)
 
 
 class LiveWaterfall:

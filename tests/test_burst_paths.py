@@ -241,6 +241,10 @@ def test_segment_detection_extract_budget_bit_exact():
         assert ev.blockend == g["blockend"]
         assert ev.data.shape == g["data"].shape
     assert fdc1.segment_emitters[0].lost_rows > 0
+    # the device-side overflow counter is surfaced (counted + loggable),
+    # not silently dropped
+    assert fdc1.segment_emitters[0].overflow_slots > 0
+    assert fdc.segment_emitters[0].overflow_slots == 0
 
 
 @pytest.mark.parametrize("native", [False, True])

@@ -109,6 +109,12 @@ def test_file_source(tmp_path):
             break
     n_read = src.samples_read
     src.stop()
+    # properties after stop() must return the terminal snapshot, not
+    # dereference the freed C handle
+    assert src.samples_read == n_read
+    assert src.done is True
+    assert src.error is False
+    src.stop()  # idempotent
     y = np.concatenate(got)
     assert n_read == 10000
     np.testing.assert_array_equal(x, y)
@@ -201,9 +207,16 @@ def test_socket_source_stop_without_client():
     must not hang or error."""
     ring = native.SampleRing(4096)
     src = native.SocketSource(ring, port=0)
-    assert src.port > 0
+    port = src.port
+    assert port > 0
     time.sleep(0.05)
     src.stop()
+    # post-stop property reads return the terminal snapshot (no NULL deref)
+    assert src.port == port
+    assert src.samples_read == 0
+    assert isinstance(src.done, bool)
+    assert src.error is False
+    src.stop()  # idempotent
 
 
 def test_stream_driver_missing_file_raises(tmp_path):

@@ -188,3 +188,84 @@ def test_tagmode_labels():
     with pytest.raises(ValueError):
         Waterfall(blocklen=64, tagmode="bogus")
     assert Waterfall(blocklen=64, tagmode="none").labels() == []
+
+
+def test_feed_power_batched_equals_per_row():
+    """The vectorized feed path must render identically to feeding the
+    same blocks one at a time (including pending-window carry-over)."""
+    from fdc_tpu.utils.waterfall import Waterfall as WF
+
+    rng = np.random.default_rng(3)
+    blocks = rng.random((23, 64)).astype(np.float32)
+    a = WF(blocklen=64, width=32, height=6, blockdecimation=3)
+    b = WF(blocklen=64, width=32, height=6, blockdecimation=3)
+    a.feed_power(blocks)
+    for row in blocks:
+        b.feed_power(row)
+    assert a._nrows == b._nrows
+    assert len(a._pending) == len(b._pending)
+    np.testing.assert_allclose(a._rows, b._rows, rtol=1e-6)
+    # split feeds mid-decimation-window too
+    c = WF(blocklen=64, width=32, height=6, blockdecimation=3)
+    c.feed_power(blocks[:7])
+    c.feed_power(blocks[7:8])
+    c.feed_power(blocks[8:])
+    np.testing.assert_allclose(a._rows, c._rows, rtol=1e-6)
+    assert c._block_index == a._block_index == 23
+
+
+def test_feed_rows_predecimated():
+    """feed_rows appends image rows directly; event rects keep mapping
+    through blockdecimation."""
+    wf = Waterfall(blocklen=128, width=64, height=8, blockdecimation=4)
+    rows = np.random.default_rng(0).random((3, 128)).astype(np.float32)
+    wf.feed_rows(rows)  # rescaled 128 -> 64
+    assert wf._nrows == 3
+    assert wf._block_index == 12
+    np.testing.assert_allclose(
+        wf._rows[-1], wf._rescale(rows[-1]), rtol=1e-6
+    )
+    # more rows than height: keeps the newest
+    tall = np.arange(20, dtype=np.float32)[:, None] * np.ones(
+        (20, 64), np.float32
+    )
+    wf2 = Waterfall(blocklen=64, width=64, height=8)
+    wf2.feed_rows(tall)
+    assert wf2._nrows == 20
+    np.testing.assert_array_equal(wf2._rows[:, 0], np.arange(12, 20))
+
+
+def test_decimating_power_history_exact_means():
+    """Full windows are exact means over dec blocks; the tail row is the
+    exact mean of its own count; doubling preserves both."""
+    from fdc_tpu.utils.waterfall import DecimatingPowerHistory
+
+    rng = np.random.default_rng(7)
+    blocks = rng.random((41, 16)).astype(np.float32)
+    h = DecimatingPowerHistory(max_rows=4)  # forces several doublings
+    # ragged feed pattern
+    for sl in (blocks[:1], blocks[1:6], blocks[6:30], blocks[30:]):
+        h.add(sl)
+    assert h.n_blocks == 41
+    d = h.dec
+    rows = h.rows()
+    n_full = 41 // d
+    expect_full = blocks[: n_full * d].reshape(n_full, d, 16).mean(axis=1)
+    np.testing.assert_allclose(rows[:n_full], expect_full, rtol=1e-6)
+    if 41 % d:
+        np.testing.assert_allclose(
+            rows[-1], blocks[n_full * d:].mean(axis=0), rtol=1e-6
+        )
+        assert len(rows) == n_full + 1
+    assert len(h._sums) <= 2 * h.max_rows
+
+
+def test_decimating_power_history_no_doubling():
+    from fdc_tpu.utils.waterfall import DecimatingPowerHistory
+
+    h = DecimatingPowerHistory(max_rows=64)
+    blocks = np.ones((10, 8), np.float32)
+    h.add(blocks)
+    assert h.dec == 1
+    assert h.rows().shape == (10, 8)
+    np.testing.assert_allclose(h.rows(), blocks)
