@@ -30,6 +30,7 @@ Prints ONE JSON line.
 
 import argparse
 import json
+import sys
 
 import numpy as np
 
@@ -61,6 +62,34 @@ def main():
     except Exception:
         pass
 
+    # the bench must ALWAYS print its JSON line: if a fused Pallas
+    # extraction kernel fails to lower/compile on this chip, fall back
+    # through the FDC_TPU_FUSED kill switch (shared-matrix kernel off,
+    # then all fused kernels off) and report which mode survived
+    start = os.environ.get("FDC_TPU_FUSED", "all").lower()
+    modes = ["all", "static", "off"]
+    modes = modes[modes.index(start) if start in modes else 0:]
+    result = None
+    for i, mode in enumerate(modes):
+        os.environ["FDC_TPU_FUSED"] = mode
+        try:
+            result = run_bench(args)
+            break
+        except Exception as e:
+            if i + 1 == len(modes):
+                raise
+            print(
+                f"bench failed with FDC_TPU_FUSED={mode}: {e!r}; "
+                f"retrying with FDC_TPU_FUSED={modes[i + 1]}",
+                file=sys.stderr,
+            )
+    if os.environ.get("FDC_TPU_FUSED", "all") != "all":
+        result["fused_mode"] = os.environ["FDC_TPU_FUSED"]
+    print(json.dumps(result))
+
+
+def run_bench(args):
+    import jax
     import jax.numpy as jnp
 
     from __graft_entry__ import _flagship
@@ -194,19 +223,15 @@ def main():
     msps_roof = n / dt_roof / 1e6
     msps_fft = n / dt_fft / 1e6
 
-    print(
-        json.dumps(
-            {
-                "metric": "wideband_complex_Msamples_per_s_per_chip_4096fft_64ch",
-                "value": round(msps, 3),
-                "unit": "Msamples/s",
-                "vs_baseline": round(msps / msps_roof, 4),
-                "roofline_msps": round(msps_roof, 1),
-                "fft_only_msps": round(msps_fft, 1),
-                "batch_blocks": cfg.batch_blocks,
-            }
-        )
-    )
+    return {
+        "metric": "wideband_complex_Msamples_per_s_per_chip_4096fft_64ch",
+        "value": round(msps, 3),
+        "unit": "Msamples/s",
+        "vs_baseline": round(msps / msps_roof, 4),
+        "roofline_msps": round(msps_roof, 1),
+        "fft_only_msps": round(msps_fft, 1),
+        "batch_blocks": cfg.batch_blocks,
+    }
 
 
 if __name__ == "__main__":

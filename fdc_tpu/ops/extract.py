@@ -22,6 +22,8 @@ per-block phase as a scalar complex rotation on the IFFT output
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -112,6 +114,17 @@ def gather_slices(spectrum: jax.Array, starts: jax.Array, width: int) -> jax.Arr
     return jax.vmap(cut)(starts.astype(jnp.int32))
 
 
+def _fused_mode() -> str:
+    """Runtime kill switch for the fused Pallas extraction kernels, read
+    at trace time: ``FDC_TPU_FUSED=off`` disables both fused paths (pure
+    XLA extraction), ``=static`` disables only the shared-matrix kernel
+    (the per-channel kernel still engages when it fits VMEM). Default:
+    everything on. bench.py flips this to fall back automatically if a
+    freshly-landed kernel fails to lower on the real chip — the bench
+    must always produce a number."""
+    return os.environ.get("FDC_TPU_FUSED", "all").lower()
+
+
 def _shared_fused_matrix(
     spectrum, starts, base_windows, l, keep_from, gain, fold_phase_r=0
 ):
@@ -128,6 +141,8 @@ def _shared_fused_matrix(
     :func:`extract_bucket_phased` — keep the gates and the fold layout
     here so the two entry points cannot drift.
     """
+    if _fused_mode() in ("off", "static"):
+        return None
     if not (
         isinstance(base_windows, np.ndarray)
         and isinstance(starts, np.ndarray)
@@ -227,7 +242,7 @@ def extract_bucket(
                 )[:, :, None]
                 * m[None]
             ).astype(np.float32)  # [C, 2l, 2k]
-            if fits_vmem(
+            if _fused_mode() != "off" and fits_vmem(
                 folded.shape[0], l, folded.shape[2], spectrum.shape[1]
             ):
                 return fused_extract_static(

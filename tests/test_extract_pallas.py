@@ -224,3 +224,26 @@ def test_fused_complex_output():
     g = np.asarray(got)
     rel = np.sqrt(np.mean(np.abs(ref_c - g) ** 2) / np.mean(np.abs(ref_c) ** 2))
     assert rel < 1e-6, rel
+
+
+def test_fused_kill_switch(monkeypatch):
+    """FDC_TPU_FUSED gates the shared-matrix engagement decision — the
+    bench's automatic fallback relies on it when a freshly-landed kernel
+    fails to lower on the real chip."""
+    import jax
+
+    from fdc_tpu.ops.extract import _shared_fused_matrix
+
+    l, n, c = 16, 64, 3
+    wins = np.tile(np.hanning(l).astype(np.float32), (c, 1))
+    starts = np.array([4, 20, 36], np.int32)
+    spec = np.zeros((8, n), np.complex64)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    monkeypatch.setenv("FDC_TPU_FUSED", "all")
+    assert _shared_fused_matrix(spec, starts, wins, l, 0, 1.0) is not None
+    for mode in ("static", "off", "OFF"):
+        monkeypatch.setenv("FDC_TPU_FUSED", mode)
+        assert _shared_fused_matrix(spec, starts, wins, l, 0, 1.0) is None
+    monkeypatch.delenv("FDC_TPU_FUSED")
+    assert _shared_fused_matrix(spec, starts, wins, l, 0, 1.0) is not None
