@@ -25,6 +25,14 @@ import numpy as np
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-blocks", type=int, default=512)
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--repeats", type=int, default=15)
+    args = ap.parse_args()
+
     import jax
 
     cache_dir = os.path.join(
@@ -47,7 +55,7 @@ def main():
 
     print("devices:", jax.devices(), file=sys.stderr)
 
-    cfg = _flagship(batch_blocks=512)
+    cfg = _flagship(batch_blocks=args.batch_blocks)
     fdc = FrequencyDomainChannelizer(cfg)
     tp = fdc.throughput
     bucket = tp.buckets[0]
@@ -141,13 +149,13 @@ def main():
 
     results = {}
     for name, step, k in [
-        ("G0_front", g0, 96),
-        ("G1_xla", g1, 64),
-        ("G2_fused_shared", g2, 64),
-        ("G3_phase_folded", g3, 64),
+        ("G0_front", g0, args.k + args.k // 2),
+        ("G1_xla", g1, args.k),
+        ("G2_fused_shared", g2, args.k),
+        ("G3_phase_folded", g3, args.k),
     ]:
         t0 = time.time()
-        dt = time_scanned(step, carry0, xf, k=k, repeats=15)
+        dt = time_scanned(step, carry0, xf, k=k, repeats=args.repeats)
         results[name] = dt
         print(
             f"{name}: {dt*1e3:.4f} ms  (wall {time.time()-t0:.0f}s)",
