@@ -65,8 +65,18 @@ def _pad_rows(a: np.ndarray, multiple: int) -> np.ndarray:
 def _from_last_time_shard(x, tidx, n_time):
     """Replicate the last time shard's value to all shards (tiny payloads:
     the ovllen-sample history tail and one spectrum row)."""
+    if n_time == 1:
+        return x  # degenerate axis: skip the dead psum
     sel = (tidx == n_time - 1).astype(x.dtype)
     return jax.lax.psum(x * sel, TIME_AXIS)
+
+
+def _gather_time(x, n_time):
+    """all_gather over the time axis (replicated detection statistics);
+    identity when the axis is degenerate."""
+    if n_time == 1:
+        return x
+    return jax.lax.all_gather(x, TIME_AXIS, axis=0, tiled=True)
 
 
 def _shift_right(x, n_time):
@@ -277,9 +287,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         if self.power_bank:
             pa = self.power_bank
             powers_local = pa.measure(spec, sq_local)  # [b_local, C]
-            powers = jax.lax.all_gather(
-                powers_local, TIME_AXIS, axis=0, tiled=True
-            )  # [B, C]
+            powers = _gather_time(powers_local, n_time)  # [B, C]
             pa_state, (rise, fall, processed, phase_used) = pa.scan_flags(
                 powers, carry["powact"]
             )
@@ -305,9 +313,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
 
         for i, sd in enumerate(self.segments):
             power_local = sd.measure(spec, sq_local)  # [b_local, n_cells]
-            power = jax.lax.all_gather(
-                power_local, TIME_AXIS, axis=0, tiled=True
-            )  # [B, n_cells]
+            power = _gather_time(power_local, n_time)  # [B, n_cells]
             seg_state, (got, processed, emit_now, phase_used) = sd.scan_slots(
                 power, carry[f"seg{i}"]
             )
@@ -328,6 +334,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             # compaction plans are replicated (computed from the replicated
             # flags); each chan rank extracts its slice of them
             def my_slice(ids, e_total):
+                if self.n_chan == 1:
+                    return ids  # degenerate axis: the full plan is local
                 e_local = e_total // self.n_chan
                 return jax.lax.dynamic_slice_in_dim(
                     ids, cidx * e_local, e_local

@@ -95,7 +95,12 @@ def assert_events_match(ev_a, ev_b):
         np.testing.assert_allclose(a.data, b.data, rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("n_time,n_chan", [(4, 2), (8, 1), (1, 2), (2, 2)])
+@pytest.mark.parametrize(
+    "n_time,n_chan",
+    # (1, 1) pins the degenerate-axis short circuits (skipped psum /
+    # all_gather / chan slice) to the single-device outputs
+    [(4, 2), (8, 1), (1, 2), (2, 2), (1, 1)],
+)
 def test_sharded_matches_single_device(n_time, n_chan):
     cfg = config()
     rng = np.random.default_rng(7)
