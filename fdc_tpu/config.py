@@ -431,14 +431,19 @@ class ChannelizerConfig:
             v = getattr(self, name)
             if v is None:
                 v = ()
-            object.__setattr__(
-                self, name, tuple(tuple(float(x) for x in c) for c in v)
-            )
-            for c in getattr(self, name):
-                if len(c) != 2:
+            # reject non-pair entries with the reference's error contract
+            # (reference: python/FrequencyDomainChannelizer.py:99-102,349-357
+            # — get_channel returns None for anything but a 2-list/tuple
+            # and the caller raises ValueError)
+            norm = []
+            for c in v:
+                if not isinstance(c, (list, tuple)) or len(c) != 2:
                     raise ValueError(
-                        f"{name} entries must be (a, b) pairs, got {c}"
+                        f"Cannot convert {c!r} to a {name} entry: must be "
+                        f"a (frequency, bandwidth) / (start, stop) pair"
                     )
+                norm.append(tuple(float(x) for x in c))
+            object.__setattr__(self, name, tuple(norm))
 
     # -- derived geometry ----------------------------------------------------
 
