@@ -185,3 +185,99 @@ def test_native_emission_scale_stress():
         assert a.blockstart == b.blockstart and a.blockend == b.blockend
         assert a.part == b.part and a.finalized == b.finalized
         np.testing.assert_allclose(a.data, b.data, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("vcm", [False, True])
+@pytest.mark.parametrize("seed", [1, 2, 7])
+def test_native_emission_multistep_fuzz(seed, vcm):
+    """Differential fuzz across STEPS: bursts spanning step boundaries,
+    budget-compacted rows (slot_ids with sentinels), a narrow second
+    bucket, rows beyond both budgets (zeroed + lost counter), and a tiny
+    maxblocks forcing partial emission — native must equal Python event
+    for event with state carried across process_step calls."""
+    from fdc_tpu.models.segment_detection import SegmentDetector
+    from fdc_tpu.runtime.emission import (
+        NativeSegmentDetectionEmitter,
+        SegmentDetectionEmitter,
+    )
+
+    S, B, steps = 24, 16, 5
+    w_cap, w_split = 128, 16
+    e_wide, e_narrow = 6, 4
+    rng = np.random.default_rng(seed)
+    det = SegmentDetector(
+        0, 1024, 4, 0.05, 0.95, 6.0, 0.002, 0.2,
+        max_slots=S, max_candidates=8, max_extract_width=w_cap,
+        lifecycle_backend="scan", vcm=vcm,
+        extract_budget=e_wide, extract_width_split=w_split,
+        extract_budget_narrow=e_narrow,
+    )
+    total = steps * B
+    # one burst per slot, spans crossing step boundaries
+    act = rng.integers(0, total - 4, S)
+    length = rng.integers(2, total // 2, S)
+    wlog2 = rng.integers(3, 8, S).astype(np.int32)  # widths 8..128
+    meta = {
+        "ext_start": rng.integers(0, 800, S).astype(np.int32),
+        "wlog2": wlog2,
+        "order": np.arange(S, dtype=np.int32),
+    }
+    em_py = SegmentDetectionEmitter(det, 5)
+    em_nat = NativeSegmentDetectionEmitter(det, 5)
+    ev_py, ev_nat = [], []
+    split_log2 = int(np.log2(w_split))
+    for step in range(steps):
+        lo = step * B
+        activated = np.zeros((S, B), bool)
+        processed = np.zeros((S, B), bool)
+        emit = np.zeros((S, B), bool)
+        for s in range(S):
+            a, e = act[s], act[s] + length[s]
+            for b in range(B):
+                g = lo + b
+                if g == a:
+                    activated[s, b] = True
+                elif a < g < e:
+                    processed[s, b] = True
+                elif g == e:
+                    emit[s, b] = True
+        phase_used = rng.integers(0, 4, (S, B)).astype(np.int32)
+        touched = activated.any(1) | processed.any(1) | emit.any(1)
+        narrow_pool = np.flatnonzero(touched & (wlog2 <= split_log2))
+        wide_pool = np.flatnonzero(touched & (wlog2 > split_log2))
+        ids_n = np.full(e_narrow, S, np.int32)
+        ids_n[: min(e_narrow, len(narrow_pool))] = narrow_pool[:e_narrow]
+        # narrow overflow spills into the wide list (device plan rule)
+        spill = narrow_pool[e_narrow:]
+        wide_all = np.concatenate([wide_pool, spill])
+        ids_w = np.full(e_wide, S, np.int32)
+        ids_w[: min(e_wide, len(wide_all))] = wide_all[:e_wide]
+        extract = (
+            rng.standard_normal((e_wide, B + 1, w_cap))
+            + 1j * rng.standard_normal((e_wide, B + 1, w_cap))
+        ).astype(np.complex64)
+        extract_n = (
+            rng.standard_normal((e_narrow, B + 1, w_split))
+            + 1j * rng.standard_normal((e_narrow, B + 1, w_split))
+        ).astype(np.complex64)
+        outputs = {
+            "activated": activated, "processed": processed, "emit": emit,
+            "phase_used": phase_used, "extract": extract,
+            "slot_ids": ids_w, "extract_narrow": extract_n,
+            "slot_ids_narrow": ids_n,
+            "ext_overflow": np.int32(max(0, len(wide_all) - e_wide)),
+        }
+        ev_py.extend(em_py.process_step(dict(outputs), dict(meta), lo))
+        ev_nat.extend(em_nat.process_step(dict(outputs), dict(meta), lo))
+
+    assert len(ev_py) == len(ev_nat) > 0
+    for a, b in zip(ev_py, ev_nat):
+        assert a.ID.split(".", 1)[1] == b.ID.split(".", 1)[1]
+        assert a.blockstart == b.blockstart and a.blockend == b.blockend
+        assert a.part == b.part and a.finalized == b.finalized
+        assert a.vectorstart == b.vectorstart
+        assert a.rel_bw == pytest.approx(b.rel_bw)
+        assert a.data.shape == b.data.shape
+        np.testing.assert_allclose(a.data, b.data, rtol=1e-5, atol=1e-6)
+    assert em_py.lost_rows == em_nat.lost_rows
+    assert em_py.overflow_slots == em_nat.overflow_slots
