@@ -210,7 +210,11 @@ def _cmd_run(args) -> int:
         rows = wf_hist.rows()
         wf = Waterfall(blocklen=cfg.blocksize, width=1024,
                        height=max(64, len(rows)),
-                       blockdecimation=wf_hist.dec)
+                       blockdecimation=wf_hist.dec,
+                       colorscheme=args.waterfall_colorscheme,
+                       db_range=(args.waterfall_db[0],
+                                 args.waterfall_db[1]),
+                       tagmode=args.waterfall_tagmode)
         wf.feed_rows(rows)
         wf.feed_events(events)
         if wf.save_png(args.waterfall):
@@ -248,7 +252,11 @@ def _cmd_serve(args) -> int:
             cfg = dataclasses.replace(cfg, debug=True)
         live = LiveWaterfall(
             Waterfall(blocklen=cfg.blocksize, width=1024, height=512,
-                      blockdecimation=1),
+                      blockdecimation=1,
+                      colorscheme=args.waterfall_colorscheme,
+                      db_range=(args.waterfall_db[0],
+                                args.waterfall_db[1]),
+                      tagmode=args.waterfall_tagmode),
             interval=args.waterfall_interval,
             png_path=args.waterfall_follow,
         )
@@ -396,6 +404,27 @@ def _cmd_vcm(args) -> int:
     return 0
 
 
+def _add_waterfall_style_args(p):
+    """The reference waterfall block's GRC style params
+    (reference: grc/FDC_WaterfallMsgTagging.xml: colorscheme, dB range,
+    tagmode) as CLI flags."""
+    from fdc_tpu.utils.waterfall import COLOR_SCHEMES, Waterfall
+
+    def scheme(x):
+        # index or name; Waterfall validates names
+        return int(x) if str(x).lstrip("-").isdigit() else x
+
+    p.add_argument("--waterfall-colorscheme", default=0, type=scheme,
+                   help="reference scheme index 0-3 or name "
+                        f"({', '.join(COLOR_SCHEMES)})")
+    p.add_argument("--waterfall-db", type=float, nargs=2,
+                   default=(-100.0, 0.0), metavar=("MIN", "MAX"),
+                   help="dB color-binning range")
+    p.add_argument("--waterfall-tagmode", default="none",
+                   choices=Waterfall.TAGMODES,
+                   help="draw event labels: none / id / part")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m fdc_tpu",
@@ -419,6 +448,7 @@ def main(argv=None) -> int:
     p_run.add_argument("--waterfall", default="",
                        help="render a waterfall PNG with event overlays "
                             "(forces debug spectra on)")
+    _add_waterfall_style_args(p_run)
     p_run.add_argument("--cpu", action="store_true", help="force CPU")
     p_run.add_argument("--no-native", action="store_true",
                        help="skip the native ring (pure-Python buffering)")
@@ -451,6 +481,7 @@ def main(argv=None) -> int:
                             "batches arrive (forces debug spectra on)")
     p_srv.add_argument("--waterfall-interval", type=float, default=0.2,
                        help="minimum seconds between waterfall redraws")
+    _add_waterfall_style_args(p_srv)
     p_srv.add_argument("--out-dir", default="",
                        help="write event files + throughput streams here")
     p_srv.add_argument("--events-jsonl", default="",

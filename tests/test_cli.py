@@ -233,3 +233,22 @@ def test_run_sharded_matches_plain(config_path, tmp_path):
     a = np.fromfile(tmp_path / "plain" / "throughput_ch0.c64", np.complex64)
     b = np.fromfile(tmp_path / "shard" / "throughput_ch0.c64", np.complex64)
     np.testing.assert_array_equal(a, b)
+
+
+def test_run_waterfall_style_flags(config_path, tmp_path):
+    """The reference waterfall block's GRC style params are CLI flags
+    (colorscheme index or name, dB range, tagmode); the PNG renders
+    through the RAM-bounded decimating history path."""
+    cap, _ = _capture(tmp_path)
+    png = tmp_path / "wf.png"
+    _run(config_path, cap, tmp_path / "o", tmp_path / "e.jsonl",
+         extra=("--waterfall", str(png),
+                "--waterfall-colorscheme", "black-rainbow",
+                "--waterfall-db", "-80", "10",
+                "--waterfall-tagmode", "id"))
+    assert png.stat().st_size > 0
+    # index form parses too
+    _run(config_path, cap, tmp_path / "o2", tmp_path / "e2.jsonl",
+         extra=("--waterfall", str(tmp_path / "wf2.png"),
+                "--waterfall-colorscheme", "2"))
+    assert (tmp_path / "wf2.png").stat().st_size > 0
