@@ -66,9 +66,13 @@ def main():
     # extraction kernel fails to lower/compile on this chip, fall back
     # through the FDC_TPU_FUSED kill switch (shared-matrix kernel off,
     # then all fused kernels off) and report which mode survived
-    start = os.environ.get("FDC_TPU_FUSED", "all").lower()
+    start = os.environ.get("FDC_TPU_FUSED", "all").strip().lower()
     modes = ["all", "static", "off"]
-    modes = modes[modes.index(start) if start in modes else 0:]
+    if start not in modes:
+        raise ValueError(
+            f"FDC_TPU_FUSED={start!r}: must be one of {modes}"
+        )
+    modes = modes[modes.index(start):]
     result = None
     for i, mode in enumerate(modes):
         os.environ["FDC_TPU_FUSED"] = mode
@@ -240,10 +244,12 @@ def run_bench(args):
     # roofline ratio above is the efficiency criterion; these numbers
     # locate the step on the machine's roofline instead.
     try:
+        # cost_analysis on the LOWERED stage: the counters come from the
+        # HLO without a backend compile (a standalone .compile() of the
+        # bare step is a different module from time_scanned's scan
+        # wrapper and would add a 1-5 min tunneled compile per cold run)
         cost = (
-            jax.jit(step_full)
-            .lower(carry0, xf, jnp.int32(0))
-            .compile()
+            jax.jit(step_full).lower(carry0, xf, jnp.int32(0))
             .cost_analysis()
         )
         if isinstance(cost, (list, tuple)):

@@ -385,7 +385,12 @@ def _cmd_vcm(args) -> int:
             # chunk (a TPU recompile costs minutes). Zeros drive in-band
             # power to zero, so open bursts see a falling edge and
             # finalize — the same end-of-stream semantics as
-            # FrequencyDomainChannelizer.flush().
+            # FrequencyDomainChannelizer.flush(), and the same
+            # batch-granularity contract: ONLY a ragged tail is padded. A
+            # capture that ends exactly on a batch boundary leaves open
+            # bursts open (what the reference block does at flowgraph
+            # stop), so emitted finalize events may differ between the
+            # two cases — documented, not incidental.
             chunk = np.concatenate(
                 [chunk, np.zeros(step - len(chunk), np.complex64)]
             )

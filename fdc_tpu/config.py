@@ -17,6 +17,8 @@ import enum
 import math
 from dataclasses import dataclass
 
+import numpy as np
+
 def nextpow2(k) -> int:
     """Smallest power of two >= k (reference: python/FrequencyDomainChannelizer.py:37-40)."""
     if k < 1:
@@ -437,7 +439,8 @@ class ChannelizerConfig:
             # and the caller raises ValueError)
             norm = []
             for c in v:
-                if not isinstance(c, (list, tuple)) or len(c) != 2:
+                if (not isinstance(c, (list, tuple, np.ndarray))
+                        or len(c) != 2):
                     raise ValueError(
                         f"Cannot convert {c!r} to a {name} entry: must be "
                         f"a (frequency, bandwidth) / (start, stop) pair"

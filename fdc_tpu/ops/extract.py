@@ -114,6 +114,9 @@ def gather_slices(spectrum: jax.Array, starts: jax.Array, width: int) -> jax.Arr
     return jax.vmap(cut)(starts.astype(jnp.int32))
 
 
+_FUSED_MODES = ("all", "static", "off")
+
+
 def _fused_mode() -> str:
     """Runtime kill switch for the fused Pallas extraction kernels, read
     at trace time: ``FDC_TPU_FUSED=off`` disables both fused paths (pure
@@ -121,8 +124,17 @@ def _fused_mode() -> str:
     (the per-channel kernel still engages when it fits VMEM). Default:
     everything on. bench.py flips this to fall back automatically if a
     freshly-landed kernel fails to lower on the real chip — the bench
-    must always produce a number."""
-    return os.environ.get("FDC_TPU_FUSED", "all").lower()
+    must always produce a number.
+
+    Unrecognized values raise (fail LOUD, not open): an operator setting
+    this is trying to kill a kernel that wedges the chip — silently
+    running it anyway is the one wrong answer."""
+    mode = os.environ.get("FDC_TPU_FUSED", "all").strip().lower()
+    if mode not in _FUSED_MODES:
+        raise ValueError(
+            f"FDC_TPU_FUSED={mode!r}: must be one of {_FUSED_MODES}"
+        )
+    return mode
 
 
 def _shared_fused_matrix(

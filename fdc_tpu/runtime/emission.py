@@ -43,6 +43,23 @@ def _phase_rot_table(relinvovl: int) -> np.ndarray:
     )
 
 
+def _surface_overflow(outputs, cumulative: int, log_fn) -> int:
+    """Count + log the device-side compaction overflow (the reference's
+    philosophy is clamp/skip + LOG, lib/SegmentDetection_impl.cc:298-308 —
+    data loss must never be silent). Shared by the Python and native
+    segment emitters so the two can never drift; returns the updated
+    cumulative count."""
+    ovf = int(np.sum(np.asarray(outputs.get("ext_overflow", 0))))
+    if ovf:
+        cumulative += ovf
+        if log_fn is not None:
+            log_fn(
+                f"extraction budget exceeded: {ovf} needy slot(s) "
+                f"zeroed this step (cumulative {cumulative})"
+            )
+    return cumulative
+
+
 def _log_seg_emission(log, ev: "ChannelEvent"):
     """Reference lifecycle log line for a segment-detection emission
     (reference: lib/SegmentDetection_impl.cc:474-481 fin,
@@ -334,17 +351,9 @@ class SegmentDetectionEmitter:
         wlog2 = np.asarray(slot_meta["wlog2"])
         order = np.asarray(slot_meta["order"])
 
-        # surface the device-side compaction overflow (the reference's
-        # philosophy is clamp/skip + LOG, lib/SegmentDetection_impl.cc:298-308
-        # — data loss must never be silent)
-        ovf = int(np.sum(np.asarray(outputs.get("ext_overflow", 0))))
-        if ovf:
-            self.overflow_slots += ovf
-            if self.log_fn is not None:
-                self.log_fn(
-                    f"extraction budget exceeded: {ovf} needy slot(s) "
-                    f"zeroed this step (cumulative {self.overflow_slots})"
-                )
+        self.overflow_slots = _surface_overflow(
+            outputs, self.overflow_slots, self.log_fn
+        )
 
         # extraction rows are compacted: row_of[slot] -> extract row, or -1
         # if the slot's samples were beyond the extraction budget this step
@@ -624,14 +633,9 @@ class NativeSegmentDetectionEmitter:
 
     def process_step(self, outputs, slot_meta, t0: int):
         order = np.asarray(slot_meta["order"])
-        ovf = int(np.sum(np.asarray(outputs.get("ext_overflow", 0))))
-        if ovf:
-            self.overflow_slots += ovf
-            if self.log_fn is not None:
-                self.log_fn(
-                    f"extraction budget exceeded: {ovf} needy slot(s) "
-                    f"zeroed this step (cumulative {self.overflow_slots})"
-                )
+        self.overflow_slots = _surface_overflow(
+            outputs, self.overflow_slots, self.log_fn
+        )
         ts = current_timestamp()
         ids = b"".join(
             make_event_id(

@@ -49,7 +49,8 @@ def synth_step(rng, s, b, e, w_cap, n_live, step_idx):
     order = np.arange(s, dtype=np.int64) + step_idx * s
 
     touched = activated.any(1) | processed.any(1) | emit.any(1)
-    ids = np.flatnonzero(touched)[:e].astype(np.int64)
+    needy = np.flatnonzero(touched)
+    ids = needy[:e].astype(np.int64)
     slot_ids = np.full(e, s, np.int64)  # sentinel = unused row
     slot_ids[: len(ids)] = ids
     extract = (
@@ -64,7 +65,7 @@ def synth_step(rng, s, b, e, w_cap, n_live, step_idx):
         "phase_used": phase_used,
         "extract": extract,
         "slot_ids": slot_ids,
-        "ext_overflow": np.int32(max(0, len(ids) - e)),
+        "ext_overflow": np.int32(max(0, len(needy) - e)),
         "slot_meta": {
             "ext_start": ext_start,
             "wlog2": wlog2,

@@ -27,10 +27,13 @@ run_step probe 120 python -c "import jax; print(jax.devices())" || {
   log "tunnel still down — aborting"; exit 1; }
 
 # 1. numerics + perf gate for the shared-matrix fused kernel.
-#    If it FAILS (Mosaic lowering / bad rel-RMS / slower), set
-#    FDC_TPU_FUSED=static for the remaining steps AND consider making
-#    that the default in code.
-run_step ablate19 3000 python tools/ablate19_tpu.py
+#    On FAILURE (Mosaic lowering / bad rel-RMS) the remaining steps run
+#    with FDC_TPU_FUSED=static so a diagnosed failure is not re-burned
+#    three more times; consider making that the code default too.
+if ! run_step ablate19 3000 python tools/ablate19_tpu.py; then
+  export FDC_TPU_FUSED=static
+  log "ablate19 FAILED — remaining steps run with FDC_TPU_FUSED=static"
+fi
 
 # 2. flagship bench (the BENCH_r02 number). bench.py self-falls-back
 #    through FDC_TPU_FUSED if a kernel fails to lower.
