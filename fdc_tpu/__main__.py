@@ -274,22 +274,42 @@ def _cmd_serve(args) -> int:
             live.update(power_blocks=np.abs(res.debug_spectrum) ** 2,
                         events=res.events)
 
+    bound_port = [args.port]
+
     def on_listen(p):
+        bound_port[0] = p
         print(f"listening on {args.bind or '127.0.0.1'}:{p}", flush=True)
         if args.port_file:
             with open(args.port_file, "w") as f:
                 f.write(str(p))
 
+    # --max-conns: serve N sequential connections on the SAME port
+    # (0 = forever, until interrupted). Connections concatenate into one
+    # logical stream — the channelizer carry persists; each connection's
+    # sub-batch tail is zero-pad flushed when the peer closes (the same
+    # end-of-stream semantics as run_file).
     t_start = time.time()
-    driver.run_socket(
-        port=args.port,
-        bind_addr=args.bind,
-        on_result=consume,
-        on_listen=on_listen,
-    )
+    total_samples = 0
+    conns = 0
+    try:
+        while True:
+            driver.run_socket(
+                port=bound_port[0],
+                bind_addr=args.bind,
+                on_result=consume,
+                on_listen=on_listen,
+            )
+            total_samples += driver.stats.samples_in
+            conns += 1
+            if args.max_conns and conns >= args.max_conns:
+                break
+    except KeyboardInterrupt:
+        print("interrupted — writing outputs", file=sys.stderr)
     wall = time.time() - t_start
 
-    _print_stats(driver.stats.samples_in, driver.stats.blocks_processed,
+    if conns > 1:
+        print(f"connections:      {conns}")
+    _print_stats(total_samples, driver.stats.blocks_processed,
                  len(events), wall, batches=driver.stats.batches)
     if live is not None:
         live.update(force=True)  # final frame
@@ -481,6 +501,10 @@ def main(argv=None) -> int:
     p_srv.add_argument("--port-file", default="",
                        help="write the bound port here once listening "
                             "(for scripting with --port 0)")
+    p_srv.add_argument("--max-conns", type=int, default=1,
+                       help="serve this many sequential connections on "
+                            "the same port (0 = forever); connections "
+                            "concatenate into one logical stream")
     p_srv.add_argument("--waterfall-follow", default="",
                        help="live waterfall: overwrite this PNG as "
                             "batches arrive (forces debug spectra on)")

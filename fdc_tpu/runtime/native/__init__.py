@@ -78,6 +78,7 @@ def _load():
         lib.fdc_ring_close.argtypes = [ctypes.c_void_p]
         lib.fdc_ring_closed.restype = ctypes.c_int
         lib.fdc_ring_closed.argtypes = [ctypes.c_void_p]
+        lib.fdc_ring_reopen.argtypes = [ctypes.c_void_p]
         for name in ("fdc_ring_push", "fdc_ring_pop"):
             fn = getattr(lib, name)
             fn.restype = ctypes.c_size_t
@@ -198,6 +199,11 @@ class SampleRing:
 
     def close(self):
         self._lib.fdc_ring_close(self._h)
+
+    def reopen(self):
+        """Clear end-of-stream so a new producer can feed the ring (only
+        after the previous source's stop() joined its thread)."""
+        self._lib.fdc_ring_reopen(self._h)
 
     @property
     def closed(self) -> bool:

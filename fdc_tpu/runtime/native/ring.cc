@@ -87,6 +87,14 @@ int fdc_ring_closed(const Ring* r) {
     return r->closed.load(std::memory_order_acquire);
 }
 
+// Clear the end-of-stream flag so the ring can host another producer
+// (sequential sources on one driver, e.g. serve --max-conns). Call only
+// after the previous producer thread has been join()ed (source stop()):
+// a stale producer could re-close the ring mid-stream.
+void fdc_ring_reopen(Ring* r) {
+    r->closed.store(0, std::memory_order_release);
+}
+
 // Push up to n complex samples (2n floats); returns samples accepted.
 size_t fdc_ring_push(Ring* r, const float* data, size_t n) {
     uint64_t head = r->head.load(std::memory_order_relaxed);

@@ -169,6 +169,9 @@ class StreamDriver:
             raise RuntimeError("run_file requires the native ring")
         from fdc_tpu.runtime import native
 
+        # a previous source on this driver closed the ring at its
+        # end-of-stream; sequential sources reopen it
+        self._ring.reopen()
         src = native.FileSource(self._ring, path, chunk=chunk)
         results: List[ProcessResult] = []
 
@@ -212,6 +215,9 @@ class StreamDriver:
             raise RuntimeError("run_socket requires the native ring")
         from fdc_tpu.runtime import native
 
+        # a previous source on this driver closed the ring at its
+        # end-of-stream; sequential connections reopen it
+        self._ring.reopen()
         src = native.SocketSource(self._ring, port=port,
                                   bind_addr=bind_addr, chunk=chunk)
         bound = f"{bind_addr or '127.0.0.1'}:{src.port}"

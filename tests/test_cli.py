@@ -252,3 +252,68 @@ def test_run_waterfall_style_flags(config_path, tmp_path):
          extra=("--waterfall", str(tmp_path / "wf2.png"),
                 "--waterfall-colorscheme", "2"))
     assert (tmp_path / "wf2.png").stat().st_size > 0
+
+
+def test_serve_max_conns(config_path, tmp_path):
+    """serve --max-conns 2: two sequential connections on the SAME port
+    concatenate into one logical stream (ring reopened between sources);
+    outputs equal one connection carrying both halves."""
+    import socket
+    import threading
+    import time
+
+    cap, _ = _capture(tmp_path)
+    x = np.fromfile(cap, np.complex64)
+    half = len(x) // 2
+
+    out_dir = tmp_path / "mout"
+    port_file = tmp_path / "mport.txt"
+    th = threading.Thread(
+        target=main,
+        args=(["serve", str(config_path), "--port", "0",
+               "--port-file", str(port_file),
+               "--max-conns", "2",
+               "--out-dir", str(out_dir)],),
+        daemon=True,
+    )
+    th.start()
+    deadline = time.time() + 30
+    while not port_file.exists() or not port_file.read_text():
+        assert time.time() < deadline, "serve never started listening"
+        time.sleep(0.05)
+    port = int(port_file.read_text())
+    mtime1 = port_file.stat().st_mtime_ns
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as conn:
+        conn.settimeout(None)
+        conn.sendall(x[:half].tobytes())
+    # second connection: wait for the REBOUND listener (on_listen rewrites
+    # the port file) — connecting earlier can land in the first listener's
+    # kernel backlog and be dropped at its teardown
+    deadline = time.time() + 30
+    while port_file.stat().st_mtime_ns == mtime1:
+        assert time.time() < deadline, "serve never re-listened"
+        time.sleep(0.05)
+    assert int(port_file.read_text()) == port  # same port across conns
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as conn:
+        conn.settimeout(None)
+        conn.sendall(x[half:].tobytes())
+    th.join(timeout=60)
+    assert not th.is_alive()
+
+    tp = np.fromfile(out_dir / "throughput_ch0.c64", np.complex64)
+    assert len(tp) > 0
+    # single-connection reference over the same two halves with a flush
+    # between (the per-connection tail is zero-pad flushed)
+    from fdc_tpu.config import ChannelizerConfig
+    from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+
+    cfg = ChannelizerConfig.from_json(config_path.read_text())
+    fdc = FrequencyDomainChannelizer(cfg)
+    parts = []
+    for seg in (x[:half], x[half:]):
+        r = fdc.process(seg)
+        parts.append(r.throughput[0])
+        rf = fdc.flush()
+        parts.append(rf.throughput[0])
+    ref = np.concatenate(parts)
+    np.testing.assert_array_equal(tp, ref)
