@@ -386,15 +386,30 @@ def _cmd_vcm(args) -> int:
         )
 
     x = np.fromfile(args.capture, dtype=np.complex64)
+    histf = jnp.asarray(c2f_host(np.zeros(blocklen // r, np.complex64)))
+    if args.resume:
+        from fdc_tpu.runtime.checkpoint import load_vcm_checkpoint
+
+        extra = load_vcm_checkpoint(runner, args.resume)
+        histf = jnp.asarray(extra["histf"])
+        x = np.concatenate(
+            [np.asarray(extra["pending"], np.complex64), x]
+        )
+        print(f"resumed from {args.resume}")
     nb_total = len(x) // inplen
-    if nb_total == 0:
+    if nb_total == 0 and not args.checkpoint:
         print("capture shorter than one block", file=sys.stderr)
         return 2
-    histf = jnp.asarray(c2f_host(np.zeros(blocklen // r, np.complex64)))
     events = []
     t_start = time.time()
     step = cfg.batch_blocks * inplen
-    for off in range(0, nb_total * inplen, step):
+    # with --checkpoint, only whole batches run (never padded) — the
+    # remainder is carried in the checkpoint so a split capture resumes
+    # bit-identically (same contract as run --checkpoint)
+    n_proc = (
+        (len(x) // step) * step if args.checkpoint else nb_total * inplen
+    )
+    for off in range(0, n_proc, step):
         chunk = x[off: off + step]
         chunk = chunk[: (len(chunk) // inplen) * inplen]
         if not len(chunk):
@@ -418,9 +433,20 @@ def _cmd_vcm(args) -> int:
         events.extend(runner.process_spectra(f2c_host(np.asarray(specf))))
     wall = time.time() - t_start
 
-    print(f"blocks processed: {nb_total}")
+    if args.checkpoint:
+        from fdc_tpu.runtime.checkpoint import save_vcm_checkpoint
+
+        save_vcm_checkpoint(
+            runner, args.checkpoint,
+            extra={"histf": np.asarray(histf), "pending": x[n_proc:]},
+        )
+        print(f"wrote {args.checkpoint}")
+        nb_done = n_proc // inplen
+    else:
+        nb_done = nb_total
+    print(f"blocks processed: {nb_done}")
     print(f"events:           {len(events)}")
-    print(f"throughput:       {nb_total * inplen / max(wall, 1e-9) / 1e6:.3g}"
+    print(f"throughput:       {nb_done * inplen / max(wall, 1e-9) / 1e6:.3g}"
           f" MS/s (wall {wall:.1f}s, includes compile)")
     if args.out_dir:
         print(f"event files in {args.out_dir}/")
@@ -527,6 +553,12 @@ def main(argv=None) -> int:
     p_vcm.add_argument("--events-jsonl", default="",
                        help="write event metadata as JSON lines")
     p_vcm.add_argument("--cpu", action="store_true", help="force CPU")
+    p_vcm.add_argument("--checkpoint", default="",
+                       help="save the detector streaming state here when "
+                            "done (whole batches only; the tail is "
+                            "carried in the checkpoint)")
+    p_vcm.add_argument("--resume", default="",
+                       help="restore state saved by --checkpoint")
     args = ap.parse_args(argv)
 
     return {"template": _cmd_template,

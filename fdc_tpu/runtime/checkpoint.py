@@ -31,7 +31,12 @@ from fdc_tpu.utils.cplx import c2f, f2c
 if TYPE_CHECKING:
     from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "save_vcm_checkpoint",
+    "load_vcm_checkpoint",
+]
 
 _FORMAT_VERSION = 1
 
@@ -114,3 +119,54 @@ def load_checkpoint(fdc: "FrequencyDomainChannelizer", path: str):
         raise ValueError("segment count mismatch")
     for e, st in zip(fdc.segment_emitters, state["segment_emitters"]):
         e.set_state(st)
+
+
+def save_vcm_checkpoint(runner, path: str, extra: dict = None):
+    """Snapshot an ActivityDetectionRunner's streaming state (device
+    carry, block cursor, open-burst emitter state) plus caller-owned
+    ``extra`` leaves (e.g. the CLI front-end's overlap history and
+    unprocessed sample tail). Same packing rules as save_checkpoint."""
+    if runner._carry is None:
+        runner._carry = runner._jit_init()
+    packed, iscomplex = _carry_to_host(runner._carry)
+    state = {
+        "version": _FORMAT_VERSION,
+        "kind": "vcm_runner",
+        "carry": packed,
+        "carry_iscomplex": iscomplex,
+        "t0": runner._t0,
+        "emitters": [e.get_state() for e in runner.emitters],
+        "extra": extra or {},
+    }
+    with open(path, "wb") as fh:
+        pickle.dump(state, fh, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_vcm_checkpoint(runner, path: str) -> dict:
+    """Restore a save_vcm_checkpoint snapshot; returns its ``extra``."""
+    with open(path, "rb") as fh:
+        state = pickle.load(fh)
+    if (state.get("version") != _FORMAT_VERSION
+            or state.get("kind") != "vcm_runner"):
+        raise ValueError(
+            f"not a vcm runner checkpoint "
+            f"(version={state.get('version')}, kind={state.get('kind')})"
+        )
+    ref = jax.eval_shape(_pack_carry, jax.eval_shape(runner._device_init))
+    if jax.tree_util.tree_structure(ref) != jax.tree_util.tree_structure(
+        state["carry"]
+    ) or jax.tree.map(lambda x: x.shape, ref) != jax.tree.map(
+        lambda x: x.shape, state["carry"]
+    ):
+        raise ValueError(
+            "checkpoint carry structure does not match this configuration"
+        )
+    runner._carry = _carry_from_host(
+        state["carry"], state["carry_iscomplex"]
+    )
+    runner._t0 = int(state["t0"])
+    if len(state["emitters"]) != len(runner.emitters):
+        raise ValueError("segment count mismatch")
+    for e, st in zip(runner.emitters, state["emitters"]):
+        e.set_state(st)
+    return state["extra"]

@@ -317,3 +317,49 @@ def test_serve_max_conns(config_path, tmp_path):
         parts.append(rf.throughput[0])
     ref = np.concatenate(parts)
     np.testing.assert_array_equal(tp, ref)
+
+
+def test_vcm_checkpoint_resume(config_path, tmp_path):
+    """vcm --checkpoint/--resume: a mid-batch split resumes bit-identically
+    to one uninterrupted run — detector carry, open-burst emitter state,
+    front-end history, and the sub-batch sample tail all round-trip."""
+    rng = np.random.default_rng(5)
+    inplen = 768
+    n = 64 * inplen
+    t = np.arange(n)
+    x = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    burst = np.zeros(n)
+    # burst OPEN at the split point (block 32) so emitter state matters
+    burst[16 * inplen: 40 * inplen] = 1.0
+    x = (x + 0.9 * burst * np.exp(2j * np.pi * 0.35 * t)).astype(
+        np.complex64
+    )
+    cap = tmp_path / "vfull.c64"
+    x.tofile(cap)
+    split = 32 * inplen + 123  # mid-batch, mid-block, mid-burst
+    (tmp_path / "va.c64").write_bytes(x[:split].tobytes())
+    (tmp_path / "vb.c64").write_bytes(x[split:].tobytes())
+    ckpt = tmp_path / "vstate.ckpt"
+
+    def vcm(capture, ev, extra=()):
+        assert main(["vcm", str(config_path), str(capture),
+                     "--events-jsonl", str(ev), *extra]) == 0
+
+    vcm(cap, tmp_path / "ev_full.jsonl")
+    vcm(tmp_path / "va.c64", tmp_path / "ev_a.jsonl",
+        extra=("--checkpoint", str(ckpt)))
+    vcm(tmp_path / "vb.c64", tmp_path / "ev_b.jsonl",
+        extra=("--resume", str(ckpt)))
+
+    def norm(path):
+        out = []
+        for line in path.read_text().splitlines():
+            d = json.loads(line)
+            d["ID"] = d["ID"].split(".", 1)[1]  # drop wall-clock prefix
+            out.append(d)
+        return out
+
+    full = norm(tmp_path / "ev_full.jsonl")
+    split_evs = norm(tmp_path / "ev_a.jsonl") + norm(tmp_path / "ev_b.jsonl")
+    assert full == split_evs
+    assert len(full) > 0
