@@ -105,3 +105,50 @@ def test_checkpoint_before_first_step(tmp_path):
     fdc2 = FrequencyDomainChannelizer(config())
     load_checkpoint(fdc2, ckpt)
     assert fdc2._t0 == 0
+
+
+def test_checkpoint_cross_topology(tmp_path):
+    """A checkpoint from a single-device run resumes on a SHARDED
+    channelizer (scale-up mid-stream) and vice versa — the carry is
+    replicated, so the snapshot is topology-independent."""
+    from fdc_tpu.parallel import ShardedChannelizer, make_mesh
+
+    cfg = config()
+    n = 16 * cfg.batch_blocks * cfg.inplen
+    x = make_signal(n)
+    half = n // 2 + 37
+
+    ev_ref, tp_ref = collect(FrequencyDomainChannelizer(cfg), [x])
+
+    # plain first half -> checkpoint -> SHARDED second half
+    plain = FrequencyDomainChannelizer(cfg)
+    ev1, tp1 = collect(plain, [x[:half]])
+    ckpt = str(tmp_path / "cross.ckpt")
+    save_checkpoint(plain, ckpt)
+    sh = ShardedChannelizer(cfg, mesh=make_mesh(n_time=2, n_chan=2))
+    load_checkpoint(sh, ckpt)
+    ev2, tp2 = collect(sh, [x[half:]])
+
+    np.testing.assert_allclose(
+        tp_ref, np.concatenate([tp1, tp2]), rtol=2e-4, atol=2e-5
+    )
+    assert len(ev_ref) == len(ev1) + len(ev2)
+    for a, b in zip(ev_ref, ev1 + ev2):
+        assert a.ID.split(".", 1)[1] == b.ID.split(".", 1)[1]
+        assert (a.finalized, a.blockstart, a.blockend) == (
+            b.finalized, b.blockstart, b.blockend
+        )
+        np.testing.assert_allclose(a.data, b.data, rtol=2e-4, atol=2e-5)
+
+    # and back: sharded checkpoint resumes on a plain channelizer
+    ckpt2 = str(tmp_path / "back.ckpt")
+    save_checkpoint(sh, ckpt2)
+    tail = make_signal(2 * cfg.batch_blocks * cfg.inplen)
+    sh2 = ShardedChannelizer(cfg, mesh=make_mesh(n_time=2, n_chan=2))
+    load_checkpoint(sh2, ckpt2)
+    ev_s, tp_s = collect(sh2, [tail])
+    plain2 = FrequencyDomainChannelizer(cfg)
+    load_checkpoint(plain2, ckpt2)
+    ev_p, tp_p = collect(plain2, [tail])
+    np.testing.assert_allclose(tp_s, tp_p, rtol=2e-4, atol=2e-5)
+    assert len(ev_s) == len(ev_p)
