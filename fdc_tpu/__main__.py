@@ -232,6 +232,11 @@ def _cmd_serve(args) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    if args.cpu_devices:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
 
     import dataclasses
 
@@ -260,7 +265,14 @@ def _cmd_serve(args) -> int:
             interval=args.waterfall_interval,
             png_path=args.waterfall_follow,
         )
-    fdc = FrequencyDomainChannelizer(cfg)
+    if args.time_shards > 1 or args.chan_shards > 1:
+        from fdc_tpu.parallel import ShardedChannelizer, make_mesh
+
+        mesh = make_mesh(n_time=args.time_shards,
+                         n_chan=args.chan_shards)
+        fdc = ShardedChannelizer(cfg, mesh=mesh)
+    else:
+        fdc = FrequencyDomainChannelizer(cfg)
     driver = StreamDriver(fdc)
 
     events = []
@@ -542,6 +554,12 @@ def main(argv=None) -> int:
     p_srv.add_argument("--events-jsonl", default="",
                        help="write event metadata as JSON lines")
     p_srv.add_argument("--cpu", action="store_true", help="force CPU")
+    p_srv.add_argument("--time-shards", type=int, default=1,
+                       help="shard time-blocks over this many devices")
+    p_srv.add_argument("--chan-shards", type=int, default=1,
+                       help="shard channel groups over this many devices")
+    p_srv.add_argument("--cpu-devices", type=int, default=0,
+                       help="force N virtual CPU devices (mesh testing)")
 
     p_vcm = sub.add_parser(
         "vcm", help="standalone multi-segment detector (vcm semantics)"

@@ -363,3 +363,45 @@ def test_vcm_checkpoint_resume(config_path, tmp_path):
     split_evs = norm(tmp_path / "ev_a.jsonl") + norm(tmp_path / "ev_b.jsonl")
     assert full == split_evs
     assert len(full) > 0
+
+
+def test_serve_sharded(config_path, tmp_path):
+    """serve --time-shards/--chan-shards on a CPU mesh: the live TCP
+    stream channelizes through the shard_map step; outputs match the
+    plain file run within the sharded-vs-plain tolerance contract."""
+    import socket
+    import threading
+    import time
+
+    cap, _ = _capture(tmp_path)
+    x = np.fromfile(cap, np.complex64)
+
+    out_dir = tmp_path / "shout"
+    port_file = tmp_path / "shport.txt"
+    th = threading.Thread(
+        target=main,
+        args=(["serve", str(config_path), "--port", "0",
+               "--port-file", str(port_file),
+               "--cpu-devices", "8",
+               "--time-shards", "2", "--chan-shards", "2",
+               "--out-dir", str(out_dir)],),
+        daemon=True,
+    )
+    th.start()
+    deadline = time.time() + 60
+    while not port_file.exists() or not port_file.read_text():
+        assert time.time() < deadline, "sharded serve never listened"
+        time.sleep(0.05)
+    port = int(port_file.read_text())
+    with socket.create_connection(("127.0.0.1", port), timeout=5) as conn:
+        conn.settimeout(None)
+        conn.sendall(x.tobytes())
+    th.join(timeout=120)
+    assert not th.is_alive()
+
+    tp = np.fromfile(out_dir / "throughput_ch0.c64", np.complex64)
+    _run(config_path, cap, tmp_path / "pout", tmp_path / "pev.jsonl")
+    ref = np.fromfile(tmp_path / "pout" / "throughput_ch0.c64",
+                      np.complex64)
+    assert tp.shape == ref.shape
+    np.testing.assert_allclose(tp, ref, rtol=2e-4, atol=2e-5)
