@@ -137,6 +137,18 @@ def _fused_mode() -> str:
     return mode
 
 
+def _fold_phase_enabled() -> bool:
+    """In-kernel quarter-turn phase folding is OFF by default: on the real
+    chip the folded shared kernel measured ~0.10 ms/step SLOWER than the
+    unphased shared kernel + the apply_phase_pairs pass it replaces on the
+    flagship tp bucket (tools/ablate19_tpu.py, marginals over the FFT
+    front: folded +0.217 ms vs unphased +0.120 ms vs XLA +0.233 ms — the
+    fold's per-tile select/negate/swap work exceeds the whole output-pass
+    it removes). ``FDC_TPU_FOLD_PHASE=1`` re-enables it for A/B runs;
+    numerics of both routes are pinned by tests/test_extract_pallas.py."""
+    return os.environ.get("FDC_TPU_FOLD_PHASE", "0").strip() == "1"
+
+
 def _shared_fused_matrix(
     spectrum, starts, base_windows, l, keep_from, gain, fold_phase_r=0
 ):
@@ -338,7 +350,7 @@ def extract_bucket_phased(
         base_windows[0]
     )
     r = relinvovl
-    if use_mxu:
+    if use_mxu and _fold_phase_enabled():
         folded_sh = _shared_fused_matrix(
             spectrum, starts, base_windows, l, keep_from, gain,
             fold_phase_r=r,

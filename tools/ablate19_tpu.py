@@ -33,6 +33,12 @@ def main():
     ap.add_argument("--repeats", type=int, default=15)
     args = ap.parse_args()
 
+    # The quarter-turn fold lost its on-hardware A/B (G3 +0.217 ms vs G2
+    # +0.120 ms marginal, 2026-08-19) and is now env-gated off by default;
+    # re-enable it here so G3 keeps measuring the folded kernel, not the
+    # fallback (which would be G2 + apply_phase_pairs).
+    os.environ["FDC_TPU_FOLD_PHASE"] = "1"
+
     import jax
 
     cache_dir = os.path.join(
