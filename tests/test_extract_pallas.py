@@ -204,6 +204,19 @@ def test_extract_bucket_phased_fallback_matches():
     np.testing.assert_array_equal(ref, got)
 
 
+def test_fold_phase_env_default_off(monkeypatch):
+    """The in-kernel quarter-turn fold lost its hardware A/B (ablate19)
+    and must stay OFF unless FDC_TPU_FOLD_PHASE=1 is set explicitly."""
+    from fdc_tpu.ops.extract import _fold_phase_enabled
+
+    monkeypatch.delenv("FDC_TPU_FOLD_PHASE", raising=False)
+    assert _fold_phase_enabled() is False
+    monkeypatch.setenv("FDC_TPU_FOLD_PHASE", "1")
+    assert _fold_phase_enabled() is True
+    monkeypatch.setenv("FDC_TPU_FOLD_PHASE", "0")
+    assert _fold_phase_enabled() is False
+
+
 def test_fused_complex_output():
     rng = np.random.default_rng(3)
     b, n, l, c = 9, 256, 32, 2
