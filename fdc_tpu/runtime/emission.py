@@ -151,9 +151,13 @@ class PowerActivationEmitter:
 
     def _emit(self, c: int, fin: bool, blockcount: int) -> ChannelEvent:
         g = self.bank.geometry[c]
+        # msgoutput=False skips sample assembly (the reference gates PDU
+        # construction on the flag, lib/PowerActivationChannel_impl.cc:223-233);
+        # burst state updates and file output are unaffected.
+        want_data = self.msg_output or self.file_sink is not None
         data = (
             np.concatenate(self._blocks[c])
-            if self._blocks[c]
+            if (want_data and self._blocks[c])
             else np.zeros(0, np.complex64)
         )
         self._blocks[c] = []
@@ -226,7 +230,9 @@ class PowerActivationEmitter:
                     self._count[c] += 1
 
                 if fall[c, b]:
-                    events.append(self._emit(c, True, blockcount))
+                    ev = self._emit(c, True, blockcount)
+                    if self.msg_output:
+                        events.append(ev)
                     self._finished[c] += 1
                 elif (
                     processed[c, b]
@@ -238,7 +244,9 @@ class PowerActivationEmitter:
                 ):
                     # partial emission while active
                     # (reference: lib/PowerActivationChannel_impl.cc:159-166)
-                    events.append(self._emit(c, False, blockcount))
+                    ev = self._emit(c, False, blockcount)
+                    if self.msg_output:
+                        events.append(ev)
 
         return events
 
@@ -308,8 +316,14 @@ class SegmentDetectionEmitter:
         n = self.det.blocksize
         chunk = self._data[s][:ntx] if ntx else []
         self._data[s] = self._data[s][ntx:]
+        # msgoutput=False skips sample assembly (the reference gates PDU
+        # construction on the flag, lib/SegmentDetection_impl.cc:446-460);
+        # slot state updates and file output are unaffected.
+        want_data = self.msg_output or self.file_sink is not None
         data = (
-            np.concatenate(chunk) if chunk else np.zeros(0, np.complex64)
+            np.concatenate(chunk)
+            if (want_data and chunk)
+            else np.zeros(0, np.complex64)
         )
         part = int(self._part[s])
         ev = ChannelEvent(
@@ -457,10 +471,10 @@ class SegmentDetectionEmitter:
                     if activated[s, b]:
                         do_activate(s, b)
                     elif emit[s, b]:
-                        events.append(
-                            self._emit(s, True, blockcount,
-                                       len(self._data[s]))
-                        )
+                        ev = self._emit(s, True, blockcount,
+                                        len(self._data[s]))
+                        if self.msg_output:
+                            events.append(ev)
                         self._live[s] = False
                     elif processed[s, b]:
                         do_process(s, b)
@@ -468,9 +482,9 @@ class SegmentDetectionEmitter:
                             and len(self._data[s]) >= mb):
                         ntx = len(self._data[s]) if mb == 0 else mb
                         if ntx > 0:
-                            events.append(
-                                self._emit(s, False, blockcount, ntx)
-                            )
+                            ev = self._emit(s, False, blockcount, ntx)
+                            if self.msg_output:
+                                events.append(ev)
             return events
 
         for b in range(nb):
@@ -482,9 +496,9 @@ class SegmentDetectionEmitter:
                 do_process(s, b)
 
             for s in slot_rank[emit[slot_rank, b]]:
-                events.append(
-                    self._emit(s, True, blockcount, len(self._data[s]))
-                )
+                ev = self._emit(s, True, blockcount, len(self._data[s]))
+                if self.msg_output:
+                    events.append(ev)
                 self._live[s] = False
 
             # maxblocks partial emission after all per-block work
@@ -494,9 +508,9 @@ class SegmentDetectionEmitter:
                     if len(self._data[s]) >= mb:
                         ntx = len(self._data[s]) if mb == 0 else mb
                         if ntx > 0:
-                            events.append(
-                                self._emit(s, False, blockcount, ntx)
-                            )
+                            ev = self._emit(s, False, blockcount, ntx)
+                            if self.msg_output:
+                                events.append(ev)
 
         return events
 
@@ -532,6 +546,7 @@ class NativePowerActivationEmitter:
             bank.blocksize,
             int(maxblocks),
         )
+        self.engine.set_want_data(msg_output or file_sink is not None)
         self._loc = {}
         self.out_cap = 0
         for bucket in bank.buckets:
@@ -592,7 +607,8 @@ class NativePowerActivationEmitter:
                     self.channel_logs[c], ce,
                     g.extract_start, g.extract_stop,
                 )
-            events.append(ce)
+            if self.msg_output:
+                events.append(ce)
         return events
 
     def get_state(self) -> dict:
@@ -629,6 +645,7 @@ class NativeSegmentDetectionEmitter:
             detector.blocksize,
             int(maxblocks),
         )
+        self.engine.set_want_data(msg_output or file_sink is not None)
         self.overflow_slots = 0
 
     def process_step(self, outputs, slot_meta, t0: int):
@@ -684,7 +701,8 @@ class NativeSegmentDetectionEmitter:
             if self.file_sink is not None:
                 self.file_sink.write(ce)
             _log_seg_emission(self.log_fn, ce)
-            events.append(ce)
+            if self.msg_output:
+                events.append(ce)
         return events
 
     @property

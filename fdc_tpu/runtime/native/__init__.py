@@ -132,6 +132,7 @@ def _load():
         ]
         lib.fdc_emit_pa_finished.restype = c.c_longlong
         lib.fdc_emit_pa_finished.argtypes = [c.c_void_p, c.c_int]
+        lib.fdc_emit_set_want_data.argtypes = [c.c_void_p, c.c_int]
         lib.fdc_emit_lost_rows.restype = c.c_longlong
         lib.fdc_emit_lost_rows.argtypes = [c.c_void_p]
         u8p = c.POINTER(c.c_uint8)
@@ -377,6 +378,11 @@ class EmissionEngine:
         self._lib.fdc_emit_pa_set_channel(
             self._h, c, out_len, rel_cfreq, rel_bw
         )
+
+    def set_want_data(self, want: bool):
+        """want=False skips event sample assembly (msgoutput and
+        fileoutput both off); burst state updates are unaffected."""
+        self._lib.fdc_emit_set_want_data(self._h, int(bool(want)))
 
     def pa_finished(self, c) -> int:
         return self._lib.fdc_emit_pa_finished(self._h, c)

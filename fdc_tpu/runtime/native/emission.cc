@@ -69,6 +69,10 @@ struct Engine {
     std::deque<EventOut> events;
     EventOut current;  // last polled event (owns data until next poll)
     long long lost_rows = 0;  // blocks beyond the extraction budget (zeroed)
+    // msgoutput/fileoutput both off: skip event sample assembly entirely
+    // (the reference gates PDU construction on d_msgoutput,
+    // lib/SegmentDetection_impl.cc:446-460); state updates are unaffected.
+    bool want_data = true;
 };
 
 void emit_seg(Engine* e, int s, bool fin, long long blockcount,
@@ -86,12 +90,14 @@ void emit_seg(Engine* e, int s, bool fin, long long blockcount,
     ev.blockend = blockcount;
     ev.vectorstart = st.es;
     ev.vectorend = st.ee;
-    size_t total = 0;
-    for (size_t i = 0; i < ntx; ++i) total += st.blocks[i].size();
-    ev.data.reserve(total);
-    for (size_t i = 0; i < ntx; ++i) {
-        ev.data.insert(ev.data.end(), st.blocks[i].begin(),
-                       st.blocks[i].end());
+    if (e->want_data) {
+        size_t total = 0;
+        for (size_t i = 0; i < ntx; ++i) total += st.blocks[i].size();
+        ev.data.reserve(total);
+        for (size_t i = 0; i < ntx; ++i) {
+            ev.data.insert(ev.data.end(), st.blocks[i].begin(),
+                           st.blocks[i].end());
+        }
     }
     st.blocks.erase(st.blocks.begin(), st.blocks.begin() + ntx);
     if (!fin) st.part += 1;
@@ -112,11 +118,13 @@ void emit_pa(Engine* e, int c, bool fin, long long blockcount) {
     ev.blockend = blockcount;
     ev.vectorstart = -1;
     ev.vectorend = -1;
-    size_t total = 0;
-    for (auto& b : st.blocks) total += b.size();
-    ev.data.reserve(total);
-    for (auto& b : st.blocks)
-        ev.data.insert(ev.data.end(), b.begin(), b.end());
+    if (e->want_data) {
+        size_t total = 0;
+        for (auto& b : st.blocks) total += b.size();
+        ev.data.reserve(total);
+        for (auto& b : st.blocks)
+            ev.data.insert(ev.data.end(), b.begin(), b.end());
+    }
     st.blocks.clear();
     st.part += 1;
     e->events.push_back(std::move(ev));
@@ -159,6 +167,11 @@ void fdc_emit_pa_set_channel(Engine* e, int c, long long out_len,
 
 long long fdc_emit_pa_finished(Engine* e, int c) {
     return e->pa_finished[c];
+}
+
+// 0 disables event sample assembly (msgoutput and fileoutput both off).
+void fdc_emit_set_want_data(Engine* e, int want) {
+    e->want_data = want != 0;
 }
 
 long long fdc_emit_lost_rows(Engine* e) { return e->lost_rows; }
