@@ -87,8 +87,7 @@ def main():
                 f"retrying with FDC_TPU_FUSED={modes[i + 1]}",
                 file=sys.stderr,
             )
-    if os.environ.get("FDC_TPU_FUSED", "all") != "all":
-        result["fused_mode"] = os.environ["FDC_TPU_FUSED"]
+    result["fused_mode"] = os.environ.get("FDC_TPU_FUSED", "all")
     print(json.dumps(result))
 
 
@@ -106,7 +105,7 @@ def run_bench(args):
     from fdc_tpu.ops.fft import forward_spectrum
     from fdc_tpu.ops.framing import frame_blocks
     from fdc_tpu.utils.cplx import c2f_host, f2c
-    from fdc_tpu.utils.profiling import time_scanned
+    from fdc_tpu.utils.profiling import time_scanned, time_scanned_stats
 
     cfg = _flagship(batch_blocks=args.batch_blocks)
     fdc = FrequencyDomainChannelizer(cfg)
@@ -127,9 +126,10 @@ def run_bench(args):
             carry, xf_in, t_idx * jnp.int32(cfg.batch_blocks)
         )
 
-    dt_full = time_scanned(
+    st_full = time_scanned_stats(
         step_full, carry0, xf, k=args.steps, repeats=args.repeats
     )
+    dt_full = st_full["median"]
 
     # -- roofline: framing + FFT + every consumer's windowing/IFFT ----------
     # detection slots at the CONFIGURED extraction budgets (the pipeline
@@ -206,9 +206,10 @@ def run_bench(args):
             )
         return nc, out
 
-    dt_roof = time_scanned(
+    st_roof = time_scanned_stats(
         step_roofline, carry0, xf, k=2 * args.steps, repeats=args.repeats
     )
+    dt_roof = st_roof["median"]
 
     # -- FFT front-end alone (context, not the baseline denominator) --------
     def step_fft(carry, xf_in, t0):
@@ -235,6 +236,25 @@ def run_bench(args):
         "roofline_msps": round(msps_roof, 1),
         "fft_only_msps": round(msps_fft, 1),
         "batch_blocks": cfg.batch_blocks,
+        # spread of the per-step timing diffs (VERDICT r2 item 7): the
+        # tunnel drifts ±15% session-to-session, so the single median
+        # cannot separate drift from regression — the IQR (in Msamples/s,
+        # [q75-time, q25-time] => [lo, hi]) makes it decidable from the
+        # JSON alone. vs_baseline_iqr pairs each side's quartiles
+        # conservatively (slow full / fast roofline, and vice versa).
+        "value_iqr": [
+            round(n / st_full["q75"] / 1e6, 1),
+            round(n / st_full["q25"] / 1e6, 1),
+        ],
+        "roofline_iqr": [
+            round(n / st_roof["q75"] / 1e6, 1),
+            round(n / st_roof["q25"] / 1e6, 1),
+        ],
+        "vs_baseline_iqr": [
+            round(st_roof["q25"] / st_full["q75"], 4),
+            round(st_roof["q75"] / st_full["q25"], 4),
+        ],
+        "timing_repeats": st_full["n"],
     }
 
     # utilization context (VERDICT r1 item 2): XLA's own cost model for

@@ -432,17 +432,31 @@ def _cmd_vcm(args) -> int:
             # chunk (a TPU recompile costs minutes). Zeros drive in-band
             # power to zero, so open bursts see a falling edge and
             # finalize — the same end-of-stream semantics as
-            # FrequencyDomainChannelizer.flush(), and the same
-            # batch-granularity contract: ONLY a ragged tail is padded. A
-            # capture that ends exactly on a batch boundary leaves open
-            # bursts open (what the reference block does at flowgraph
-            # stop), so emitted finalize events may differ between the
-            # two cases — documented, not incidental.
+            # FrequencyDomainChannelizer.flush().
             chunk = np.concatenate(
                 [chunk, np.zeros(step - len(chunk), np.complex64)]
             )
         histf, specf = front(histf, jnp.asarray(c2f_host(chunk)))
         events.extend(runner.process_spectra(f2c_host(np.asarray(specf))))
+    if not args.checkpoint:
+        # end-of-stream finalize (the flush(finalize=True) contract):
+        # keep feeding silence batches until every slot has aged out, so
+        # the emitted event set does not depend on the capture length
+        # mod batch — a capture ending exactly on a batch boundary
+        # finalizes identically to a ragged one. Bounded by the
+        # deactivation delay (same bound as
+        # FrequencyDomainChannelizer._finalize_rounds).
+        max_delay = max(
+            (sd.deactivation_delay for sd in adc.segments), default=0
+        )
+        zeros = jnp.asarray(c2f_host(np.zeros(step, np.complex64)))
+        for _ in range(-(-(max_delay + 2) // cfg.batch_blocks) + 1):
+            if not runner.has_open_slots():
+                break
+            histf, specf = front(histf, zeros)
+            events.extend(
+                runner.process_spectra(f2c_host(np.asarray(specf)))
+            )
     wall = time.time() - t_start
 
     if args.checkpoint:

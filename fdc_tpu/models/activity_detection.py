@@ -197,6 +197,16 @@ class ActivityDetectionRunner:
             outs,
         )
 
+    def has_open_slots(self) -> bool:
+        """Any detection slot still active on device (an open burst the
+        end-of-stream finalize pass should close)."""
+        if self._carry is None:
+            return False
+        return any(
+            bool(np.any(np.asarray(st["active"])))
+            for st in self._carry["segs"]
+        )
+
     def process_spectra(self, spectra: np.ndarray):
         """[B, blocklen] complex spectra -> list of ChannelEvents."""
         if self._carry is None:

@@ -145,8 +145,17 @@ def _fold_phase_enabled() -> bool:
     front: folded +0.217 ms vs unphased +0.120 ms vs XLA +0.233 ms — the
     fold's per-tile select/negate/swap work exceeds the whole output-pass
     it removes). ``FDC_TPU_FOLD_PHASE=1`` re-enables it for A/B runs;
-    numerics of both routes are pinned by tests/test_extract_pallas.py."""
-    return os.environ.get("FDC_TPU_FOLD_PHASE", "0").strip() == "1"
+    numerics of both routes are pinned by tests/test_extract_pallas.py.
+
+    Unrecognized values raise (fail LOUD, same contract as _fused_mode's
+    env knob): an operator typing 'true'/'yes' is trying to A/B the fold —
+    silently measuring the default route instead is the one wrong answer."""
+    val = os.environ.get("FDC_TPU_FOLD_PHASE", "0").strip()
+    if val not in ("0", "1"):
+        raise ValueError(
+            f"FDC_TPU_FOLD_PHASE={val!r}: must be '0' or '1'"
+        )
+    return val == "1"
 
 
 def _shared_fused_matrix(

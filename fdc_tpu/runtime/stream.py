@@ -126,12 +126,17 @@ class StreamDriver:
 
     def flush(self) -> Optional[ProcessResult]:
         """Process the sub-batch stream tail via the channelizer's
-        zero-pad-and-trim flush. None if nothing was pending."""
+        zero-pad-and-trim flush (which by default also finalizes
+        still-open bursts — see FrequencyDomainChannelizer.flush). None
+        only if nothing was pending AND no finalize events were emitted:
+        a batch-aligned capture with an open burst still returns its
+        finalize events."""
         self.drain_pending()
         res = self.fdc.flush()
-        if res.blocks_processed == 0:
+        if res.blocks_processed == 0 and not res.events:
             return None
-        self.stats.batches += 1
+        if res.blocks_processed:
+            self.stats.batches += 1
         self.stats.blocks_processed += res.blocks_processed
         self.stats.events += len(res.events)
         return res

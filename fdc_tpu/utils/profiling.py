@@ -19,7 +19,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["checksum", "time_scanned", "measure_samples_per_sec"]
+__all__ = [
+    "checksum",
+    "time_scanned",
+    "time_scanned_stats",
+    "measure_samples_per_sec",
+]
 
 
 def checksum(tree) -> jax.Array:
@@ -55,6 +60,27 @@ def time_scanned(
     exactly like a real stream feeding fresh buffers). Pass ``None`` only
     for steps whose body already depends on the carry everywhere that
     matters.
+    """
+
+    return time_scanned_stats(
+        step, carry, *args, k=k, repeats=repeats, perturb_arg=perturb_arg
+    )["median"]
+
+
+def time_scanned_stats(
+    step: Callable,
+    carry,
+    *args,
+    k: int = 8,
+    repeats: int = 3,
+    perturb_arg: int = 0,
+) -> dict:
+    """:func:`time_scanned` with the SPREAD of the per-step differences.
+
+    Returns {"median", "q25", "q75", "min", "max", "n"} in seconds/step
+    (all floored at 1 ns). The tunnel's session drift is ±15%, so a single
+    median cannot distinguish a regression from drift — benchmark JSON
+    should carry the quartiles so the reader can (VERDICT r2 item 7).
     """
 
     def make(kk):
@@ -98,8 +124,19 @@ def time_scanned(
         tb = time.perf_counter() - t0
         diffs.append((tb - ta) / k)
     diffs.sort()
-    med = diffs[len(diffs) // 2]
-    return max(med, 1e-9)
+    n = len(diffs)
+
+    def at(i):
+        return max(diffs[i], 1e-9)
+
+    return {
+        "median": at(n // 2),
+        "q25": at(n // 4),
+        "q75": at((3 * n) // 4),
+        "min": at(0),
+        "max": at(n - 1),
+        "n": n,
+    }
 
 
 def measure_samples_per_sec(channelizer, k: int = 8) -> float:

@@ -19,6 +19,11 @@ import numpy as np
 
 
 def main():
+    # pin the fold OFF: the docstring's claim (both paths route through
+    # the unphased shared kernel + apply_phase_pairs) must hold even in a
+    # shell that inherited FDC_TPU_FOLD_PHASE=1 from an ablate19 run
+    os.environ["FDC_TPU_FOLD_PHASE"] = "0"
+
     import jax
 
     cache_dir = os.path.join(
