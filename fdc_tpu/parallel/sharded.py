@@ -147,6 +147,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         self.b_local = config.batch_blocks // self.n_time
         self._build_sharded_tables()
         self._jit_step = jax.jit(self._device_step)
+        self._jit_step_spectra = jax.jit(self._device_step_spectra)
 
     # -- channel-sharded constant tables --------------------------------------
 
@@ -195,17 +196,42 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         the replicated new carry."""
         cfg = self.config
         n_time = self.n_time
-        n = cfg.blocksize
         tidx = jax.lax.axis_index(TIME_AXIS)
-        cidx = jax.lax.axis_index(CHAN_AXIS)
-        b_local = self.b_local
 
         x = f2c(xf)  # [b_local * inplen]
         tail = x[-cfg.ovllen:]
         recv = _shift_right(tail, n_time)
         hist_local = jnp.where(tidx == 0, carry["hist"], recv)
-        blocks, _ = frame_blocks(x, hist_local, n)
+        blocks, _ = frame_blocks(x, hist_local, cfg.blocksize)
         spec = forward_spectrum(blocks, use_mxu=cfg.use_mxu_fft)  # [b_local, N]
+        new_hist = _from_last_time_shard(tail, tidx, n_time)
+        return self._local_tail(
+            carry, spec, new_hist, t0, tp_tables, pa_tables, fused_tables
+        )
+
+    def _local_step_spectra(
+        self, carry, specf, t0, tp_tables, pa_tables, fused_tables
+    ):
+        """Pre-FFT'd per-shard body: the local [b_local, N] spectrum-row run
+        skips framing/FFT entirely (the vector-input mode has no sample
+        history, reference: python/FrequencyDomainChannelizer.py:201-216);
+        the prev-spec burst-reach-back handoff still rides its ppermute."""
+        spec = f2c(specf)  # [b_local, N]
+        return self._local_tail(
+            carry, spec, carry["hist"], t0, tp_tables, pa_tables,
+            fused_tables,
+        )
+
+    def _local_tail(
+        self, carry, spec, new_hist, t0, tp_tables, pa_tables, fused_tables
+    ):
+        """Shared post-FFT shard body: prev-spec handoff, extraction,
+        replicated detection scans."""
+        cfg = self.config
+        n_time = self.n_time
+        tidx = jax.lax.axis_index(TIME_AXIS)
+        cidx = jax.lax.axis_index(CHAN_AXIS)
+        b_local = self.b_local
 
         last_spec = spec[-1]
         recv_spec = _shift_right(last_spec, n_time)
@@ -213,7 +239,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         spec_ext = jnp.concatenate([prev_local[None], spec])  # [b_local+1, N]
 
         new_carry = dict(carry)
-        new_carry["hist"] = _from_last_time_shard(tail, tidx, n_time)
+        new_carry["hist"] = new_hist
         new_carry["prev_spec"] = _from_last_time_shard(last_spec, tidx, n_time)
 
         # global block indices of this shard's rows
@@ -374,8 +400,10 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             out["debug_spectrum"] = c2f(spec)
         return new_carry, out
 
-    def _specs(self):
-        """(in_specs, out_specs) pytrees matching _local_step."""
+    def _specs(self, spectra: bool = False):
+        """(in_specs, out_specs) pytrees matching _local_step (or, with
+        ``spectra``, _local_step_spectra — the input is [B, N, 2] spectrum
+        rows time-sharded instead of [B*inplen, 2] samples)."""
         cfg = self.config
         carry_spec = jax.tree.map(lambda _: P(), self._carry_structure())
         tp_spec = [
@@ -388,8 +416,11 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             (P(CHAN_AXIS), P(CHAN_AXIS, None), P(CHAN_AXIS))
             for _ in self._sh_fused
         ]
+        in_spec = (
+            P(TIME_AXIS, None, None) if spectra else P(TIME_AXIS, None)
+        )
         in_specs = (
-            carry_spec, P(TIME_AXIS, None), P(), tp_spec, pa_spec, fused_spec
+            carry_spec, in_spec, P(), tp_spec, pa_spec, fused_spec
         )
 
         out = {}
@@ -445,10 +476,21 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
     def _device_step(self, carry, xf, t0):
         """Global jitted step: shard_map body + canonicalization to the
         single-device output layout, so the host emission layer is shared."""
+        return self._run_sharded(self._local_step, carry, xf, t0,
+                                 spectra=False)
+
+    def _device_step_spectra(self, carry, specf, t0):
+        """Pre-FFT'd global step (reference vector-input mode), sharded:
+        spectrum rows split over the time axis, everything downstream of
+        the FFT identical to _device_step."""
+        return self._run_sharded(self._local_step_spectra, carry, specf,
+                                 t0, spectra=True)
+
+    def _run_sharded(self, body, carry, arr, t0, spectra: bool):
         cfg = self.config
-        in_specs, out_specs = self._specs()
+        in_specs, out_specs = self._specs(spectra=spectra)
         fn = jax.shard_map(
-            self._local_step,
+            body,
             mesh=self.mesh,
             in_specs=in_specs,
             out_specs=out_specs,
@@ -466,7 +508,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             (jnp.asarray(s), jnp.asarray(w), jnp.asarray(p))
             for (*_, s, w, p) in self._sh_fused
         ]
-        new_carry, raw = fn(carry, xf, t0, tp_tables, pa_tables, fused_tables)
+        new_carry, raw = fn(carry, arr, t0, tp_tables, pa_tables,
+                            fused_tables)
 
         nb = cfg.batch_blocks
 

@@ -78,6 +78,8 @@ def save_checkpoint(fdc: "FrequencyDomainChannelizer", path: str):
         "carry_iscomplex": iscomplex,
         "t0": fdc._t0,
         "pending": fdc._pending.copy(),
+        "pending_spec": fdc._pending_spec.copy(),
+        "spectra_mode": fdc._spectra_mode,
         "power_emitter": (
             fdc.power_emitter.get_state() if fdc.power_emitter else None
         ),
@@ -111,6 +113,14 @@ def load_checkpoint(fdc: "FrequencyDomainChannelizer", path: str):
     fdc._carry = _carry_from_host(state["carry"], state["carry_iscomplex"])
     fdc._t0 = int(state["t0"])
     fdc._pending = np.asarray(state["pending"], np.complex64)
+    # round-2 checkpoints predate the vector-mode buffer (absent => empty)
+    ps = state.get("pending_spec")
+    fdc._pending_spec = (
+        np.asarray(ps, np.complex64)
+        if ps is not None
+        else np.zeros((0, fdc.config.blocksize), np.complex64)
+    )
+    fdc._spectra_mode = bool(state.get("spectra_mode", False))
     if state["power_emitter"] is not None:
         if fdc.power_emitter is None:
             raise ValueError("checkpoint has burst state but config has none")

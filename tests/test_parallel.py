@@ -126,9 +126,12 @@ def test_sharded_matches_single_device(n_time, n_chan):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=0)
 
 
-def test_sharded_process_spectra_matches_single():
-    """process_spectra on a ShardedChannelizer runs the single-device
-    step (documented) — results must stay identical to the plain one."""
+@pytest.mark.parametrize("n_time,n_chan", [(4, 2), (8, 1), (1, 2)])
+def test_sharded_process_spectra_matches_single(n_time, n_chan):
+    """process_spectra on a ShardedChannelizer runs the SHARDED step
+    (spectrum rows time-sharded, prev-spec ppermute, chan-sharded
+    extraction — VERDICT r2 item 6): results must equal the plain
+    channelizer's vector mode within the standard sharded tolerances."""
     import dataclasses
 
     cfg = config()
@@ -138,13 +141,65 @@ def test_sharded_process_spectra_matches_single():
     spec = dbg.process(x).debug_spectrum
 
     r_ref = FrequencyDomainChannelizer(cfg).process_spectra(spec)
-    sh = ShardedChannelizer(cfg, mesh=make_mesh(n_time=4, n_chan=2))
+    sh = ShardedChannelizer(cfg, mesh=make_mesh(n_time=n_time,
+                                                n_chan=n_chan))
     r_sh = sh.process_spectra(spec)
 
     assert len(r_ref.events) > 0
     assert_events_match(r_ref.events, r_sh.events)
     for a, b in zip(r_ref.throughput, r_sh.throughput):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    for a, b in zip(r_ref.segment_power, r_sh.segment_power):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=0)
+
+
+def test_process_spectra_ragged_batches_buffered():
+    """Vector mode consumes ANY number of spectrum rows (the reference
+    consumes any number of input vectors); remainders buffer across
+    calls and flush() pads + trims the tail (VERDICT r2 missing #3)."""
+    import dataclasses
+
+    cfg = config()
+    rng = np.random.default_rng(13)
+    x = make_signal(rng, 3 * cfg.batch_blocks * cfg.inplen)
+    dbg = FrequencyDomainChannelizer(dataclasses.replace(cfg, debug=True))
+    spec = dbg.process(x).debug_spectrum  # [24, N]
+
+    one = FrequencyDomainChannelizer(cfg)
+    r_one = one.process_spectra(spec)
+    ev_one = list(r_one.events) + one.flush().events
+
+    ragged = FrequencyDomainChannelizer(cfg)
+    ev_r, tp_r = [], None
+    for lo, hi in ((0, 3), (3, 10), (10, 11), (11, 24)):  # ragged splits
+        r = ragged.process_spectra(spec[lo:hi])
+        ev_r.extend(r.events)
+        tp_r = (
+            [list() for _ in r.throughput] if tp_r is None else tp_r
+        )
+        for i, s in enumerate(r.throughput):
+            tp_r[i].append(s)
+    fr = ragged.flush()
+    ev_r.extend(fr.events)
+    for i, s in enumerate(fr.throughput):
+        tp_r[i].append(s)
+
+    assert len(ev_one) > 0
+    assert_events_match(ev_one, ev_r)
+    for a, b in zip(r_one.throughput, [np.concatenate(s) for s in tp_r]):
         np.testing.assert_array_equal(a, b)
+
+    # a tail that does not fill a batch: flush pads with silence rows
+    # and trims back to the real rows
+    tail = FrequencyDomainChannelizer(cfg)
+    r1 = tail.process_spectra(spec[:11])
+    assert r1.blocks_processed == 8  # one whole batch, 3 rows buffered
+    rf = tail.flush()
+    assert rf.blocks_processed == 3
+    for bucket in tail.throughput.buckets:
+        for chan in bucket.channel_ids:
+            assert len(rf.throughput[chan]) == 3 * bucket.out_len
 
 
 def test_sharded_matches_single_device_with_extract_budget():
