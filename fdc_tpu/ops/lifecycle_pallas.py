@@ -42,7 +42,7 @@ def _lifecycle_kernel(
     # inputs
     cand_ref, work_ref, chunk_work_ref, state_ref, counters_ref,
     # outputs
-    o_state, o_counters, f_flags,
+    o_state, o_counters, f_got, f_proc, f_emit, f_pu,
     *,
     n_blocks: int,
     n_cand: int,
@@ -57,8 +57,13 @@ def _lifecycle_kernel(
     # the scalar counters live in the SMEM output ref (so both pl.when
     # branches below can update them). All 10 state vectors share ONE
     # [10, S] ref so each block does a single VMEM read and a single write
-    # instead of 10 of each (static sublane slices are free); likewise the
-    # 4 per-block flags store as one [1, 4S] row.
+    # instead of 10 of each (static sublane slices are free). The four
+    # per-block flags are FOUR [B, S] outputs, not one packed [B, 4S] row:
+    # a dynamic-sublane store at a non-zero lane offset (the packed form's
+    # 3*S.. slice) fails to lower at some S ("dynamic store with unaligned
+    # indices", observed at S=128), while offset-0 dynamic row stores
+    # always lower — and the packed form stored four separate slices
+    # anyway, so the split costs nothing.
     o_state[:] = state_ref[:]
     o_counters[0] = counters_ref[0]
     o_counters[1] = counters_ref[1]
@@ -99,10 +104,11 @@ def _lifecycle_kernel(
 
         @pl.when(jnp.logical_not(has_cand | live_in))
         def _idle():
-            f_flags[row, 0 * s_dim:3 * s_dim] = jnp.zeros(
-                (1, 3 * s_dim), jnp.int32
-            )
-            f_flags[row, 3 * s_dim:4 * s_dim] = o_state[6:7, :]  # phase
+            z = jnp.zeros((1, s_dim), jnp.int32)
+            f_got[row, :] = z
+            f_proc[row, :] = z
+            f_emit[row, :] = z
+            f_pu[row, :] = o_state[6:7, :]  # phase
 
         @pl.when(jnp.logical_not(has_cand) & live_in)
         def _age_only():
@@ -123,12 +129,10 @@ def _lifecycle_kernel(
             emit_now = live & (inactive > delay)
             tomb = tomb | emit_now
             processed = live & ~emit_now
-            f_flags[row, 0 * s_dim:1 * s_dim] = jnp.zeros(
-                (1, s_dim), jnp.int32
-            )
-            f_flags[row, 1 * s_dim:2 * s_dim] = processed.astype(jnp.int32)
-            f_flags[row, 2 * s_dim:3 * s_dim] = emit_now.astype(jnp.int32)
-            f_flags[row, 3 * s_dim:4 * s_dim] = phase
+            f_got[row, :] = jnp.zeros((1, s_dim), jnp.int32)
+            f_proc[row, :] = processed.astype(jnp.int32)
+            f_emit[row, :] = emit_now.astype(jnp.int32)
+            f_pu[row, :] = phase
             phase = jnp.where(processed, (phase + phase_inc) % r, phase)
             o_state[1:2, :] = tomb.astype(jnp.int32)
             o_state[6:7, :] = phase
@@ -155,10 +159,11 @@ def _lifecycle_kernel(
 
         @pl.when(jnp.logical_not(has_work | live_in))
         def _idle():
-            f_flags[rows, 0 * s_dim:3 * s_dim] = jnp.zeros(
-                (chunk, 3 * s_dim), jnp.int32
-            )
-            f_flags[rows, 3 * s_dim:4 * s_dim] = jnp.broadcast_to(
+            z = jnp.zeros((chunk, s_dim), jnp.int32)
+            f_got[rows, :] = z
+            f_proc[rows, :] = z
+            f_emit[rows, :] = z
+            f_pu[rows, :] = jnp.broadcast_to(
                 o_state[6:7, :], (chunk, s_dim)
             )
 
@@ -189,12 +194,10 @@ def _lifecycle_kernel(
                 (phase0 + jnp.minimum(j, jstar) * phase_inc) % r,
                 phase0,
             )
-            f_flags[rows, 0 * s_dim:1 * s_dim] = jnp.zeros(
-                (chunk, s_dim), jnp.int32
-            )
-            f_flags[rows, 1 * s_dim:2 * s_dim] = processed.astype(jnp.int32)
-            f_flags[rows, 2 * s_dim:3 * s_dim] = emit.astype(jnp.int32)
-            f_flags[rows, 3 * s_dim:4 * s_dim] = phase_used
+            f_got[rows, :] = jnp.zeros((chunk, s_dim), jnp.int32)
+            f_proc[rows, :] = processed.astype(jnp.int32)
+            f_emit[rows, :] = emit.astype(jnp.int32)
+            f_pu[rows, :] = phase_used
 
             retires = live0 & (jstar < chunk)
             n_steps = jnp.minimum(jstar, chunk)  # processed blocks
@@ -318,14 +321,13 @@ def _lifecycle_kernel(
             jnp.where(processed, (phase + phase_inc) % r, phase),
         )
 
-        # static-slice stores (Mosaic cannot lower an in-kernel concatenate:
-        # "result/input offset mismatch on non-concat dimension"); the read
-        # side still benefits from the single packed [10, S] load
+        # offset-0 dynamic row stores (see the output-splitting note above);
+        # the read side still benefits from the single packed [10, S] load
         row = pl.ds(i, 1)
-        f_flags[row, 0 * s_dim:1 * s_dim] = got.astype(jnp.int32)
-        f_flags[row, 1 * s_dim:2 * s_dim] = processed.astype(jnp.int32)
-        f_flags[row, 2 * s_dim:3 * s_dim] = emit_now.astype(jnp.int32)
-        f_flags[row, 3 * s_dim:4 * s_dim] = phase_used
+        f_got[row, :] = got.astype(jnp.int32)
+        f_proc[row, :] = processed.astype(jnp.int32)
+        f_emit[row, :] = emit_now.astype(jnp.int32)
+        f_pu[row, :] = phase_used
 
         o_state[0:1, :] = active.astype(jnp.int32)
         o_state[1:2, :] = tomb.astype(jnp.int32)
@@ -428,7 +430,10 @@ def slot_lifecycle(
     out_shape = (
         jax.ShapeDtypeStruct((10, s), jnp.int32),
         jax.ShapeDtypeStruct((3,), jnp.int32),
-        jax.ShapeDtypeStruct((nb, 4 * s), jnp.int32),
+        jax.ShapeDtypeStruct((nb, s), jnp.int32),
+        jax.ShapeDtypeStruct((nb, s), jnp.int32),
+        jax.ShapeDtypeStruct((nb, s), jnp.int32),
+        jax.ShapeDtypeStruct((nb, s), jnp.int32),
     )
     kernel = functools.partial(
         _lifecycle_kernel,
@@ -436,11 +441,11 @@ def slot_lifecycle(
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    o_state, o_counters, f_flags = pl.pallas_call(
+    o_state, o_counters, f_got, f_proc, f_emit, f_pu = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[vm, sm, sm, vm, sm],
-        out_specs=(vm, sm, vm),
+        out_specs=(vm, sm, vm, vm, vm, vm),
         interpret=interpret,
     )(*ins)
 
@@ -459,10 +464,10 @@ def slot_lifecycle(
         "dropped": o_counters[1],
     }
     flags = (
-        f_flags[:, 0 * s:1 * s] != 0,  # got; [B, S], scan-order layout
-        f_flags[:, 1 * s:2 * s] != 0,  # processed
-        f_flags[:, 2 * s:3 * s] != 0,  # emit
-        f_flags[:, 3 * s:4 * s],       # phase_used
+        f_got != 0,   # [B, S], scan-order layout
+        f_proc != 0,
+        f_emit != 0,
+        f_pu,
     )
     return new_state, flags
 

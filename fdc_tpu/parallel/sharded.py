@@ -87,6 +87,22 @@ def _shift_right(x, n_time):
     return jax.lax.ppermute(x, TIME_AXIS, perm)
 
 
+def _bcast_chan(tree, n_chan):
+    """Replicate a pytree whose values are zero on all but one chan rank
+    (one psum per leaf; bool leaves round-trip through int32)."""
+    if n_chan == 1:
+        return tree
+
+    def one(x):
+        if x.dtype == jnp.bool_:
+            return jax.lax.psum(
+                x.astype(jnp.int32), CHAN_AXIS
+            ).astype(jnp.bool_)
+        return jax.lax.psum(x, CHAN_AXIS)
+
+    return jax.tree.map(one, tree)
+
+
 class ShardedChannelizer(FrequencyDomainChannelizer):
     """FrequencyDomainChannelizer running one shard_map step over a mesh.
 
@@ -151,16 +167,31 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
 
     # -- channel-sharded constant tables --------------------------------------
 
+    def _split_rows(self, a: np.ndarray):
+        """Zero-pad to a multiple of n_chan and split into one STATIC
+        numpy table per chan rank (padded rows extract zeros)."""
+        a = _pad_rows(a, self.n_chan)
+        c_loc = a.shape[0] // self.n_chan
+        return [a[r * c_loc: (r + 1) * c_loc] for r in range(self.n_chan)]
+
     def _build_sharded_tables(self):
-        nc = self.n_chan
+        # Per-rank tables are STATIC (numpy) so the fused Pallas
+        # extraction engages on the chan axis too (VERDICT r2 item 3):
+        # shard_map traces ONE program for all ranks, so rank-varying
+        # constants are selected with a lax.switch over axis_index — each
+        # branch closes over its rank's concrete arrays (see _rank_call).
+        # The earlier design passed traced per-rank views through the
+        # shard_map in_specs, which forced the slow XLA extraction path
+        # exactly on the axis meant for extraction-heavy configs.
         fused_widths = set(self._fused_widths)
-        self._tp_unfused = []  # (bucket, starts_pad, wins_pad)
+        self._tp_unfused = []  # (bucket, [starts_r], [wins_r])
         if self.throughput:
             for b in self.throughput.buckets:
                 if b.width in fused_widths:
                     continue
                 self._tp_unfused.append(
-                    (b, _pad_rows(b.starts, nc), _pad_rows(b.windows, nc))
+                    (b, self._split_rows(b.starts),
+                     self._split_rows(b.windows))
                 )
         self._pa_unfused = []
         if self.power_bank:
@@ -168,7 +199,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 if b.width in fused_widths:
                     continue
                 self._pa_unfused.append(
-                    (b, _pad_rows(b.starts, nc), _pad_rows(b.windows, nc))
+                    (b, self._split_rows(b.starts),
+                     self._split_rows(b.windows))
                 )
         # fused widths: shared tp+pa row family (same trim for equal width);
         # phase_sel = tp start bins for tp rows, 0 for pa rows (rot^0 == 1,
@@ -179,18 +211,27 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         ):
             psel = np.concatenate(
                 [tb.starts, np.zeros(len(pb.channel_ids), np.int32)]
-            )
+            ).astype(np.int32)
             self._sh_fused.append(
                 (
                     w, tb, pb, n_tp, len(pb.channel_ids),
-                    _pad_rows(starts, nc), _pad_rows(wins, nc),
-                    _pad_rows(psel.astype(np.int32), nc),
+                    self._split_rows(starts), self._split_rows(wins),
+                    self._split_rows(psel),
                 )
             )
 
+    def _rank_call(self, cidx, per_rank_fns, *operands):
+        """Dispatch to this chan rank's closure: a lax.switch over the
+        axis index (single direct call on a degenerate axis). Each branch
+        captures its rank's static numpy tables, so trace-time gates
+        (fused Pallas kernels, window folding) see concrete arrays."""
+        if self.n_chan == 1:
+            return per_rank_fns[0](*operands)
+        return jax.lax.switch(cidx, per_rank_fns, *operands)
+
     # -- device step -----------------------------------------------------------
 
-    def _local_step(self, carry, xf, t0, tp_tables, pa_tables, fused_tables):
+    def _local_step(self, carry, xf, t0):
         """Per-shard body (runs under shard_map). Sees the local time run of
         samples and its chan-rank's channel rows; returns local outputs plus
         the replicated new carry."""
@@ -205,26 +246,17 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         blocks, _ = frame_blocks(x, hist_local, cfg.blocksize)
         spec = forward_spectrum(blocks, use_mxu=cfg.use_mxu_fft)  # [b_local, N]
         new_hist = _from_last_time_shard(tail, tidx, n_time)
-        return self._local_tail(
-            carry, spec, new_hist, t0, tp_tables, pa_tables, fused_tables
-        )
+        return self._local_tail(carry, spec, new_hist, t0)
 
-    def _local_step_spectra(
-        self, carry, specf, t0, tp_tables, pa_tables, fused_tables
-    ):
+    def _local_step_spectra(self, carry, specf, t0):
         """Pre-FFT'd per-shard body: the local [b_local, N] spectrum-row run
         skips framing/FFT entirely (the vector-input mode has no sample
         history, reference: python/FrequencyDomainChannelizer.py:201-216);
         the prev-spec burst-reach-back handoff still rides its ppermute."""
         spec = f2c(specf)  # [b_local, N]
-        return self._local_tail(
-            carry, spec, carry["hist"], t0, tp_tables, pa_tables,
-            fused_tables,
-        )
+        return self._local_tail(carry, spec, carry["hist"], t0)
 
-    def _local_tail(
-        self, carry, spec, new_hist, t0, tp_tables, pa_tables, fused_tables
-    ):
+    def _local_tail(self, carry, spec, new_hist, t0):
         """Shared post-FFT shard body: prev-spec handoff, extraction,
         replicated detection scans."""
         cfg = self.config
@@ -252,33 +284,39 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             # block index stays ≡ 0 (mod R): t0 is a whole number of
             # batches and t_local0 = t0 + tidx*b_local, so b_local % R == 0
             # suffices (same contract as the unsharded step)
-            fold_phase = (
-                self.n_chan == 1 and b_local % cfg.relinvovl == 0
-            )
+            fold_phase = b_local % cfg.relinvovl == 0
             mats = []
-            for (bucket, s_np, w_np), (starts, wins) in zip(
-                self._tp_unfused, tp_tables
-            ):
-                if self.n_chan == 1:
-                    # replicated chan tables: keep them STATIC so the
-                    # fused Pallas extraction engages per time shard
-                    starts, wins = s_np, w_np
+            for bucket, starts_r, wins_r in self._tp_unfused:
                 l = bucket.width
-                if fold_phase:
-                    y = extract_bucket_phased(
-                        spec, starts, wins, cfg.relinvovl, gain=float(l),
-                        use_mxu=cfg.use_mxu_fft,
-                        keep_from=l - bucket.out_len,
-                    )
-                else:
-                    y = extract_bucket(spec, starts, wins, gain=float(l),
-                                       use_mxu=cfg.use_mxu_fft,
-                                       keep_from=l - bucket.out_len,
-                                       pairs=True)
-                    phase_idx = (
-                        t[None, :] * starts[:, None]
-                    ) % cfg.relinvovl
-                    y = apply_phase_pairs(y, phase_idx, cfg.relinvovl)
+
+                def tp_branch(s_np, w_np):
+                    def br(sp, tt):
+                        if fold_phase:
+                            return extract_bucket_phased(
+                                sp, s_np, w_np, cfg.relinvovl,
+                                gain=float(l), use_mxu=cfg.use_mxu_fft,
+                                keep_from=l - bucket.out_len,
+                            )
+                        y = extract_bucket(
+                            sp, s_np, w_np, gain=float(l),
+                            use_mxu=cfg.use_mxu_fft,
+                            keep_from=l - bucket.out_len, pairs=True,
+                        )
+                        phase_idx = (
+                            tt[None, :]
+                            * jnp.asarray(s_np, jnp.int32)[:, None]
+                        ) % cfg.relinvovl
+                        return apply_phase_pairs(
+                            y, phase_idx, cfg.relinvovl
+                        )
+
+                    return br
+
+                y = self._rank_call(
+                    cidx,
+                    [tp_branch(s, w) for s, w in zip(starts_r, wins_r)],
+                    spec, t,
+                )
                 # [C_loc, b_local, out_len, 2]
                 c_loc = y.shape[0]
                 mats.append(y.reshape(c_loc, b_local * bucket.out_len, 2))
@@ -289,19 +327,33 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             # t_local0-1 .. (row 0 = burst history row, discarded by tp)
             t_rows = t_local0 - 1 + jnp.arange(b_local + 1, dtype=jnp.int32)
             fused_out = []
-            for (w, tb, pb, n_tp, n_pa, s_np, w_np, p_np), \
-                    (starts, wins, psel) in zip(
-                self._sh_fused, fused_tables
-            ):
-                if self.n_chan == 1:
-                    starts, wins, psel = s_np, w_np, p_np
-                y = extract_bucket(spec_ext, starts, wins,
-                                   use_mxu=cfg.use_mxu_fft,
-                                   keep_from=w - tb.out_len, pairs=True)
-                phase_idx = (
-                    t_rows[None, :] * psel[:, None]
-                ) % cfg.relinvovl
-                y = apply_phase_pairs(y, phase_idx, cfg.relinvovl)
+            for w, tb, pb, n_tp, n_pa, starts_r, wins_r, psel_r in \
+                    self._sh_fused:
+
+                def sh_branch(s_np, w_np, p_np, w=w, tb=tb):
+                    def br(spx, tr):
+                        y = extract_bucket(
+                            spx, s_np, w_np, use_mxu=cfg.use_mxu_fft,
+                            keep_from=w - tb.out_len, pairs=True,
+                        )
+                        phase_idx = (
+                            tr[None, :]
+                            * jnp.asarray(p_np, jnp.int32)[:, None]
+                        ) % cfg.relinvovl
+                        return apply_phase_pairs(
+                            y, phase_idx, cfg.relinvovl
+                        )
+
+                    return br
+
+                y = self._rank_call(
+                    cidx,
+                    [
+                        sh_branch(s, wm, p)
+                        for s, wm, p in zip(starts_r, wins_r, psel_r)
+                    ],
+                    spec_ext, t_rows,
+                )
                 fused_out.append(y[:, None])  # [C_loc, 1, b+1, L, 2]
             out["fused"] = fused_out
 
@@ -319,14 +371,22 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             )
             new_carry["powact"] = pa_state
             ext = {}
-            for (bucket, s_np, w_np), (s, wmat) in zip(
-                self._pa_unfused, pa_tables
-            ):
-                if self.n_chan == 1:
-                    s, wmat = s_np, w_np
-                ext[bucket.width] = extract_bucket(
-                    spec_ext, s, wmat, use_mxu=cfg.use_mxu_fft,
-                    keep_from=bucket.width - bucket.out_len, pairs=True,
+            for bucket, starts_r, wins_r in self._pa_unfused:
+
+                def pa_branch(s_np, w_np, bucket=bucket):
+                    def br(spx):
+                        return extract_bucket(
+                            spx, s_np, w_np, use_mxu=cfg.use_mxu_fft,
+                            keep_from=bucket.width - bucket.out_len,
+                            pairs=True,
+                        )
+
+                    return br
+
+                ext[bucket.width] = self._rank_call(
+                    cidx,
+                    [pa_branch(s, w) for s, w in zip(starts_r, wins_r)],
+                    spec_ext,
                 )
             out["powact"] = {
                 "rise": rise,
@@ -337,12 +397,49 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 "extract": {w: v[:, None] for w, v in ext.items()},
             }
 
+        # Segments are independent automata (the reference runs one
+        # std::thread per segment, reference:
+        # lib/activity_detection_channelizer_vcm_impl.cc:293-304). With a
+        # multi-segment config on a multi-rank chan axis, running EVERY
+        # segment's lifecycle scan on EVERY rank is pure replication — so
+        # each segment's scan is OWNED by chan rank (i % n_chan): the
+        # owner runs the scan inside a lax.cond, everyone else produces
+        # zeros, and one psum per leaf broadcasts the (tiny) flags +
+        # slot-table state. Per-rank scan work drops to
+        # ceil(segments/n_chan), directly shrinking the replicated-logic
+        # Amdahl term of the scaling model (PERFORMANCE.md). Gated on
+        # >= 2 segments: with one segment the cond+psum buys nothing.
+        shard_scans = self.n_chan > 1 and len(self.segments) >= 2
         for i, sd in enumerate(self.segments):
             power_local = sd.measure(spec, sq_local)  # [b_local, n_cells]
             power = _gather_time(power_local, n_time)  # [B, n_cells]
-            seg_state, (got, processed, emit_now, phase_used) = sd.scan_slots(
-                power, carry[f"seg{i}"]
-            )
+            if shard_scans:
+                owner = i % self.n_chan
+                nb_g = power.shape[0]
+                s_cap = sd.max_slots
+
+                def run_scan(pw, st, sd=sd):
+                    return sd.scan_slots(pw, st)
+
+                def skip_scan(pw, st):
+                    zf = jnp.zeros((nb_g, s_cap), jnp.bool_)
+                    return (
+                        jax.tree.map(jnp.zeros_like, st),
+                        (zf, zf, zf, jnp.zeros((nb_g, s_cap), jnp.int32)),
+                    )
+
+                seg_state, flags = _bcast_chan(
+                    jax.lax.cond(
+                        cidx == owner, run_scan, skip_scan,
+                        power, carry[f"seg{i}"],
+                    ),
+                    self.n_chan,
+                )
+                got, processed, emit_now, phase_used = flags
+            else:
+                seg_state, (got, processed, emit_now, phase_used) = (
+                    sd.scan_slots(power, carry[f"seg{i}"])
+                )
             new_carry[f"seg{i}"] = seg_state
             so = {
                 "activated": got.T,  # [S, B] replicated
@@ -406,22 +503,13 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         rows time-sharded instead of [B*inplen, 2] samples)."""
         cfg = self.config
         carry_spec = jax.tree.map(lambda _: P(), self._carry_structure())
-        tp_spec = [
-            (P(CHAN_AXIS), P(CHAN_AXIS, None)) for _ in self._tp_unfused
-        ]
-        pa_spec = [
-            (P(CHAN_AXIS), P(CHAN_AXIS, None)) for _ in self._pa_unfused
-        ]
-        fused_spec = [
-            (P(CHAN_AXIS), P(CHAN_AXIS, None), P(CHAN_AXIS))
-            for _ in self._sh_fused
-        ]
         in_spec = (
             P(TIME_AXIS, None, None) if spectra else P(TIME_AXIS, None)
         )
-        in_specs = (
-            carry_spec, in_spec, P(), tp_spec, pa_spec, fused_spec
-        )
+        # channel tables are NOT shard_map operands: each chan rank's
+        # tables are static numpy constants baked into its lax.switch
+        # branch (_rank_call), so the fused Pallas extraction engages
+        in_specs = (carry_spec, in_spec, P())
 
         out = {}
         if self._tp_unfused:
@@ -496,20 +584,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             out_specs=out_specs,
             check_vma=False,
         )
-        tp_tables = [
-            (jnp.asarray(s), jnp.asarray(w))
-            for (_, s, w) in self._tp_unfused
-        ]
-        pa_tables = [
-            (jnp.asarray(s), jnp.asarray(w))
-            for (_, s, w) in self._pa_unfused
-        ]
-        fused_tables = [
-            (jnp.asarray(s), jnp.asarray(w), jnp.asarray(p))
-            for (*_, s, w, p) in self._sh_fused
-        ]
-        new_carry, raw = fn(carry, arr, t0, tp_tables, pa_tables,
-                            fused_tables)
+        new_carry, raw = fn(carry, arr, t0)
 
         nb = cfg.batch_blocks
 

@@ -245,6 +245,94 @@ def test_sharded_matches_single_device_with_split_bucket():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("n_time,n_chan", [(2, 2), (1, 4), (4, 2)])
+def test_multi_segment_scans_sharded_over_chan(n_time, n_chan):
+    """Multi-segment configs assign each segment's lifecycle scan to chan
+    rank (i % n_chan) and broadcast the flags/state (VERDICT r2 item 2);
+    events and streams must stay identical to single-device. Three
+    segments on 2/4 chan ranks exercises both the uneven assignment and
+    the owner != 0 broadcast."""
+    cfg = config(
+        activity_detection_segments=[(-0.47, -0.3), (-0.25, -0.05),
+                                     (0.15, 0.35)],
+        throughput_channels=[(-0.25, 0.04)],
+        activity_controlled_channels=[],
+    )
+    rng = np.random.default_rng(19)
+    n = 6 * cfg.batch_blocks * cfg.inplen
+    t = np.arange(n)
+    x = (0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))).astype(
+        np.complex64
+    )
+    # one burst per segment, staggered spans (some crossing batch bounds)
+    for lo, hi, f in ((n // 5, n // 2, -0.4), (n // 3, 2 * n // 3, -0.15),
+                      (n // 2, 4 * n // 5, 0.25)):
+        m = np.zeros(n)
+        m[lo:hi] = 1.0
+        x += (2.5 * m * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    sh = ShardedChannelizer(
+        cfg, mesh=make_mesh(n_time=n_time, n_chan=n_chan)
+    )
+    chunk = 2 * cfg.batch_blocks * cfg.inplen
+    ev_ref, tp_ref, pw_ref = run(ref, x, chunk)
+    ev_sh, tp_sh, pw_sh = run(sh, x, chunk)
+
+    segs = {e.ID.split(".")[-2] for e in ev_ref if "DETECTED" in e.ID}
+    assert len(segs) == 3, "every segment must emit events"
+    assert_events_match(ev_ref, ev_sh)
+    for a, b in zip(tp_ref, tp_sh):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    for a, b in zip(pw_ref, pw_sh):
+        # atol floors the noise-floor cells (~1e-6): different FFT batch
+        # shapes round differently at n_time=4
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-9)
+
+
+def test_chan_sharded_tables_stay_static(monkeypatch):
+    """Every chan rank's extraction branch must receive STATIC numpy
+    starts/windows (the trace-time gate for the fused Pallas kernel and
+    the window-folded DFT matrices): VERDICT r2 item 3 — the old traced
+    per-rank views forced the slow XLA path exactly on the chan axis.
+    Only one TPU chip is available, so the kernel itself is pinned by its
+    own hardware gate (tools/ablate19_tpu.py); this test pins that the
+    chan-sharded call sites keep satisfying the gate's static-input
+    precondition."""
+    import fdc_tpu.ops.extract as ex
+    import fdc_tpu.parallel.sharded as sh_mod
+
+    seen = []
+    real_bucket = ex.extract_bucket
+    real_phased = ex.extract_bucket_phased
+
+    def spy_bucket(spectrum, starts, base_windows, **kw):
+        seen.append(
+            isinstance(starts, np.ndarray)
+            and isinstance(base_windows, np.ndarray)
+        )
+        return real_bucket(spectrum, starts, base_windows, **kw)
+
+    def spy_phased(spectrum, starts, base_windows, relinvovl, **kw):
+        seen.append(
+            isinstance(starts, np.ndarray)
+            and isinstance(base_windows, np.ndarray)
+        )
+        return real_phased(spectrum, starts, base_windows, relinvovl, **kw)
+
+    monkeypatch.setattr(sh_mod, "extract_bucket", spy_bucket)
+    monkeypatch.setattr(sh_mod, "extract_bucket_phased", spy_phased)
+
+    cfg = config()
+    sh = ShardedChannelizer(cfg, mesh=make_mesh(n_time=2, n_chan=2))
+    rng = np.random.default_rng(3)
+    sh.process(make_signal(rng, cfg.batch_blocks * cfg.inplen))
+
+    # 2 chan ranks x (1 tp bucket + 1 pa bucket) at least; all static
+    assert len(seen) >= 4
+    assert all(seen), "chan-rank extraction must see static numpy tables"
+
+
 def test_slot_rounding_and_batch_divisibility():
     mesh = make_mesh(n_time=2, n_chan=4)
     sh = ShardedChannelizer(config(max_slots=6), mesh=mesh)

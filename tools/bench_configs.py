@@ -88,6 +88,24 @@ def main():
             extract_budget_narrow=32,
             freqmode="normalized", batch_blocks=512,
         )),
+        # 5b: the same burst-hunter band split into 4 independent
+        # segments (the reference's natural multi-segment deployment,
+        # one std::thread per segment) — the shape whose per-segment
+        # lifecycle scans SHARD over the mesh chan axis
+        # (parallel/sharded.py), dividing the replicated-logic Amdahl
+        # term of the scaling model by n_chan.
+        "cfg5b_burst_hunter_4seg": (200e6, dict(
+            blocksize=4096, relinvovl=4,
+            activity_detection_segments=[
+                (-0.45, -0.225), (-0.225, 0.0), (0.0, 0.225),
+                (0.225, 0.45),
+            ],
+            act_det_threshold=6.0, minchandist=0.005,
+            max_slots=128, max_candidates=32, max_extract_width=512,
+            extract_budget=2, extract_width_split=64,
+            extract_budget_narrow=8,
+            freqmode="normalized", batch_blocks=512,
+        )),
     }
 
     for name, (rate, kw) in configs.items():
