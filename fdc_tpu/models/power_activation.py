@@ -158,7 +158,12 @@ class PowerActivationBank:
 
         backend = self.lifecycle_backend
         if backend == "auto":
-            backend = "scan" if jax.default_backend() == "cpu" else "assoc"
+            # TPU: the chunked Pallas automaton (batch-precomputed ratio
+            # edges + closed-form edge-free chunks) measures 10x the
+            # associative scan alone and -0.055 ms on the full flagship
+            # step (tools/ablate22_tpu.py, 2026-08-19: scan-only
+            # 0.062 -> 0.006 ms, full step 0.630 -> 0.575 ms)
+            backend = "scan" if jax.default_backend() == "cpu" else "pallas"
         if backend == "assoc":
             return self._flags_assoc(powers, state, delta)
         if backend in ("pallas", "pallas_interpret"):

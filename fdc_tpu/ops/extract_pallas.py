@@ -80,7 +80,8 @@ _TB_SHARED = 32  # smaller tiles: the stacked scratch multiplies by C
 
 
 def fused_shared_vmem_bytes(
-    c: int, l: int, k2: int, n: int, tb: int = _TB_SHARED
+    c: int, l: int, k2: int, n: int, tb: int = _TB_SHARED,
+    n_masks: int = 0,
 ) -> int:
     """VMEM footprint of one fused_extract_shared grid step."""
     tiles = 2 * 2 * tb * n * 4          # re+im tiles, double-buffered
@@ -88,7 +89,34 @@ def fused_shared_vmem_bytes(
     scratch = c * tb * 2 * l * 4        # stacked slices
     y = c * tb * k2 * 4                 # matmul result
     out = c * tb * k2 * 4
-    return tiles + mats + scratch + y + out
+    meas = (n * n_masks + tb * n + tb * n_masks) * 4 if n_masks else 0
+    return tiles + mats + scratch + y + out + meas
+
+
+def _kernel_shared_measured(
+    re_ref, im_ref, m_ref, pm_ref, out_ref, pw_ref, z_scr,
+    *, starts, l, fold_phase_r
+):
+    """_kernel_shared + in-kernel |X|² power measures: the spectrum tile
+    is already VMEM-resident, so the per-band/per-cell power sums (the
+    separate sq pass + band_power/cell_power reduce kernels of the
+    detection consumers) are one extra [TB, N] @ [N, Cm] matmul here
+    (reference measures: lib/PowerActivationChannel_impl.cc:286-306,
+    lib/SegmentDetection_impl.cc:178-193). HIGHEST precision keeps the
+    f32 sums; accumulation order differs from the XLA reduce at ~1e-7
+    rel — callers' detection thresholds are dB-scale, see
+    fdc_tpu/models/channelizer.py."""
+    sq = re_ref[:] * re_ref[:] + im_ref[:] * im_ref[:]  # [TB, N]
+    pw_ref[:] = jax.lax.dot_general(
+        sq, pm_ref[:],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    _kernel_shared(
+        re_ref, im_ref, m_ref, out_ref, z_scr,
+        starts=starts, l=l, fold_phase_r=fold_phase_r,
+    )
 
 
 def _kernel_shared(

@@ -478,26 +478,35 @@ def slot_lifecycle(
 
 
 def _powact_kernel(
-    powers_ref, active_ref, lastpower_ref, phase_ref, delta_ref,
-    o_active, o_lastpower, o_phase,
+    rup_ref, rdn_ref, work_ref, active_ref, phase_ref, delta_ref,
+    o_active, o_phase,
     f_rise, f_fall, f_processed, f_phase_used,
-    *, n_blocks: int, r: int, thresh: float,
+    *, n_blocks: int, r: int, chunk: int,
 ):
+    """Chunked hysteresis automaton.
+
+    The power ratios are batch-precomputed OUTSIDE the kernel (r_up/r_dn
+    [B, C] — ``lastpower`` is always the previous block's power regardless
+    of activity, reference: lib/PowerActivationChannel_impl.cc:286-306, so
+    the ratio tests are block-local), which removes lastpower from the
+    serial chain entirely. A chunk with NO ratio edges anywhere cannot
+    change any channel's activity, so its flags and phase advance are
+    CLOSED FORM (one vectorized store per chunk); only edge-bearing
+    chunks walk the per-block loop. In steady state (hysteresis edges are
+    rare by construction) the serial chain shrinks from n_blocks to
+    n_chunks."""
     delta = delta_ref[:]  # [1, C]
+    c_dim = delta.shape[1]
 
     # vector state lives in the output refs (scf.for cannot carry vectors)
     o_active[:] = active_ref[:]
-    o_lastpower[:] = lastpower_ref[:]
     o_phase[:] = phase_ref[:]
 
     def body(i, _):
         active = o_active[:] != 0
-        lastpower = o_lastpower[:]
         phase = o_phase[:]
-        pwr = powers_ref[pl.ds(i, 1), :]  # [1, C]
-        # reference: lib/PowerActivationChannel_impl.cc:286-306
-        rise = ~active & (pwr / lastpower >= thresh)
-        fall = active & (lastpower / pwr >= thresh)
+        rise = ~active & (rup_ref[pl.ds(i, 1), :] != 0)
+        fall = active & (rdn_ref[pl.ds(i, 1), :] != 0)
         processed = rise | active
         phase_used = jnp.where(rise, delta, phase)
         phase = jnp.where(
@@ -514,51 +523,101 @@ def _powact_kernel(
         f_phase_used[row, :] = phase_used
 
         o_active[:] = active.astype(jnp.int32)
-        o_lastpower[:] = pwr
         o_phase[:] = phase
         return 0
 
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    def chunk_body(c, _):
+        rows = pl.ds(c * chunk, chunk)
+
+        @pl.when(work_ref[c] == 0)
+        def _quiet():
+            # no edges in the chunk: activity is constant, every active
+            # channel processes every block, phase advances delta/block
+            active = o_active[:] != 0  # [1, C]
+            phase0 = o_phase[:]
+            j = jax.lax.broadcasted_iota(jnp.int32, (chunk, c_dim), 0)
+            z = jnp.zeros((chunk, c_dim), jnp.int32)
+            f_rise[rows, :] = z
+            f_fall[rows, :] = z
+            f_processed[rows, :] = jnp.broadcast_to(
+                active.astype(jnp.int32), (chunk, c_dim)
+            )
+            f_phase_used[rows, :] = jnp.where(
+                active, (phase0 + j * delta) % r, phase0
+            )
+            o_phase[:] = jnp.where(
+                active, (phase0 + chunk * delta) % r, phase0
+            )
+
+        @pl.when(work_ref[c] != 0)
+        def _edges():
+            jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
+        return 0
+
+    if chunk > 1:
+        jax.lax.fori_loop(0, n_blocks // chunk, chunk_body, 0)
+    else:
+        jax.lax.fori_loop(0, n_blocks, body, 0)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r", "thresh", "interpret")
+    jax.jit, static_argnames=("r", "thresh", "chunk", "interpret")
 )
-def powact_flags(powers, state, delta, *, r, thresh, interpret=False):
+def powact_flags(powers, state, delta, *, r, thresh, chunk=32,
+                 interpret=False):
     """Run the burst hysteresis automaton over [B, C] powers in one kernel.
 
-    Same semantics as PowerActivationBank.scan_flags's lax.scan. Returns
+    Same semantics as PowerActivationBank.scan_flags's lax.scan (same
+    float ratio expressions, batch-precomputed). Returns
     (new_state, (rise, fall, processed, phase_used)) with flags [C, B].
     """
     nb, c = powers.shape
+    powers = powers.astype(jnp.float32)
+    lastp = jnp.concatenate(
+        [state["lastpower"].astype(jnp.float32)[None, :], powers[:-1]],
+        axis=0,
+    )  # [B, C]: lastpower entering each block
+    thr = jnp.float32(thresh)
+    r_up = (powers / lastp >= thr).astype(jnp.int32)
+    r_dn = (lastp / powers >= thr).astype(jnp.int32)
+    if nb % chunk != 0:
+        chunk = 1  # odd batch sizes fall back to the per-block loop
+    if chunk > 1:
+        work = jnp.max(
+            jnp.max(r_up | r_dn, axis=1).reshape(-1, chunk), axis=1
+        )  # [n_chunks]
+    else:
+        work = jnp.zeros((nb,), jnp.int32)  # unused, keeps the arity
     row = lambda a, dt: a.astype(dt).reshape(1, c)
     ins = (
-        powers.astype(jnp.float32),
+        r_up,
+        r_dn,
+        work,
         row(state["active"], jnp.int32),
-        row(state["lastpower"], jnp.float32),
         row(state["phase"], jnp.int32),
         delta.astype(jnp.int32).reshape(1, c),
     )
     rc = lambda dt: jax.ShapeDtypeStruct((1, c), dt)
     fl = lambda dt: jax.ShapeDtypeStruct((nb, c), dt)
     kernel = functools.partial(
-        _powact_kernel, n_blocks=nb, r=r, thresh=thresh
+        _powact_kernel, n_blocks=nb, r=r, chunk=chunk
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         out_shape=(
-            rc(jnp.int32), rc(jnp.float32), rc(jnp.int32),
+            rc(jnp.int32), rc(jnp.int32),
             fl(jnp.int32), fl(jnp.int32), fl(jnp.int32), fl(jnp.int32),
         ),
-        in_specs=[vm] * 5,
-        out_specs=tuple([vm] * 7),
+        in_specs=[vm, vm, sm, vm, vm, vm],
+        out_specs=tuple([vm] * 6),
         interpret=interpret,
     )(*ins)
-    o_active, o_lastpower, o_phase, f_rise, f_fall, f_proc, f_pu = outs
+    o_active, o_phase, f_rise, f_fall, f_proc, f_pu = outs
     new_state = {
         "active": o_active.reshape(c) != 0,
-        "lastpower": o_lastpower.reshape(c),
+        "lastpower": powers[-1],
         "phase": o_phase.reshape(c),
     }
     flags = (
