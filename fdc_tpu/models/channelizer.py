@@ -28,10 +28,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from fdc_tpu.config import ChannelizerConfig, VerboseMode
-from fdc_tpu.models.power_activation import PowerActivationBank
+from fdc_tpu.models.power_activation import (
+    _FLOAT_MIN as _PA_FLOAT_MIN,
+    PowerActivationBank,
+)
 from fdc_tpu.models.segment_detection import SegmentDetector
 from fdc_tpu.models.throughput import ThroughputChannelizer
-from fdc_tpu.ops.extract import extract_bucket, extract_bucket_phased
+from fdc_tpu.ops.extract import (
+    extract_bucket,
+    extract_bucket_measured,
+    extract_bucket_phased,
+)
 from fdc_tpu.ops.framing import frame_blocks
 from fdc_tpu.ops.fft import forward_spectrum
 from fdc_tpu.runtime.emission import (
@@ -211,6 +218,46 @@ class FrequencyDomainChannelizer:
                     starts, wins, len(tb.channel_ids), tb, pb
                 )
 
+        # -- fused power measures ------------------------------------------------
+        # One [N, Cm] 0/1 mask matrix holding every detection consumer's
+        # measure columns (burst bands + segment decimation cells). When a
+        # throughput bucket rides the shared fused extraction kernel, the
+        # kernel computes |X|² @ masks from its VMEM-resident spectrum
+        # tiles (extract_bucket_measured) and the separate sq pass +
+        # band_power/cell_power reduces disappear. Columns are zero-padded
+        # to a lane multiple. The matmul's accumulation order differs from
+        # the XLA reduces at ~1e-7 rel; detection thresholds are dB-scale
+        # (>= factor 2 linear), so threshold decisions are stable except
+        # for signals engineered to sit within 1e-7 of a threshold.
+        self._measure_masks = None
+        self._measure_cols = {}
+        if (self.power_bank or self.segments) and self.throughput:
+            cols = []
+            off = 0
+            if self.power_bank:
+                cols.append(self.power_bank.measure_masks)
+                self._measure_cols["powact"] = (
+                    0, self.power_bank.num_channels
+                )
+                off = self.power_bank.num_channels
+            for i, sd in enumerate(self.segments):
+                g = sd.geometry
+                m = np.zeros((cfg.blocksize, g.n_cells), np.float32)
+                for c in range(g.n_cells):
+                    m[
+                        g.start + c * g.decimation:
+                        g.start + (c + 1) * g.decimation,
+                        c,
+                    ] = 1.0
+                cols.append(m)
+                self._measure_cols[f"seg{i}"] = (off, off + g.n_cells)
+                off += g.n_cells
+            mm = np.concatenate(cols, axis=1)
+            pad = (-mm.shape[1]) % 128
+            if pad:
+                mm = np.pad(mm, ((0, 0), (0, pad)))
+            self._measure_masks = mm
+
         # -- streaming state ---------------------------------------------------
         self._carry = None
         self._t0 = 0  # global index of next block
@@ -295,6 +342,7 @@ class FrequencyDomainChannelizer:
             )
             fused_pa_ext[w] = y[n_tp:]
 
+        powers_fused = None
         if self.throughput:
             # one [C_l, B*out_len, 2] matrix per bucket (the host splits
             # rows; device-side per-channel splitting costs a kernel per
@@ -309,12 +357,26 @@ class FrequencyDomainChannelizer:
                     mats.append(fused_mats[bucket.width])
                     continue
                 if fold_phase:
-                    y = extract_bucket_phased(
-                        spec, bucket.starts, bucket.windows,
-                        cfg.relinvovl, gain=float(bucket.width),
-                        use_mxu=cfg.use_mxu_fft,
-                        keep_from=bucket.width - bucket.out_len,
-                    )
+                    if (
+                        self._measure_masks is not None
+                        and powers_fused is None
+                    ):
+                        # ride the detection power measures on the first
+                        # shared-kernel bucket's VMEM spectrum tiles
+                        y, powers_fused = extract_bucket_measured(
+                            spec, bucket.starts, bucket.windows,
+                            cfg.relinvovl, self._measure_masks,
+                            gain=float(bucket.width),
+                            use_mxu=cfg.use_mxu_fft,
+                            keep_from=bucket.width - bucket.out_len,
+                        )
+                    else:
+                        y = extract_bucket_phased(
+                            spec, bucket.starts, bucket.windows,
+                            cfg.relinvovl, gain=float(bucket.width),
+                            use_mxu=cfg.use_mxu_fft,
+                            keep_from=bucket.width - bucket.out_len,
+                        )
                     mats.append(
                         self.throughput.finish_bucket(
                             bucket, y, t0, pairs=True, prephased=True
@@ -331,15 +393,22 @@ class FrequencyDomainChannelizer:
                     self.throughput.finish_bucket(bucket, y, t0, pairs=True)
                 )
             out["throughput_buckets"] = mats
-        # one shared |X|^2 pass feeds every detection consumer
+        # one shared |X|^2 pass feeds every detection consumer — unless
+        # the measures already rode the fused extraction kernel
         sq = (
             jnp.abs(spec) ** 2
-            if (self.power_bank or self.segments)
+            if (self.power_bank or self.segments) and powers_fused is None
             else None
         )
         if self.power_bank:
             pa = self.power_bank
-            powers = pa.measure(spec, sq)
+            if powers_fused is not None:
+                lo, hi = self._measure_cols["powact"]
+                powers = jnp.maximum(
+                    powers_fused[:, lo:hi], _PA_FLOAT_MIN
+                )  # same floor as pa.measure
+            else:
+                powers = pa.measure(spec, sq)
             new_carry["powact"], (rise, fall, processed, phase_used) = (
                 pa.scan_flags(powers, carry["powact"])
             )
@@ -361,7 +430,14 @@ class FrequencyDomainChannelizer:
                 "extract": pa_ext,
             }
         for i, sd in enumerate(self.segments):
-            power = sd.measure(spec, sq)
+            if powers_fused is not None:
+                lo, hi = self._measure_cols[f"seg{i}"]
+                power = powers_fused[:, lo:hi]
+                if sd.vcm:
+                    # vcm's 1/decimation normalization (see sd.measure)
+                    power = power * jnp.float32(1.0 / sd.geometry.decimation)
+            else:
+                power = sd.measure(spec, sq)
             seg_state, (got, processed, emit_now, phase_used) = sd.scan_slots(
                 power, carry[f"seg{i}"]
             )

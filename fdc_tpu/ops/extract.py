@@ -44,6 +44,7 @@ __all__ = [
     "gather_slices",
     "extract_bucket",
     "extract_bucket_phased",
+    "extract_bucket_measured",
     "extract_dynamic",
 ]
 
@@ -380,6 +381,78 @@ def extract_bucket_phased(
         * jnp.asarray(starts, jnp.int32)[:, None]
     ) % r
     return apply_phase_pairs(y, phase_idx, r)
+
+
+def extract_bucket_measured(
+    spectrum: jax.Array,
+    starts,
+    base_windows,
+    relinvovl: int,
+    power_masks: np.ndarray,
+    gain: float = 1.0,
+    use_mxu: bool = False,
+    keep_from: int = 0,
+):
+    """:func:`extract_bucket_phased` + in-kernel |X|² power measures.
+
+    When the shared fused kernel engages on this bucket (TPU backend,
+    static equal-window bucket within the VMEM budget including the mask
+    matrix), the per-band/per-cell power sums of the detection consumers
+    ride the extraction kernel's VMEM-resident spectrum tiles — the
+    separate |X|² pass plus the band_power / cell_power reduce kernels
+    disappear (reference measures:
+    lib/PowerActivationChannel_impl.cc:286-306,
+    lib/SegmentDetection_impl.cc:178-193).
+
+    Returns (y, powers): y is the phase-compensated [C, B, k, 2]
+    extraction (same values/contract as extract_bucket_phased); powers
+    is [B, Cm] float32 = |spectrum|² @ power_masks, or None when the
+    kernel cannot engage and the caller must run its own XLA measure
+    passes. `powers`' accumulation order differs from the XLA reduces at
+    ~1e-7 rel — acceptable for the dB-scale detection thresholds, see
+    the caller's note in fdc_tpu/models/channelizer.py.
+    """
+    l = base_windows.shape[-1] if hasattr(base_windows, "shape") else len(
+        base_windows[0]
+    )
+    r = relinvovl
+    folded_sh = (
+        _shared_fused_matrix(
+            spectrum, starts, base_windows, l, keep_from, gain
+        )
+        if use_mxu
+        else None
+    )
+    if folded_sh is not None:
+        from fdc_tpu.ops.extract_pallas import (
+            _TB_SHARED, _VMEM_BUDGET, fused_shared_vmem_bytes,
+        )
+
+        if (
+            fused_shared_vmem_bytes(
+                len(starts), l, folded_sh.shape[1], spectrum.shape[1],
+                tb=_TB_SHARED, n_masks=power_masks.shape[1],
+            )
+            > _VMEM_BUDGET
+        ):
+            folded_sh = None
+    if folded_sh is None:
+        y = extract_bucket_phased(
+            spectrum, starts, base_windows, relinvovl, gain=gain,
+            use_mxu=use_mxu, keep_from=keep_from,
+        )
+        return y, None
+    from fdc_tpu.ops.extract_pallas import fused_extract_shared
+
+    y, powers = fused_extract_shared(
+        spectrum, starts, folded_sh, pairs=True, power_masks=power_masks,
+    )
+    b = y.shape[1]
+    phase_idx = (
+        jnp.arange(b, dtype=jnp.int32)[None, :]
+        * jnp.asarray(starts, jnp.int32)[:, None]
+    ) % r
+    return apply_phase_pairs(y, phase_idx, r), powers
 
 
 def extract_dynamic(

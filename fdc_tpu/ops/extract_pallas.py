@@ -180,8 +180,9 @@ def fused_extract_shared(
     fold_phase_r: int | None = None,
     pairs: bool = True,
     tb: int = _TB_SHARED,
+    power_masks: np.ndarray | None = None,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Fused extraction for an equal-window bucket: ONE shared matrix.
 
     Equal-bandwidth buckets (the common case, e.g. the flagship's 64
@@ -198,6 +199,12 @@ def fused_extract_shared(
     % R, and every factor is a quarter turn, applied as an exact
     select/negate/swap on the interleaved pair columns — the separate
     apply_phase_pairs pass over the [C, B, k, 2] output disappears.
+
+    With ``power_masks`` ([N, Cm] float32, typically 0/1 band/cell
+    indicator columns), additionally returns the in-kernel power measures
+    ``powers`` [B, Cm] = |spectrum|² @ power_masks (f32-exact matmul) and
+    the call returns the tuple (out, powers) — the separate |X|² pass and
+    band/cell reduce kernels of the detection consumers disappear.
 
     Args / returns otherwise as :func:`fused_extract_static`, with
     ``folded`` of shape [2l, 2k].
@@ -220,32 +227,62 @@ def fused_extract_shared(
     im = jnp.pad(im, ((0, b_pad - b), (0, 0)))
     m = jnp.asarray(folded)  # [2l, 2k]
     grid = b_pad // tb
-    kernel = functools.partial(
-        _kernel_shared, starts=starts, l=l, fold_phase_r=fold_phase_r
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((tb, n), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, n), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((l2, k2), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((c_dim, tb, k2), lambda i: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c_dim, b_pad, k2), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((c_dim * tb, l2), jnp.float32)],
-        interpret=interpret,
-    )(re, im, m)
+    spec_tile = pl.BlockSpec((tb, n), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((l2, k2), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((c_dim, tb, k2), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    if power_masks is not None:
+        cm = power_masks.shape[1]
+        kernel = functools.partial(
+            _kernel_shared_measured, starts=starts, l=l,
+            fold_phase_r=fold_phase_r,
+        )
+        out, powers = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                spec_tile, spec_tile, mat_spec,
+                pl.BlockSpec((n, cm), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                out_spec,
+                pl.BlockSpec((tb, cm), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((c_dim, b_pad, k2), jnp.float32),
+                jax.ShapeDtypeStruct((b_pad, cm), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((c_dim * tb, l2), jnp.float32)],
+            interpret=interpret,
+        )(re, im, m, jnp.asarray(power_masks, jnp.float32))
+        powers = powers[:b]
+    else:
+        kernel = functools.partial(
+            _kernel_shared, starts=starts, l=l, fold_phase_r=fold_phase_r
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[spec_tile, spec_tile, mat_spec],
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((c_dim, b_pad, k2), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((c_dim * tb, l2), jnp.float32)],
+            interpret=interpret,
+        )(re, im, m)
     out = out[:, :b]
     if pairs:
-        return out.reshape(c_dim, b, -1, 2)
-    kept = k2 // 2
-    y = out.reshape(c_dim, b, kept, 2)
-    return jax.lax.complex(y[..., 0], y[..., 1])
+        out = out.reshape(c_dim, b, -1, 2)
+    else:
+        kept = k2 // 2
+        y = out.reshape(c_dim, b, kept, 2)
+        out = jax.lax.complex(y[..., 0], y[..., 1])
+    if power_masks is not None:
+        return out, powers
+    return out
 
 
 def fused_extract_static(

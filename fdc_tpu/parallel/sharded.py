@@ -40,9 +40,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fdc_tpu.config import ChannelizerConfig
 from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+from fdc_tpu.models.power_activation import _FLOAT_MIN as _PA_FLOAT_MIN
 from fdc_tpu.ops.extract import (
     apply_phase_pairs,
     extract_bucket,
+    extract_bucket_measured,
     extract_bucket_phased,
 )
 from fdc_tpu.ops.fft import forward_spectrum
@@ -279,6 +281,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         t = t_local0 + jnp.arange(b_local, dtype=jnp.int32)
 
         out = {}
+        powers_fused = None
         if self._tp_unfused:
             # phase folding is shard-safe when every shard's first global
             # block index stays ≡ 0 (mod R): t0 is a whole number of
@@ -286,17 +289,35 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             # suffices (same contract as the unsharded step)
             fold_phase = b_local % cfg.relinvovl == 0
             mats = []
-            for bucket, starts_r, wins_r in self._tp_unfused:
+            for bi, (bucket, starts_r, wins_r) in enumerate(
+                self._tp_unfused
+            ):
                 l = bucket.width
+                # detection power measures ride the first shared-kernel
+                # bucket's VMEM tiles (same as the plain step). Gated to
+                # n_chan == 1: with multiple chan ranks the lax.switch
+                # branches could disagree on kernel engagement (per-rank
+                # window tables) and diverge in output structure.
+                want_meas = (
+                    fold_phase and bi == 0 and self.n_chan == 1
+                    and self._measure_masks is not None
+                )
 
                 def tp_branch(s_np, w_np):
                     def br(sp, tt):
+                        if want_meas:
+                            return extract_bucket_measured(
+                                sp, s_np, w_np, cfg.relinvovl,
+                                self._measure_masks, gain=float(l),
+                                use_mxu=cfg.use_mxu_fft,
+                                keep_from=l - bucket.out_len,
+                            )
                         if fold_phase:
                             return extract_bucket_phased(
                                 sp, s_np, w_np, cfg.relinvovl,
                                 gain=float(l), use_mxu=cfg.use_mxu_fft,
                                 keep_from=l - bucket.out_len,
-                            )
+                            ), None
                         y = extract_bucket(
                             sp, s_np, w_np, gain=float(l),
                             use_mxu=cfg.use_mxu_fft,
@@ -308,15 +329,17 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                         ) % cfg.relinvovl
                         return apply_phase_pairs(
                             y, phase_idx, cfg.relinvovl
-                        )
+                        ), None
 
                     return br
 
-                y = self._rank_call(
+                y, p = self._rank_call(
                     cidx,
                     [tp_branch(s, w) for s, w in zip(starts_r, wins_r)],
                     spec, t,
                 )
+                if p is not None:
+                    powers_fused = p  # [b_local, Cm]
                 # [C_loc, b_local, out_len, 2]
                 c_loc = y.shape[0]
                 mats.append(y.reshape(c_loc, b_local * bucket.out_len, 2))
@@ -359,12 +382,18 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
 
         sq_local = (
             jnp.abs(spec) ** 2
-            if (self.power_bank or self.segments)
+            if (self.power_bank or self.segments) and powers_fused is None
             else None
         )
         if self.power_bank:
             pa = self.power_bank
-            powers_local = pa.measure(spec, sq_local)  # [b_local, C]
+            if powers_fused is not None:
+                lo, hi = self._measure_cols["powact"]
+                powers_local = jnp.maximum(
+                    powers_fused[:, lo:hi], _PA_FLOAT_MIN
+                )
+            else:
+                powers_local = pa.measure(spec, sq_local)  # [b_local, C]
             powers = _gather_time(powers_local, n_time)  # [B, C]
             pa_state, (rise, fall, processed, phase_used) = pa.scan_flags(
                 powers, carry["powact"]
@@ -411,7 +440,15 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         # >= 2 segments: with one segment the cond+psum buys nothing.
         shard_scans = self.n_chan > 1 and len(self.segments) >= 2
         for i, sd in enumerate(self.segments):
-            power_local = sd.measure(spec, sq_local)  # [b_local, n_cells]
+            if powers_fused is not None:
+                lo, hi = self._measure_cols[f"seg{i}"]
+                power_local = powers_fused[:, lo:hi]
+                if sd.vcm:
+                    power_local = power_local * jnp.float32(
+                        1.0 / sd.geometry.decimation
+                    )
+            else:
+                power_local = sd.measure(spec, sq_local)  # [b_local, nc]
             power = _gather_time(power_local, n_time)  # [B, n_cells]
             if shard_scans:
                 owner = i % self.n_chan

@@ -260,3 +260,77 @@ def test_fused_kill_switch(monkeypatch):
         assert _shared_fused_matrix(spec, starts, wins, l, 0, 1.0) is None
     monkeypatch.delenv("FDC_TPU_FUSED")
     assert _shared_fused_matrix(spec, starts, wins, l, 0, 1.0) is not None
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_fused_shared_measured_powers(seed):
+    """fused_extract_shared(power_masks=...) returns the same extraction
+    as the unmeasured kernel plus |X|^2 @ masks power measures matching
+    the XLA band_power/cell_power reduces (tolerance: the in-kernel
+    matmul's accumulation order differs at ~1e-7 rel)."""
+    from fdc_tpu.ops.detect import band_power, cell_power
+
+    b, n, l, c, keep_from, gain = 13, 512, 64, 5, 16, 64.0
+    rng = np.random.default_rng(seed)
+    spec = (
+        rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))
+    ).astype(np.complex64)
+    starts = np.sort(rng.choice(n - l, size=c, replace=False)).astype(
+        np.int32
+    )
+    win = rng.random(l).astype(np.float32) + 0.1
+    m = _rr_idft_matrix(l, keep_from, True, float(gain), pairs=True)
+    folded = (np.concatenate([win, win])[:, None] * m).astype(np.float32)
+
+    # masks: 2 bands + 16 decimation cells of width 8, zero-padded
+    masks = np.zeros((n, 128), np.float32)
+    masks[40:90, 0] = 1.0
+    masks[300:310, 1] = 1.0
+    for cc in range(16):
+        masks[100 + cc * 8: 100 + (cc + 1) * 8, 2 + cc] = 1.0
+
+    ref_y = fused_extract_shared(
+        jnp.asarray(spec), starts, folded, pairs=True, tb=8,
+        interpret=True,
+    )
+    got_y, got_p = fused_extract_shared(
+        jnp.asarray(spec), starts, folded, pairs=True, tb=8,
+        power_masks=masks, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_y), np.asarray(got_y))
+
+    sq = jnp.abs(jnp.asarray(spec)) ** 2
+    ref_bands = np.asarray(band_power(sq, jnp.asarray(masks[:, :2])))
+    ref_cells = np.asarray(cell_power(sq, 100, 16, 8))
+    got_p = np.asarray(got_p)
+    assert got_p.shape == (b, 128)
+    np.testing.assert_allclose(got_p[:, :2], ref_bands, rtol=1e-5)
+    np.testing.assert_allclose(got_p[:, 2:18], ref_cells, rtol=1e-5)
+    np.testing.assert_array_equal(got_p[:, 18:], 0.0)
+
+
+def test_extract_bucket_measured_fallback():
+    """On a backend where the fused kernel cannot engage (CPU), the
+    measured entry returns (extract_bucket_phased values, None)."""
+    from fdc_tpu.ops.extract import extract_bucket_measured, extract_bucket_phased
+
+    b, n, l, c = 12, 256, 32, 3
+    rng = np.random.default_rng(1)
+    spec = (
+        rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n))
+    ).astype(np.complex64)
+    starts = np.array([10, 60, 150], np.int32)
+    wins = np.tile(rng.random(l).astype(np.float32) + 0.1, (c, 1))
+    masks = np.zeros((n, 128), np.float32)
+    masks[20:40, 0] = 1.0
+
+    y, p = extract_bucket_measured(
+        jnp.asarray(spec), starts, wins, 4, masks, gain=float(l),
+        use_mxu=True, keep_from=l - 24,
+    )
+    assert p is None
+    ref = extract_bucket_phased(
+        jnp.asarray(spec), starts, wins, 4, gain=float(l), use_mxu=True,
+        keep_from=l - 24,
+    )
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
