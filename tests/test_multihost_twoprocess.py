@@ -32,7 +32,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_matches_single():
+@pytest.mark.parametrize("scenario", ["basic", "rich"])
+def test_two_process_distributed_matches_single(scenario):
+    """basic: one tp channel + one segment. rich (VERDICT r2 item 8):
+    multi-channel width buckets, a tp+burst fused width family, and TWO
+    segments — the per-segment scan ownership (chan rank i%2) and its
+    psum broadcast cross the real process boundary."""
     port = _free_port()
     env = dict(os.environ)
     # the axon sitecustomize initializes the XLA backend at interpreter
@@ -43,7 +48,7 @@ def test_two_process_distributed_matches_single():
 
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(pid), "2", str(port)],
+            [sys.executable, _WORKER, str(pid), "2", str(port), scenario],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )

@@ -333,6 +333,59 @@ def test_chan_sharded_tables_stay_static(monkeypatch):
     assert all(seen), "chan-rank extraction must see static numpy tables"
 
 
+def test_sharded_4x4_sixteen_devices():
+    """16-virtual-device 4x4 mesh (VERDICT r2 item 8): the suite's
+    conftest pins 8 CPU devices, so this runs in a subprocess with 16.
+    Full three-mode config, sharded == single events + streams."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep)
+    )
+    script = textwrap.dedent(
+        """
+        import numpy as np
+        import sys
+        sys.path.insert(0, %r)
+        from test_parallel import assert_events_match, config, make_signal, run
+        from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+        from fdc_tpu.parallel.mesh import make_mesh
+        from fdc_tpu.parallel.sharded import ShardedChannelizer
+
+        cfg = config(
+            activity_detection_segments=[(-0.47, -0.3), (-0.25, -0.05)],
+        )
+        rng = np.random.default_rng(7)
+        x = make_signal(rng, 4 * cfg.batch_blocks * cfg.inplen)
+        ref = FrequencyDomainChannelizer(cfg)
+        sh = ShardedChannelizer(cfg, mesh=make_mesh(n_time=4, n_chan=4))
+        chunk = 2 * cfg.batch_blocks * cfg.inplen
+        ev_ref, tp_ref, _ = run(ref, x, chunk)
+        ev_sh, tp_sh, _ = run(sh, x, chunk)
+        assert len(ev_ref) > 0
+        assert_events_match(ev_ref, ev_sh)
+        for a, b in zip(tp_ref, tp_sh):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+        print("4x4 OK", len(ev_ref))
+        """
+        % os.path.dirname(os.path.abspath(__file__))
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", script], env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "4x4 OK" in r.stdout
+
+
 def test_slot_rounding_and_batch_divisibility():
     mesh = make_mesh(n_time=2, n_chan=4)
     sh = ShardedChannelizer(config(max_slots=6), mesh=mesh)
