@@ -32,7 +32,7 @@ from fdc_tpu.models.power_activation import (
     _FLOAT_MIN as _PA_FLOAT_MIN,
     PowerActivationBank,
 )
-from fdc_tpu.models.segment_detection import SegmentDetector
+from fdc_tpu.models.segment_detection import SegmentDetector, scan_slots_multi
 from fdc_tpu.models.throughput import ThroughputChannelizer
 from fdc_tpu.ops.extract import (
     extract_bucket,
@@ -429,6 +429,7 @@ class FrequencyDomainChannelizer:
                 "phase_used": phase_used,
                 "extract": pa_ext,
             }
+        seg_powers = []
         for i, sd in enumerate(self.segments):
             if powers_fused is not None:
                 lo, hi = self._measure_cols[f"seg{i}"]
@@ -438,9 +439,17 @@ class FrequencyDomainChannelizer:
                     power = power * jnp.float32(1.0 / sd.geometry.decimation)
             else:
                 power = sd.measure(spec, sq)
-            seg_state, (got, processed, emit_now, phase_used) = sd.scan_slots(
-                power, carry[f"seg{i}"]
-            )
+            seg_powers.append(power)
+        # all segments' lifecycle scans fused into one Pallas kernel (one
+        # serial chain instead of len(segments) back-to-back ones); falls
+        # back to per-segment scans on the lax.scan backend
+        seg_scans = scan_slots_multi(
+            self.segments, seg_powers,
+            [carry[f"seg{i}"] for i in range(len(self.segments))],
+        )
+        for i, sd in enumerate(self.segments):
+            power = seg_powers[i]
+            seg_state, (got, processed, emit_now, phase_used) = seg_scans[i]
             new_carry[f"seg{i}"] = seg_state
             so = {
                 "activated": got.T,
@@ -578,6 +587,13 @@ class FrequencyDomainChannelizer:
                     np.zeros((0, sd.geometry.n_cells), np.float32)
                     for sd in self.segments
                 ],
+                # with debug on, every returned result carries an array
+                # (possibly 0 rows) — a finalize-only flush reaching an
+                # on_result consumer must not surprise it with None
+                debug_spectrum=(
+                    np.zeros((0, cfg.blocksize), np.complex64)
+                    if cfg.debug else None
+                ),
             )
         else:
             if n_pend_spec:

@@ -41,7 +41,7 @@ from fdc_tpu.ops.detect import (
 from fdc_tpu.ops.extract import extract_dynamic
 from fdc_tpu.ops.windows import flank_window_bank
 
-__all__ = ["SegmentDetector"]
+__all__ = ["SegmentDetector", "scan_slots_multi"]
 
 
 class SegmentDetector:
@@ -182,6 +182,55 @@ class SegmentDetector:
             p = p * jnp.float32(1.0 / g.decimation)
         return p
 
+    def _resolved_backend(self) -> str:
+        """Resolve lifecycle_backend='auto' by the active device."""
+        backend = self.lifecycle_backend
+        if backend == "auto":
+            backend = (
+                "scan" if jax.default_backend() == "cpu" else "pallas"
+            )
+        return backend
+
+    def _packed_candidates(self, power: jax.Array):
+        """[B, n_cells] powers -> ([B, 7K] packed candidate rows, K).
+
+        Candidates for ALL blocks at once (per-block independent). The
+        greedy acceptance is a lax.scan over K, but each iteration is
+        VECTORIZED over all B blocks — measured cost ~0.02 ms/step at
+        B=512. (Moving it inside the Pallas lifecycle kernel was tried
+        and is a PESSIMIZATION: there it lands on the kernel's serial
+        per-block chain, B*K sequential steps instead of K.) Candidate
+        geometry is slot-table-independent: batch-compute it over [B, K]
+        HERE rather than on the kernel's serial per-block chain, and pack
+        all 7 candidate vectors into one [B, 7K] array so the kernel's
+        per-block row->column transpose is ONE matmul instead of several.
+        """
+        g = self.geometry
+        # 0 = exact: every ratio position is a potential rising edge, so
+        # K = n_cells - 1 covers ALL of them — identical semantics to the
+        # reference's unbounded edge list
+        # (reference: lib/SegmentDetection_impl.cc:208-243).
+        k = self.max_candidates or (g.n_cells - 1)
+        cand_s, cand_e, cand_v = jax.vmap(
+            lambda p: detect_candidates(
+                p, self.thresh, k, zero_floor=self.vcm
+            )
+        )(power)  # each [B, K], cell coords
+        cand_s = cand_s * g.decimation + g.start  # -> bin coords
+        cand_e = cand_e * g.decimation + g.start
+        wl2, es, too_big = candidate_geometry(
+            cand_s, cand_e, puffer=self.flank_puffer, w_cap=self.w_cap,
+            w_cap_log2=self.w_cap_log2, n=self.blocksize,
+        )
+        packed = jnp.concatenate(
+            [
+                cand_s, cand_e, cand_v.astype(jnp.int32),
+                wl2, es, es % self.relinvovl, too_big.astype(jnp.int32),
+            ],
+            axis=1,
+        )  # [B, 7K]
+        return packed, k
+
     def scan_slots(self, power: jax.Array, state):
         """Detection + slot-table lifecycle scan over [B, n_cells] powers.
 
@@ -197,55 +246,28 @@ class SegmentDetector:
         d_start = g.start
         delay = self.deactivation_delay
         thresh = self.thresh
-        # 0 = exact: every ratio position is a potential rising edge, so
-        # K = n_cells - 1 covers ALL of them — identical semantics to the
-        # reference's unbounded edge list
-        # (reference: lib/SegmentDetection_impl.cc:208-243).
         k = self.max_candidates or (g.n_cells - 1)
         puffer = self.flank_puffer
 
-        backend = self.lifecycle_backend
-        if backend == "auto":
-            backend = (
-                "scan" if jax.default_backend() == "cpu" else "pallas"
-            )
-        # 1. candidates for ALL blocks at once (per-block independent). The
-        # greedy acceptance is a lax.scan over K, but each iteration is
-        # VECTORIZED over all B blocks — measured cost ~0.02 ms/step at
-        # B=512. (Moving it inside the Pallas lifecycle kernel was tried
-        # and is a PESSIMIZATION: there it lands on the kernel's serial
-        # per-block chain, B*K sequential steps instead of K.)
-        cand_s, cand_e, cand_v = jax.vmap(
-            lambda p: detect_candidates(p, thresh, k, zero_floor=self.vcm)
-        )(power)  # each [B, K], cell coords
-        cand_s = cand_s * dec + d_start  # -> bin coords
-        cand_e = cand_e * dec + d_start
-
+        backend = self._resolved_backend()
         if backend in ("pallas", "pallas_interpret"):
             from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle
 
-            # candidate geometry is slot-table-independent: batch-compute
-            # it over [B, K] HERE rather than on the kernel's serial
-            # per-block chain, and pack all 7 candidate vectors into one
-            # [B, 7K] array so the kernel's per-block row->column transpose
-            # is ONE matmul instead of several
-            wl2, es, too_big = candidate_geometry(
-                cand_s, cand_e, puffer=puffer, w_cap=self.w_cap,
-                w_cap_log2=self.w_cap_log2, n=n,
-            )
-            packed = jnp.concatenate(
-                [
-                    cand_s, cand_e, cand_v.astype(jnp.int32),
-                    wl2, es, es % r, too_big.astype(jnp.int32),
-                ],
-                axis=1,
-            )  # [B, 7K]
+            packed, k = self._packed_candidates(power)
             new_state, flags = slot_lifecycle(
                 packed, state,
                 n_cand=k, r=r, delay=delay,
                 interpret=(backend == "pallas_interpret"),
             )
             return self._free_tombstones(new_state), flags
+
+        # lax.scan reference path (see _packed_candidates for why the
+        # candidate detection batches over [B, K] outside the scan)
+        cand_s, cand_e, cand_v = jax.vmap(
+            lambda p: detect_candidates(p, thresh, k, zero_floor=self.vcm)
+        )(power)  # each [B, K], cell coords
+        cand_s = cand_s * dec + d_start  # -> bin coords
+        cand_e = cand_e * dec + d_start
 
         def scan_body(carry, cand):
             (
@@ -571,3 +593,45 @@ class SegmentDetector:
             outputs["slot_ids"] = slot_ids
             outputs["ext_overflow"] = overflow
         return new_state, outputs
+
+
+def scan_slots_multi(segments, powers, states):
+    """Fused lifecycle scans for multiple SegmentDetectors.
+
+    Segments are independent automata (the reference runs one std::thread
+    per segment, lib/activity_detection_channelizer_vcm_impl.cc:293-304);
+    on the Pallas backend all G scans run in ONE kernel invocation on a
+    single serial per-block chain (their vector ops are mutually
+    independent -> instruction-level parallelism) instead of G
+    back-to-back latency-bound kernels. Bit-identical per segment to
+    ``sd.scan_slots`` (same op sequence per segment, no cross-segment
+    math).
+
+    Falls back to per-segment ``scan_slots`` when fewer than two segments
+    are given or any segment resolves to the lax.scan backend (CPU).
+
+    Returns a list of (new_state, (activated, processed, emit,
+    phase_used)) pairs, one per segment, flags [B, S_g] in scan order.
+    """
+    backends = {sd._resolved_backend() for sd in segments}
+    if len(segments) < 2 or backends - {"pallas", "pallas_interpret"}:
+        return [
+            sd.scan_slots(p, st)
+            for sd, p, st in zip(segments, powers, states)
+        ]
+    from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle_multi
+
+    packed, ks = zip(
+        *(sd._packed_candidates(p) for sd, p in zip(segments, powers))
+    )
+    results = slot_lifecycle_multi(
+        tuple(packed), tuple(states),
+        n_cands=tuple(ks),
+        rs=tuple(sd.relinvovl for sd in segments),
+        delays=tuple(sd.deactivation_delay for sd in segments),
+        interpret=("pallas_interpret" in backends),
+    )
+    return [
+        (sd._free_tombstones(ns), fl)
+        for sd, (ns, fl) in zip(segments, results)
+    ]

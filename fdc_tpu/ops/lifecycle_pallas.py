@@ -33,194 +33,280 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["slot_lifecycle", "powact_flags"]
+__all__ = ["slot_lifecycle", "slot_lifecycle_multi", "powact_flags"]
 
 _BIG = np.int32(2**30)  # plain scalar: jnp constants can't be kernel-captured
 
 
 def _lifecycle_kernel(
-    # inputs
-    cand_ref, work_ref, chunk_work_ref, state_ref, counters_ref,
-    # outputs
-    o_state, o_counters, f_got, f_proc, f_emit, f_pu,
-    *,
+    *refs,
     n_blocks: int,
-    n_cand: int,
-    r: int,
-    delay: int,
+    n_cands: tuple,
+    rs: tuple,
+    delays: tuple,
     chunk: int,
 ):
-    s_dim = state_ref.shape[1]  # state is a [10, S] row pack
+    """G-segment fused lifecycle kernel.
+
+    Segments are independent automata (the reference runs one std::thread
+    per segment, lib/activity_detection_channelizer_vcm_impl.cc:293-304);
+    fusing them into ONE kernel invocation puts all G per-block bodies on
+    a single serial fori_loop chain where their mutually independent
+    vector ops overlap (ILP), instead of G back-to-back latency-bound
+    kernels. G == 1 reproduces the original single-segment kernel
+    byte-for-byte in behavior (same op sequence per segment).
+
+    Ref layout (G = len(n_cands)): inputs are G candidate packs [B, 7K_g]
+    (VMEM), G per-block work flags [B] (SMEM), G per-chunk work flags
+    (SMEM), G state packs [10, S_g] (VMEM), one counters vector [3G]
+    (SMEM: alloc/dropped/n_live per segment); outputs are G state packs,
+    the counters vector, then G x 4 flag arrays grouped by flag kind.
+    """
+    g_n = len(n_cands)
+    cand_refs = refs[0:g_n]
+    work_refs = refs[g_n:2 * g_n]
+    cwork_refs = refs[2 * g_n:3 * g_n]
+    state_refs = refs[3 * g_n:4 * g_n]
+    counters_ref = refs[4 * g_n]
+    o_states = refs[4 * g_n + 1:5 * g_n + 1]
+    o_counters = refs[5 * g_n + 1]
+    f_gots = refs[5 * g_n + 2:6 * g_n + 2]
+    f_procs = refs[6 * g_n + 2:7 * g_n + 2]
+    f_emits = refs[7 * g_n + 2:8 * g_n + 2]
+    f_pus = refs[8 * g_n + 2:9 * g_n + 2]
 
     # Mosaic cannot legalize scf.for with vector loop-carries: the vector
-    # state lives in the output ref (initialized below, mutated per block);
-    # the scalar counters live in the SMEM output ref (so both pl.when
-    # branches below can update them). All 10 state vectors share ONE
-    # [10, S] ref so each block does a single VMEM read and a single write
-    # instead of 10 of each (static sublane slices are free). The four
-    # per-block flags are FOUR [B, S] outputs, not one packed [B, 4S] row:
-    # a dynamic-sublane store at a non-zero lane offset (the packed form's
-    # 3*S.. slice) fails to lower at some S ("dynamic store with unaligned
-    # indices", observed at S=128), while offset-0 dynamic row stores
-    # always lower — and the packed form stored four separate slices
-    # anyway, so the split costs nothing.
-    o_state[:] = state_ref[:]
-    o_counters[0] = counters_ref[0]
-    o_counters[1] = counters_ref[1]
-    o_counters[2] = counters_ref[2]  # n_live: live (non-tomb active) slots
+    # state lives in the output refs (initialized below, mutated per
+    # block); the scalar counters live in the SMEM output ref (so every
+    # pl.when branch below can update them). Each segment's 10 state
+    # vectors share ONE [10, S] ref so a block does a single VMEM read
+    # and write per segment (static sublane slices are free). The four
+    # per-block flags are FOUR [B, S] outputs, not one packed [B, 4S]
+    # row: a dynamic-sublane store at a non-zero lane offset (the packed
+    # form's 3*S.. slice) fails to lower at some S ("dynamic store with
+    # unaligned indices", observed at S=128), while offset-0 dynamic row
+    # stores always lower — and the packed form stored four separate
+    # slices anyway, so the split costs nothing.
+    for g in range(g_n):
+        o_states[g][:] = state_refs[g][:]
+    for j in range(3 * g_n):
+        o_counters[j] = counters_ref[j]
 
-    k_dim = n_cand
-    kp = cand_ref.shape[1]  # 7 * K: all candidate vectors packed in one row
-    # candidate row -> columns: ONE [7K, 7K] transpose-by-matmul per block
-    # (Mosaic only allows dynamic indices on the sublane dim, so the
-    # per-block candidate load is a [1, 7K] row; the match matrix needs
-    # [K, 1] columns — static sublane slices of the transposed pack).
-    # Values are small ints — exact in f32.
-    eye_p = (
-        jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (kp, kp), 1)
-    ).astype(jnp.float32)
-    # prefix sums as triangular matmuls (Mosaic has no cumsum primitive)
-    tri_k = (
-        jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 1)
-        <= jax.lax.broadcasted_iota(jnp.int32, (k_dim, k_dim), 0)
-    ).astype(jnp.float32)  # tri_k[a, b] = b <= a
-    tri_s = (
-        jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (s_dim, s_dim), 1)
-    ).astype(jnp.float32)  # tri_s[a, b] = a <= b
+    # loop-invariant constants, deduped across same-shaped segments:
+    # candidate row -> columns needs ONE [7K, 7K] transpose-by-matmul per
+    # block per segment (Mosaic only allows dynamic indices on the
+    # SUBLANE dim, so the per-block candidate load is a [1, 7K] row; the
+    # match matrix needs [K, 1] columns — static sublane slices of the
+    # transposed pack). Values are small ints — exact in f32. Prefix sums
+    # are triangular matmuls (Mosaic has no cumsum primitive).
+    def _iota_mat(n, cmp):
+        return cmp(
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 0),
+            jax.lax.broadcasted_iota(jnp.int32, (n, n), 1),
+        ).astype(jnp.float32)
+
+    eyes, tri_ks, tri_ss = {}, {}, {}
+    for g in range(g_n):
+        kp = cand_refs[g].shape[1]  # 7 * K_g
+        if kp not in eyes:
+            eyes[kp] = _iota_mat(kp, lambda a, b: a == b)
+        k = n_cands[g]
+        if k not in tri_ks:
+            tri_ks[k] = _iota_mat(k, lambda a, b: b <= a)  # tri_k[a,b]=b<=a
+        s = state_refs[g].shape[1]
+        if s not in tri_ss:
+            tri_ss[s] = _iota_mat(s, lambda a, b: a <= b)  # tri_s[a,b]=a<=b
 
     def body(i, _):
-        # Idle fast path: a block with no valid candidates and no live
-        # slots cannot change any state — its whole lifecycle is "store
-        # four trivial flag rows". In steady state (sparse carriers, the
-        # common case) this removes nearly the entire per-block serial
-        # chain, the same way the reference's per-block loop does no
-        # channel work when nothing is detected or active
-        # (reference: lib/SegmentDetection_impl.cc:163-176,346-365).
-        has_cand = work_ref[i] != 0
-        live_in = o_counters[2] > 0
+        # Multi-segment blocks take ONE global 2-way branch: if no
+        # segment has a candidate or a live slot the block is an all-idle
+        # store; otherwise EVERY segment runs its full body BRANCHLESS —
+        # _lifecycle_block with no valid candidates degenerates exactly
+        # to aging/retiring (the match matrix is all-false), so the full
+        # body is always correct, and one straight-line region per block
+        # lets Mosaic schedule the G segments' mutually independent
+        # vector ops together. pl.when regions are scheduling barriers:
+        # the per-segment branchy variant measured only ~6% under 4
+        # back-to-back kernels, fully-branchless measured busy scans
+        # 0.82 -> 0.62 ms but noise-candidate-riddled sparse steps 0.97
+        # -> 1.36 ms; this hybrid keeps both (tools/ablate24_tpu.py).
+        if g_n > 1:
+            row = pl.ds(i, 1)
+            any_act = (work_refs[0][i] != 0) | (o_counters[2] > 0)
+            for g in range(1, g_n):
+                any_act = any_act | (work_refs[g][i] != 0) | (
+                    o_counters[3 * g + 2] > 0
+                )
+
+            @pl.when(jnp.logical_not(any_act))
+            def _all_idle():
+                for g in range(g_n):
+                    s_dim = state_refs[g].shape[1]
+                    z = jnp.zeros((1, s_dim), jnp.int32)
+                    f_gots[g][row, :] = z
+                    f_procs[g][row, :] = z
+                    f_emits[g][row, :] = z
+                    f_pus[g][row, :] = o_states[g][6:7, :]
+
+            @pl.when(any_act)
+            def _all_full():
+                for g in range(g_n):
+                    _lifecycle_block(g, i)
+            return 0
+        # Single segment: per-block 3-way branch. Idle fast path: a block
+        # with no valid candidates and no live slots cannot change any
+        # state — its whole lifecycle is "store four trivial flag rows".
+        # In steady state (sparse carriers, the common case) this removes
+        # nearly the entire per-block serial chain, the same way the
+        # reference's per-block loop does no channel work when nothing is
+        # detected or active (lib/SegmentDetection_impl.cc:163-176,346-365).
         row = pl.ds(i, 1)
+        for g in range(g_n):
+            s_dim = state_refs[g].shape[1]
+            has_cand = work_refs[g][i] != 0
+            live_in = o_counters[3 * g + 2] > 0
 
-        @pl.when(jnp.logical_not(has_cand | live_in))
-        def _idle():
-            z = jnp.zeros((1, s_dim), jnp.int32)
-            f_got[row, :] = z
-            f_proc[row, :] = z
-            f_emit[row, :] = z
-            f_pu[row, :] = o_state[6:7, :]  # phase
+            @pl.when(jnp.logical_not(has_cand | live_in))
+            def _idle(g=g, s_dim=s_dim):
+                z = jnp.zeros((1, s_dim), jnp.int32)
+                f_gots[g][row, :] = z
+                f_procs[g][row, :] = z
+                f_emits[g][row, :] = z
+                f_pus[g][row, :] = o_states[g][6:7, :]  # phase
 
-        @pl.when(jnp.logical_not(has_cand) & live_in)
-        def _age_only():
-            # live slots but no candidates this block: the full body
-            # degenerates to aging + retiring (no match matrix, no
-            # candidate unpack matmul, no allocation ranking) — exactly
-            # _lifecycle_block with every candidate invalid. This is the
-            # common busy case on sparse streams: one live carrier makes
-            # every block "busy" for its whole dwell.
-            st = o_state[:]
-            active = st[0:1, :] != 0
-            tomb = st[1:2, :] != 0
-            phase = st[6:7, :]
-            phase_inc = st[7:8, :]
-            inactive = st[8:9, :]
-            live = active & ~tomb
-            inactive = jnp.where(live, inactive + 1, inactive)
-            emit_now = live & (inactive > delay)
-            tomb = tomb | emit_now
-            processed = live & ~emit_now
-            f_got[row, :] = jnp.zeros((1, s_dim), jnp.int32)
-            f_proc[row, :] = processed.astype(jnp.int32)
-            f_emit[row, :] = emit_now.astype(jnp.int32)
-            f_pu[row, :] = phase
-            phase = jnp.where(processed, (phase + phase_inc) % r, phase)
-            o_state[1:2, :] = tomb.astype(jnp.int32)
-            o_state[6:7, :] = phase
-            o_state[8:9, :] = inactive
-            o_counters[2] = jnp.sum(processed.astype(jnp.int32))
+            @pl.when(jnp.logical_not(has_cand) & live_in)
+            def _age_only(g=g, s_dim=s_dim):
+                # live slots but no candidates this block: the full body
+                # degenerates to aging + retiring (no match matrix, no
+                # candidate unpack matmul, no allocation ranking) —
+                # exactly _lifecycle_block with every candidate invalid.
+                # This is the common busy case on sparse streams: one
+                # live carrier makes every block "busy" for its dwell.
+                delay, r = delays[g], rs[g]
+                st = o_states[g][:]
+                active = st[0:1, :] != 0
+                tomb = st[1:2, :] != 0
+                phase = st[6:7, :]
+                phase_inc = st[7:8, :]
+                inactive = st[8:9, :]
+                live = active & ~tomb
+                inactive = jnp.where(live, inactive + 1, inactive)
+                emit_now = live & (inactive > delay)
+                tomb = tomb | emit_now
+                processed = live & ~emit_now
+                f_gots[g][row, :] = jnp.zeros((1, s_dim), jnp.int32)
+                f_procs[g][row, :] = processed.astype(jnp.int32)
+                f_emits[g][row, :] = emit_now.astype(jnp.int32)
+                f_pus[g][row, :] = phase
+                phase = jnp.where(
+                    processed, (phase + phase_inc) % r, phase
+                )
+                o_states[g][1:2, :] = tomb.astype(jnp.int32)
+                o_states[g][6:7, :] = phase
+                o_states[g][8:9, :] = inactive
+                o_counters[3 * g + 2] = jnp.sum(processed.astype(jnp.int32))
 
-        @pl.when(has_cand)
-        def _full():
-            _lifecycle_block(i)
+            @pl.when(has_cand)
+            def _full(g=g):
+                _lifecycle_block(g, i)
         return 0
 
     def chunk_body(c, _):
         # Chunked idle fast path: a chunk of blocks with no valid
-        # candidates anywhere and no live slots entering it is one
-        # multi-row store instead of `chunk` serial iterations — the
-        # serial chain of a sparse batch shrinks from n_blocks to
-        # n_chunks (+ chunk per busy chunk). Chunk-idleness is sound
-        # because live slots can only appear via an allocation, which
-        # needs a candidate: no work in the chunk + no live slots at its
-        # start ⇒ every block in it is idle.
-        has_work = chunk_work_ref[c] != 0
-        live_in = o_counters[2] > 0
+        # candidates anywhere (in ANY segment) walks no blocks at all —
+        # each segment's flags and end-of-chunk state are closed form.
+        # Chunk-idleness is sound because live slots can only appear via
+        # an allocation, which needs a candidate: no work in the chunk +
+        # no live slots at its start ⇒ every block in it is idle. If any
+        # segment has work, the whole chunk walks per block and each
+        # segment takes its per-block branch (exact either way; a
+        # no-work segment then pays a cheap per-block store instead of
+        # its closed form).
+        any_work = cwork_refs[0][c] != 0
+        for g in range(1, g_n):
+            any_work = any_work | (cwork_refs[g][c] != 0)
         rows = pl.ds(c * chunk, chunk)
 
-        @pl.when(jnp.logical_not(has_work | live_in))
-        def _idle():
-            z = jnp.zeros((chunk, s_dim), jnp.int32)
-            f_got[rows, :] = z
-            f_proc[rows, :] = z
-            f_emit[rows, :] = z
-            f_pu[rows, :] = jnp.broadcast_to(
-                o_state[6:7, :], (chunk, s_dim)
-            )
-
-        @pl.when(jnp.logical_not(has_work) & live_in)
-        def _age_chunk():
-            # Candidate-free chunk with live slots: aging is CLOSED FORM.
-            # A live slot entering with age a0 retires at in-chunk block
-            # j* = max(delay - a0, 0) (aged first, then emit when
-            # age > delay), processes blocks j < j*, and advances its
-            # phase once per processed block — all per-block flags and
-            # the end-of-chunk state are computable vectorized, so a
-            # carrier's dwell costs one serial iteration per chunk
-            # instead of one per block.
-            st = o_state[:]
-            active = st[0:1, :] != 0
-            tomb = st[1:2, :] != 0
-            phase0 = st[6:7, :]
-            phase_inc = st[7:8, :]
-            a0 = st[8:9, :]
-            live0 = active & ~tomb  # [1, S]
-            jstar = jnp.maximum(delay - a0, 0)  # [1, S]
-
-            j = jax.lax.broadcasted_iota(jnp.int32, (chunk, s_dim), 0)
-            processed = live0 & (j < jstar)  # [chunk, S]
-            emit = live0 & (j == jstar)
-            phase_used = jnp.where(
-                live0,
-                (phase0 + jnp.minimum(j, jstar) * phase_inc) % r,
-                phase0,
-            )
-            f_got[rows, :] = jnp.zeros((chunk, s_dim), jnp.int32)
-            f_proc[rows, :] = processed.astype(jnp.int32)
-            f_emit[rows, :] = emit.astype(jnp.int32)
-            f_pu[rows, :] = phase_used
-
-            retires = live0 & (jstar < chunk)
-            n_steps = jnp.minimum(jstar, chunk)  # processed blocks
-            o_state[1:2, :] = (tomb | retires).astype(jnp.int32)
-            o_state[6:7, :] = jnp.where(
-                live0, (phase0 + n_steps * phase_inc) % r, phase0
-            )
-            o_state[8:9, :] = jnp.where(
-                live0, a0 + jnp.minimum(jstar + 1, chunk), a0
-            )
-            o_counters[2] = jnp.sum(
-                (live0 & (jstar >= chunk)).astype(jnp.int32)
-            )
-
-        @pl.when(has_work)
+        @pl.when(any_work)
         def _scan_chunk():
             jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
+
+        @pl.when(jnp.logical_not(any_work))
+        def _closed_chunk():
+            for g in range(g_n):
+                s_dim = state_refs[g].shape[1]
+                live_in = o_counters[3 * g + 2] > 0
+
+                @pl.when(jnp.logical_not(live_in))
+                def _idle(g=g, s_dim=s_dim):
+                    z = jnp.zeros((chunk, s_dim), jnp.int32)
+                    f_gots[g][rows, :] = z
+                    f_procs[g][rows, :] = z
+                    f_emits[g][rows, :] = z
+                    f_pus[g][rows, :] = jnp.broadcast_to(
+                        o_states[g][6:7, :], (chunk, s_dim)
+                    )
+
+                @pl.when(live_in)
+                def _age_chunk(g=g, s_dim=s_dim):
+                    # Candidate-free chunk with live slots: aging is
+                    # CLOSED FORM. A live slot entering with age a0
+                    # retires at in-chunk block j* = max(delay - a0, 0)
+                    # (aged first, then emit when age > delay), processes
+                    # blocks j < j*, and advances its phase once per
+                    # processed block — all per-block flags and the
+                    # end-of-chunk state are computable vectorized, so a
+                    # carrier's dwell costs one serial iteration per
+                    # chunk instead of one per block.
+                    delay, r = delays[g], rs[g]
+                    st = o_states[g][:]
+                    active = st[0:1, :] != 0
+                    tomb = st[1:2, :] != 0
+                    phase0 = st[6:7, :]
+                    phase_inc = st[7:8, :]
+                    a0 = st[8:9, :]
+                    live0 = active & ~tomb  # [1, S]
+                    jstar = jnp.maximum(delay - a0, 0)  # [1, S]
+
+                    j = jax.lax.broadcasted_iota(
+                        jnp.int32, (chunk, s_dim), 0
+                    )
+                    processed = live0 & (j < jstar)  # [chunk, S]
+                    emit = live0 & (j == jstar)
+                    phase_used = jnp.where(
+                        live0,
+                        (phase0 + jnp.minimum(j, jstar) * phase_inc) % r,
+                        phase0,
+                    )
+                    f_gots[g][rows, :] = jnp.zeros(
+                        (chunk, s_dim), jnp.int32
+                    )
+                    f_procs[g][rows, :] = processed.astype(jnp.int32)
+                    f_emits[g][rows, :] = emit.astype(jnp.int32)
+                    f_pus[g][rows, :] = phase_used
+
+                    retires = live0 & (jstar < chunk)
+                    n_steps = jnp.minimum(jstar, chunk)  # processed blocks
+                    o_states[g][1:2, :] = (tomb | retires).astype(jnp.int32)
+                    o_states[g][6:7, :] = jnp.where(
+                        live0, (phase0 + n_steps * phase_inc) % r, phase0
+                    )
+                    o_states[g][8:9, :] = jnp.where(
+                        live0, a0 + jnp.minimum(jstar + 1, chunk), a0
+                    )
+                    o_counters[3 * g + 2] = jnp.sum(
+                        (live0 & (jstar >= chunk)).astype(jnp.int32)
+                    )
         return 0
 
-    def _lifecycle_block(i):
-        alloc_counter = o_counters[0]
-        dropped = o_counters[1]
-        st = o_state[:]  # [10, S], one read per block
+    def _lifecycle_block(g, i):
+        delay, r = delays[g], rs[g]
+        eye_p = eyes[cand_refs[g].shape[1]]
+        tri_k = tri_ks[n_cands[g]]
+        tri_s = tri_ss[state_refs[g].shape[1]]
+        alloc_counter = o_counters[3 * g + 0]
+        dropped = o_counters[3 * g + 1]
+        st = o_states[g][:]  # [10, S], one read per block
         active = st[0:1, :] != 0
         tomb = st[1:2, :] != 0
         det_start = st[2:3, :]
@@ -233,11 +319,11 @@ def _lifecycle_kernel(
         order = st[9:10, :]
 
         pack = jax.lax.dot_general(
-            eye_p, cand_ref[pl.ds(i, 1), :].astype(jnp.float32),
+            eye_p, cand_refs[g][pl.ds(i, 1), :].astype(jnp.float32),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)  # [7K, 1]
-        k = k_dim
+        k = n_cands[g]
         cs = pack[0 * k:1 * k, :]          # [K, 1] int32 (bin coords)
         ce = pack[1 * k:2 * k, :]
         c_v = pack[2 * k:3 * k, :] != 0    # [K, 1] bool
@@ -324,26 +410,26 @@ def _lifecycle_kernel(
         # offset-0 dynamic row stores (see the output-splitting note above);
         # the read side still benefits from the single packed [10, S] load
         row = pl.ds(i, 1)
-        f_got[row, :] = got.astype(jnp.int32)
-        f_proc[row, :] = processed.astype(jnp.int32)
-        f_emit[row, :] = emit_now.astype(jnp.int32)
-        f_pu[row, :] = phase_used
+        f_gots[g][row, :] = got.astype(jnp.int32)
+        f_procs[g][row, :] = processed.astype(jnp.int32)
+        f_emits[g][row, :] = emit_now.astype(jnp.int32)
+        f_pus[g][row, :] = phase_used
 
-        o_state[0:1, :] = active.astype(jnp.int32)
-        o_state[1:2, :] = tomb.astype(jnp.int32)
-        o_state[2:3, :] = det_start
-        o_state[3:4, :] = det_stop
-        o_state[4:5, :] = ext_start
-        o_state[5:6, :] = wlog2
-        o_state[6:7, :] = phase
-        o_state[7:8, :] = phase_inc
-        o_state[8:9, :] = inactive
-        o_state[9:10, :] = order
-        o_counters[0] = alloc_counter
-        o_counters[1] = dropped
+        o_states[g][0:1, :] = active.astype(jnp.int32)
+        o_states[g][1:2, :] = tomb.astype(jnp.int32)
+        o_states[g][2:3, :] = det_start
+        o_states[g][3:4, :] = det_stop
+        o_states[g][4:5, :] = ext_start
+        o_states[g][5:6, :] = wlog2
+        o_states[g][6:7, :] = phase
+        o_states[g][7:8, :] = phase_inc
+        o_states[g][8:9, :] = inactive
+        o_states[g][9:10, :] = order
+        o_counters[3 * g + 0] = alloc_counter
+        o_counters[3 * g + 1] = dropped
         # live slots after this block == processed (live & ~emit_now,
         # which includes freshly-allocated ones)
-        o_counters[2] = jnp.sum(processed.astype(jnp.int32))
+        o_counters[3 * g + 2] = jnp.sum(processed.astype(jnp.int32))
 
     if chunk > 1:
         jax.lax.fori_loop(0, n_blocks // chunk, chunk_body, 0)
@@ -353,13 +439,19 @@ def _lifecycle_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cand", "r", "delay", "chunk", "interpret"),
+    static_argnames=("n_cands", "rs", "delays", "chunk", "interpret"),
 )
-def slot_lifecycle(
-    cand_packed, state,
-    *, n_cand, r, delay, chunk=32, interpret=False,
+def slot_lifecycle_multi(
+    cands, states,
+    *, n_cands, rs, delays, chunk=32, interpret=False,
 ):
-    """Run the slot lifecycle over a batch of candidate sets.
+    """Run G segments' slot lifecycles over a batch in ONE kernel.
+
+    All segments advance block-by-block on a single serial chain; their
+    per-block bodies are mutually independent so the latency-bound vector
+    ops overlap — fusing G segments costs ~1 chain instead of G
+    (reference runs one std::thread per segment,
+    lib/activity_detection_channelizer_vcm_impl.cc:293-304).
 
     NOTE: candidates arrive PRE-ACCEPTED (detect_candidates) with their
     new-channel geometry PRE-COMPUTED (candidate_geometry) — both are
@@ -370,104 +462,130 @@ def slot_lifecycle(
     vectorized over all B blocks — serial length K, not B*K.)
 
     Args:
-      cand_packed: [B, 7K] int32 — per block the concatenation of
-        (cand_start_bin, cand_end_bin, valid, wlog2, ext_start,
-        ext_start % r, too_big), each [K], in that order.
-      state: SegmentDetector slot-table dict (see init_state).
-      n_cand: K (static), r/delay: static config.
+      cands: tuple of G [B, 7K_g] int32 arrays — per block the
+        concatenation of (cand_start_bin, cand_end_bin, valid, wlog2,
+        ext_start, ext_start % r, too_big), each [K_g], in that order.
+      states: tuple of G SegmentDetector slot-table dicts (init_state).
+      n_cands/rs/delays: per-segment static config tuples.
       interpret: run in interpreter mode (CPU testing).
 
-    Returns (new_state, (got, processed, emit, phase_used)), flags [B, S]
-    (scan-order layout, same as the lax.scan path).
+    Returns a tuple of G (new_state, (got, processed, emit, phase_used))
+    pairs, flags [B, S_g] (scan-order layout, same as the lax.scan path).
     """
-    nb = cand_packed.shape[0]
-    s = state["active"].shape[0]
+    g_n = len(cands)
+    nb = cands[0].shape[0]
+    ss = tuple(st["active"].shape[0] for st in states)
 
     # per-block "any valid candidate" + incoming live-slot count feed the
-    # kernel's idle fast path (both computed batched/off-chain here)
-    cand_packed = cand_packed.astype(jnp.int32)
-    has_work = jnp.any(
-        cand_packed[:, 2 * n_cand:3 * n_cand] != 0, axis=1
-    ).astype(jnp.int32)  # [B]
+    # kernel's idle fast paths (both computed batched/off-chain here)
+    cands = tuple(c.astype(jnp.int32) for c in cands)
+    has_works = tuple(
+        jnp.any(c[:, 2 * k:3 * k] != 0, axis=1).astype(jnp.int32)
+        for c, k in zip(cands, n_cands)
+    )  # each [B]
     if nb % chunk != 0:
         chunk = 1  # odd batch sizes fall back to the per-block loop
     if chunk > 1:
-        chunk_work = jnp.max(has_work.reshape(-1, chunk), axis=1)
+        chunk_works = tuple(
+            jnp.max(hw.reshape(-1, chunk), axis=1) for hw in has_works
+        )
     else:
-        chunk_work = has_work  # unused by the kernel, keeps the arity
-    n_live0 = jnp.sum(
-        (state["active"] & ~state["tomb"]).astype(jnp.int32)
-    )
+        chunk_works = has_works  # unused by the kernel, keeps the arity
 
-    state_rows = jnp.stack(
-        [
-            state["active"].astype(jnp.int32),
-            state["tomb"].astype(jnp.int32),
-            state["det_start"].astype(jnp.int32),
-            state["det_stop"].astype(jnp.int32),
-            state["ext_start"].astype(jnp.int32),
-            state["wlog2"].astype(jnp.int32),
-            state["phase"].astype(jnp.int32),
-            state["phase_inc"].astype(jnp.int32),
-            state["inactive"].astype(jnp.int32),
-            state["order"].astype(jnp.int32),
-        ]
-    )  # [10, S]
-    ins = (
-        cand_packed,
-        has_work,
-        chunk_work,
-        state_rows,
+    state_rows = tuple(
         jnp.stack(
             [
-                jnp.asarray(state["alloc_counter"], jnp.int32),
-                jnp.asarray(state["dropped"], jnp.int32),
-                n_live0,
+                st["active"].astype(jnp.int32),
+                st["tomb"].astype(jnp.int32),
+                st["det_start"].astype(jnp.int32),
+                st["det_stop"].astype(jnp.int32),
+                st["ext_start"].astype(jnp.int32),
+                st["wlog2"].astype(jnp.int32),
+                st["phase"].astype(jnp.int32),
+                st["phase_inc"].astype(jnp.int32),
+                st["inactive"].astype(jnp.int32),
+                st["order"].astype(jnp.int32),
             ]
-        ),
+        )
+        for st in states
+    )  # each [10, S_g]
+    counters = []
+    for st in states:
+        counters.append(jnp.asarray(st["alloc_counter"], jnp.int32))
+        counters.append(jnp.asarray(st["dropped"], jnp.int32))
+        counters.append(
+            jnp.sum((st["active"] & ~st["tomb"]).astype(jnp.int32))
+        )
+    ins = cands + has_works + chunk_works + state_rows + (
+        jnp.stack(counters),
     )
 
+    fl = lambda s: jax.ShapeDtypeStruct((nb, s), jnp.int32)
     out_shape = (
-        jax.ShapeDtypeStruct((10, s), jnp.int32),
-        jax.ShapeDtypeStruct((3,), jnp.int32),
-        jax.ShapeDtypeStruct((nb, s), jnp.int32),
-        jax.ShapeDtypeStruct((nb, s), jnp.int32),
-        jax.ShapeDtypeStruct((nb, s), jnp.int32),
-        jax.ShapeDtypeStruct((nb, s), jnp.int32),
+        tuple(jax.ShapeDtypeStruct((10, s), jnp.int32) for s in ss)
+        + (jax.ShapeDtypeStruct((3 * g_n,), jnp.int32),)
+        + tuple(fl(s) for s in ss) * 4
     )
     kernel = functools.partial(
         _lifecycle_kernel,
-        n_blocks=nb, n_cand=n_cand, r=r, delay=delay, chunk=chunk,
+        n_blocks=nb, n_cands=tuple(n_cands), rs=tuple(rs),
+        delays=tuple(delays), chunk=chunk,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    o_state, o_counters, f_got, f_proc, f_emit, f_pu = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vm, sm, sm, vm, sm],
-        out_specs=(vm, sm, vm, vm, vm, vm),
+        in_specs=[vm] * g_n + [sm] * (2 * g_n) + [vm] * g_n + [sm],
+        out_specs=tuple([vm] * g_n + [sm] + [vm] * (4 * g_n)),
         interpret=interpret,
     )(*ins)
 
-    new_state = {
-        "active": o_state[0] != 0,
-        "tomb": o_state[1] != 0,
-        "det_start": o_state[2],
-        "det_stop": o_state[3],
-        "ext_start": o_state[4],
-        "wlog2": o_state[5],
-        "phase": o_state[6],
-        "phase_inc": o_state[7],
-        "inactive": o_state[8],
-        "order": o_state[9],
-        "alloc_counter": o_counters[0],
-        "dropped": o_counters[1],
-    }
-    flags = (
-        f_got != 0,   # [B, S], scan-order layout
-        f_proc != 0,
-        f_emit != 0,
-        f_pu,
+    o_states = outs[0:g_n]
+    o_counters = outs[g_n]
+    f_gots = outs[g_n + 1:2 * g_n + 1]
+    f_procs = outs[2 * g_n + 1:3 * g_n + 1]
+    f_emits = outs[3 * g_n + 1:4 * g_n + 1]
+    f_pus = outs[4 * g_n + 1:5 * g_n + 1]
+
+    results = []
+    for g in range(g_n):
+        o_state = o_states[g]
+        new_state = {
+            "active": o_state[0] != 0,
+            "tomb": o_state[1] != 0,
+            "det_start": o_state[2],
+            "det_stop": o_state[3],
+            "ext_start": o_state[4],
+            "wlog2": o_state[5],
+            "phase": o_state[6],
+            "phase_inc": o_state[7],
+            "inactive": o_state[8],
+            "order": o_state[9],
+            "alloc_counter": o_counters[3 * g + 0],
+            "dropped": o_counters[3 * g + 1],
+        }
+        flags = (
+            f_gots[g] != 0,   # [B, S], scan-order layout
+            f_procs[g] != 0,
+            f_emits[g] != 0,
+            f_pus[g],
+        )
+        results.append((new_state, flags))
+    return tuple(results)
+
+
+def slot_lifecycle(
+    cand_packed, state,
+    *, n_cand, r, delay, chunk=32, interpret=False,
+):
+    """Single-segment slot lifecycle (see slot_lifecycle_multi; this is
+    the G == 1 case and produces the identical op sequence the original
+    single-segment kernel did)."""
+    ((new_state, flags),) = slot_lifecycle_multi(
+        (cand_packed,), (state,),
+        n_cands=(n_cand,), rs=(r,), delays=(delay,),
+        chunk=chunk, interpret=interpret,
     )
     return new_state, flags
 

@@ -40,6 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from fdc_tpu.config import ChannelizerConfig
 from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+from fdc_tpu.models.segment_detection import scan_slots_multi
 from fdc_tpu.models.power_activation import _FLOAT_MIN as _PA_FLOAT_MIN
 from fdc_tpu.ops.extract import (
     apply_phase_pairs,
@@ -439,6 +440,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         # Amdahl term of the scaling model (PERFORMANCE.md). Gated on
         # >= 2 segments: with one segment the cond+psum buys nothing.
         shard_scans = self.n_chan > 1 and len(self.segments) >= 2
+        seg_pl, seg_pg = [], []  # per-segment local / time-gathered powers
         for i, sd in enumerate(self.segments):
             if powers_fused is not None:
                 lo, hi = self._measure_cols[f"seg{i}"]
@@ -449,34 +451,52 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                     )
             else:
                 power_local = sd.measure(spec, sq_local)  # [b_local, nc]
-            power = _gather_time(power_local, n_time)  # [B, n_cells]
-            if shard_scans:
-                owner = i % self.n_chan
-                nb_g = power.shape[0]
-                s_cap = sd.max_slots
+            seg_pl.append(power_local)
+            seg_pg.append(_gather_time(power_local, n_time))  # [B, nc]
+        if shard_scans:
+            # group segments by owner rank: each owner runs ITS segments'
+            # scans FUSED in one kernel (scan_slots_multi) inside one
+            # lax.cond; one psum per leaf broadcasts the tiny flags/state
+            seg_scans = [None] * len(self.segments)
+            groups = {}
+            for i in range(len(self.segments)):
+                groups.setdefault(i % self.n_chan, []).append(i)
+            for owner, idxs in sorted(groups.items()):
+                sds_g = [self.segments[j] for j in idxs]
+                pws = tuple(seg_pg[j] for j in idxs)
+                sts = tuple(carry[f"seg{j}"] for j in idxs)
 
-                def run_scan(pw, st, sd=sd):
-                    return sd.scan_slots(pw, st)
+                def run_group(pws, sts, sds_g=sds_g):
+                    return tuple(scan_slots_multi(sds_g, pws, sts))
 
-                def skip_scan(pw, st):
-                    zf = jnp.zeros((nb_g, s_cap), jnp.bool_)
-                    return (
-                        jax.tree.map(jnp.zeros_like, st),
-                        (zf, zf, zf, jnp.zeros((nb_g, s_cap), jnp.int32)),
-                    )
+                def skip_group(pws, sts, sds_g=sds_g):
+                    outs = []
+                    for sd_j, pw, st in zip(sds_g, pws, sts):
+                        nb_g = pw.shape[0]
+                        zf = jnp.zeros((nb_g, sd_j.max_slots), jnp.bool_)
+                        outs.append((
+                            jax.tree.map(jnp.zeros_like, st),
+                            (zf, zf, zf,
+                             jnp.zeros((nb_g, sd_j.max_slots), jnp.int32)),
+                        ))
+                    return tuple(outs)
 
-                seg_state, flags = _bcast_chan(
+                grp = _bcast_chan(
                     jax.lax.cond(
-                        cidx == owner, run_scan, skip_scan,
-                        power, carry[f"seg{i}"],
+                        cidx == owner, run_group, skip_group, pws, sts
                     ),
                     self.n_chan,
                 )
-                got, processed, emit_now, phase_used = flags
-            else:
-                seg_state, (got, processed, emit_now, phase_used) = (
-                    sd.scan_slots(power, carry[f"seg{i}"])
-                )
+                for j, res in zip(idxs, grp):
+                    seg_scans[j] = res
+        else:
+            seg_scans = scan_slots_multi(
+                self.segments, seg_pg,
+                [carry[f"seg{i}"] for i in range(len(self.segments))],
+            )
+        for i, sd in enumerate(self.segments):
+            power_local, power = seg_pl[i], seg_pg[i]
+            seg_state, (got, processed, emit_now, phase_used) = seg_scans[i]
             new_carry[f"seg{i}"] = seg_state
             so = {
                 "activated": got.T,  # [S, B] replicated

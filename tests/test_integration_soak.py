@@ -85,7 +85,10 @@ def test_soak_stream_checkpoint_waterfall(tmp_path):
     b = FrequencyDomainChannelizer(cfg)
     load_checkpoint(b, ck)
     rb = b.process(x[half * a.batch_samples:])
-    resumed = ra.events + rb.events
+    # the continuous run's driver flushed at end-of-stream (which also
+    # finalizes still-open bursts); the resumed stream must flush too
+    # for the event sets to be comparable
+    resumed = ra.events + rb.events + b.flush().events
     assert len(resumed) == len(events)
     for p, q in zip(events, resumed):
         assert p.ID.split(".", 1)[1] == q.ID.split(".", 1)[1]

@@ -291,3 +291,123 @@ def test_powact_assoc_matches_scan(seed):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=nm
         )
+
+
+# ---------------------------------------------------------------------------
+# fused multi-segment lifecycle kernel
+# ---------------------------------------------------------------------------
+
+from fdc_tpu.models.segment_detection import scan_slots_multi
+
+
+def make_detector_at(backend, band, max_slots=16, max_candidates=8,
+                     delay=1):
+    lo, hi = band
+    return SegmentDetector(
+        0, 1024, 4, lo, hi, 6.0, 0.02, 0.2,
+        channel_deactivation_delay=delay,
+        max_slots=max_slots,
+        max_candidates=max_candidates,
+        max_extract_width=256,
+        lifecycle_backend=backend,
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_multi_segment_fused_matches_per_segment(seed):
+    """G segments fused in one kernel == per-segment scan_slots, bit-exact
+    — heterogeneous slot counts, candidate caps, and delays."""
+    rng = np.random.default_rng(seed)
+    shapes = [
+        dict(band=(0.05, 0.3), max_slots=16, max_candidates=8, delay=1),
+        dict(band=(0.3, 0.55), max_slots=8, max_candidates=4, delay=0),
+        dict(band=(0.55, 0.8), max_slots=32, max_candidates=8, delay=3),
+    ]
+    sds_scan = [make_detector_at("scan", **s) for s in shapes]
+    sds_pal = [make_detector_at("pallas_interpret", **s) for s in shapes]
+    states = [random_state(sd, rng, occupancy=0.3) for sd in sds_scan]
+    powers = [random_power(sd, rng) for sd in sds_scan]
+
+    ref = [
+        jax.jit(sd.scan_slots)(p, st)
+        for sd, p, st in zip(sds_scan, powers, states)
+    ]
+    fused = scan_slots_multi(sds_pal, powers, states)
+
+    for g, ((ns_a, fl_a), (ns_b, fl_b)) in enumerate(zip(ref, fused)):
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+                err_msg=f"seg{g} state[{k}]",
+            )
+        for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                            fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"seg{g} {nm}"
+            )
+
+
+@pytest.mark.parametrize("first_on", [0, 31, 33, 64])
+def test_multi_segment_fused_chunked_paths(first_on):
+    """One busy segment forces the per-block walk while the other two are
+    idle / age-only; a fully idle batch (first_on=64) takes the fused
+    closed-form chunk path. All must stay bit-exact vs per-segment."""
+    rng = np.random.default_rng(first_on + 1)
+    shapes = [
+        dict(band=(0.05, 0.3)),
+        dict(band=(0.3, 0.55)),
+        dict(band=(0.55, 0.8)),
+    ]
+    sds_scan = [make_detector_at("scan", **s) for s in shapes]
+    sds_pal = [make_detector_at("pallas_interpret", **s) for s in shapes]
+    nb = 64
+    # seg0: candidates from first_on; seg1: empty band (idle); seg2: live
+    # slots but a flat band (age-only path)
+    powers = [
+        idle_until(sds_scan[0], rng, nb, first_on),
+        jnp.asarray(
+            np.full((nb, sds_scan[1].geometry.n_cells), 1e-6), jnp.float32
+        ),
+        jnp.asarray(
+            np.full((nb, sds_scan[2].geometry.n_cells), 1e-6), jnp.float32
+        ),
+    ]
+    states = [
+        sds_scan[0].init_state(),
+        sds_scan[1].init_state(),
+        random_state(sds_scan[2], rng, occupancy=0.5),
+    ]
+    ref = [
+        jax.jit(sd.scan_slots)(p, st)
+        for sd, p, st in zip(sds_scan, powers, states)
+    ]
+    fused = scan_slots_multi(sds_pal, powers, states)
+    for g, ((ns_a, fl_a), (ns_b, fl_b)) in enumerate(zip(ref, fused)):
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+                err_msg=f"seg{g} state[{k}]",
+            )
+        for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                            fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"seg{g} {nm}"
+            )
+
+
+def test_scan_slots_multi_cpu_fallback():
+    """On the scan backend the multi entry point must defer per segment."""
+    rng = np.random.default_rng(3)
+    sds = [
+        make_detector_at("scan", band=(0.05, 0.3)),
+        make_detector_at("scan", band=(0.3, 0.55)),
+    ]
+    states = [random_state(sd, rng) for sd in sds]
+    powers = [random_power(sd, rng) for sd in sds]
+    ref = [sd.scan_slots(p, st) for sd, p, st in zip(sds, powers, states)]
+    multi = scan_slots_multi(sds, powers, states)
+    for (ns_a, _), (ns_b, _) in zip(ref, multi):
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k])
+            )
