@@ -40,6 +40,7 @@ __all__ = [
     "ChannelizerConfig",
     "FrequencyDomainChannelizer",
     "ShardedChannelizer",
+    "PipelineChannelizer",
     "ActivityDetectionChannelizer",
     "StreamDriver",
     "Waterfall",
@@ -55,6 +56,8 @@ _LAZY = {
     "FrequencyDomainChannelizer": ("fdc_tpu.models.channelizer",
                                    "FrequencyDomainChannelizer"),
     "ShardedChannelizer": ("fdc_tpu.parallel.sharded", "ShardedChannelizer"),
+    "PipelineChannelizer": ("fdc_tpu.parallel.pipeline",
+                            "PipelineChannelizer"),
     "ActivityDetectionChannelizer": ("fdc_tpu.models.activity_detection",
                                      "ActivityDetectionChannelizer"),
     "StreamDriver": ("fdc_tpu.runtime.stream", "StreamDriver"),

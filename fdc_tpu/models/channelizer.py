@@ -317,10 +317,30 @@ class FrequencyDomainChannelizer:
 
     def _step_from_spec(self, new_carry, spec, t0):
         cfg = self.config
-        carry = new_carry
-        spec_ext = jnp.concatenate([carry["prev_spec"][None], spec])
+        spec_ext = jnp.concatenate([new_carry["prev_spec"][None], spec])
         new_carry["prev_spec"] = spec[-1]
 
+        out, pa_powers, pa_ext, seg_powers = self._extract_static(
+            spec, spec_ext, t0
+        )
+        scans = self._scan_detections(new_carry, pa_powers, seg_powers)
+        self._finish_detections(out, scans, spec_ext, pa_ext, seg_powers)
+        if cfg.debug:
+            out["debug_spectrum"] = c2f(spec)
+        return new_carry, out
+
+    def _extract_static(self, spec, spec_ext, t0):
+        """Everything in the step that does NOT depend on detection state:
+        throughput/burst extraction and the detection power measures.
+
+        Split out so the pipeline driver (parallel/pipeline.py) can run
+        this stage on a worker device while the scan owner runs ahead;
+        the plain step composes the three stages under one jit (same
+        traced graph as before the split). Returns (out, pa_powers,
+        pa_ext, seg_powers) — powers are the tiny matrices the scans
+        consume.
+        """
+        cfg = self.config
         out = {}
         # fused extraction: throughput + burst channels of equal width run
         # as one bucketed slice-window-IFFT over spec_ext. pairs=True:
@@ -400,18 +420,20 @@ class FrequencyDomainChannelizer:
             if (self.power_bank or self.segments) and powers_fused is None
             else None
         )
+        pa_powers = None
+        pa_ext = None
         if self.power_bank:
             pa = self.power_bank
             if powers_fused is not None:
                 lo, hi = self._measure_cols["powact"]
-                powers = jnp.maximum(
+                pa_powers = jnp.maximum(
                     powers_fused[:, lo:hi], _PA_FLOAT_MIN
                 )  # same floor as pa.measure
             else:
-                powers = pa.measure(spec, sq)
-            new_carry["powact"], (rise, fall, processed, phase_used) = (
-                pa.scan_flags(powers, carry["powact"])
-            )
+                pa_powers = pa.measure(spec, sq)
+            # burst-channel extraction is flag-INDEPENDENT (all configured
+            # channels are extracted every step; the flags only select what
+            # the host emits) — it belongs to the static stage
             pa_ext = dict(fused_pa_ext)
             for bucket in pa.buckets:
                 if bucket.width in pa_ext:
@@ -422,13 +444,6 @@ class FrequencyDomainChannelizer:
                     keep_from=bucket.width - bucket.out_len, pairs=True,
                 )
                 pa_ext[bucket.width] = y
-            out["powact"] = {
-                "rise": rise,
-                "fall": fall,
-                "processed": processed,
-                "phase_used": phase_used,
-                "extract": pa_ext,
-            }
         seg_powers = []
         for i, sd in enumerate(self.segments):
             if powers_fused is not None:
@@ -440,17 +455,32 @@ class FrequencyDomainChannelizer:
             else:
                 power = sd.measure(spec, sq)
             seg_powers.append(power)
+        return out, pa_powers, pa_ext, seg_powers
+
+    def _scan_detections(self, carry_io, pa_powers, seg_powers):
+        """The sequential detection logic: burst hysteresis + slot
+        lifecycle scans + extraction plans, all on tiny [B, C]-scale
+        inputs. Updates ``carry_io`` in place; returns the flags/plans
+        pytree. This is the pipeline's serial stage — it depends only on
+        the power matrices and its own carry, never on the extraction
+        outputs."""
+        scans = {}
+        if self.power_bank:
+            carry_io["powact"], flags = self.power_bank.scan_flags(
+                pa_powers, carry_io["powact"]
+            )
+            scans["powact"] = flags
         # all segments' lifecycle scans fused into one Pallas kernel (one
         # serial chain instead of len(segments) back-to-back ones); falls
         # back to per-segment scans on the lax.scan backend
         seg_scans = scan_slots_multi(
             self.segments, seg_powers,
-            [carry[f"seg{i}"] for i in range(len(self.segments))],
+            [carry_io[f"seg{i}"] for i in range(len(self.segments))],
         )
+        segs = []
         for i, sd in enumerate(self.segments):
-            power = seg_powers[i]
             seg_state, (got, processed, emit_now, phase_used) = seg_scans[i]
-            new_carry[f"seg{i}"] = seg_state
+            carry_io[f"seg{i}"] = seg_state
             so = {
                 "activated": got.T,
                 "processed": processed.T,
@@ -461,33 +491,63 @@ class FrequencyDomainChannelizer:
                     "wlog2": seg_state["wlog2"],
                     "order": seg_state["order"],
                 },
-                "power": power,
             }
             if sd.extract_width_split:
                 ids_n, ids_w, overflow = sd.extract_plan_split(
                     got, processed, seg_state["wlog2"]
                 )
-                so["extract"] = sd.extract_slots(
-                    spec_ext, seg_state, ids_w, pairs=True
-                )
                 so["slot_ids"] = ids_w
-                so["extract_narrow"] = sd.extract_slots(
-                    spec_ext, seg_state, ids_n,
-                    width=sd.extract_width_split, pairs=True,
-                )
                 so["slot_ids_narrow"] = ids_n
                 so["ext_overflow"] = overflow
             else:
                 slot_ids, overflow = sd.extract_plan(got, processed)
-                so["extract"] = sd.extract_slots(
-                    spec_ext, seg_state, slot_ids, pairs=True
-                )
                 so["slot_ids"] = slot_ids
                 so["ext_overflow"] = overflow
+            segs.append((seg_state, so))
+        scans["segs"] = segs
+        return scans
+
+    def _extract_slots_all(self, spec_ext, seg_states, plans):
+        """Detection-slot extraction for every segment, given the scan's
+        slot tables and compaction plans (the pipeline's third stage —
+        the only extraction that depends on detection state)."""
+        outs = []
+        for sd, seg_state, plan in zip(self.segments, seg_states, plans):
+            eo = {
+                "extract": sd.extract_slots(
+                    spec_ext, seg_state, plan["slot_ids"], pairs=True
+                )
+            }
+            if sd.extract_width_split:
+                eo["extract_narrow"] = sd.extract_slots(
+                    spec_ext, seg_state, plan["slot_ids_narrow"],
+                    width=sd.extract_width_split, pairs=True,
+                )
+            outs.append(eo)
+        return outs
+
+    def _finish_detections(self, out, scans, spec_ext, pa_ext, seg_powers):
+        """Assemble the detection outputs from the three stages' pieces."""
+        if self.power_bank:
+            rise, fall, processed, phase_used = scans["powact"]
+            out["powact"] = {
+                "rise": rise,
+                "fall": fall,
+                "processed": processed,
+                "phase_used": phase_used,
+                "extract": pa_ext,
+            }
+        seg_states = [st for st, _ in scans["segs"]]
+        plans = [so for _, so in scans["segs"]]
+        extracts = self._extract_slots_all(spec_ext, seg_states, plans)
+        for i, (st_so, eo, power) in enumerate(
+            zip(scans["segs"], extracts, seg_powers)
+        ):
+            _, so = st_so
+            so = dict(so)
+            so.update(eo)
+            so["power"] = power
             out[f"seg{i}"] = so
-        if cfg.debug:
-            out["debug_spectrum"] = c2f(spec)
-        return new_carry, out
 
     # -- host streaming API ------------------------------------------------------
 
@@ -720,8 +780,11 @@ class FrequencyDomainChannelizer:
             result.debug_spectrum = np.concatenate(dbg)
         return result
 
-    def _consume_outputs(self, out, result: ProcessResult, dbg: list):
-        t0 = self._t0
+    def _consume_outputs(self, out, result: ProcessResult, dbg: list,
+                         t0: int = None):
+        # t0 defaults to the streaming cursor; the pipeline driver passes
+        # each batch's own t0 because it consumes outputs deferred
+        t0 = self._t0 if t0 is None else t0
         if self.throughput:
             for bucket, mat in zip(
                 self.throughput.buckets, out["throughput_buckets"]

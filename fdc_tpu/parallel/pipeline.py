@@ -1,0 +1,259 @@
+"""Pipeline-parallel channelizer: batches farm over devices, scans run ahead.
+
+The SPMD sharded step (parallel/sharded.py) pays the sequential detection
+logic L as an Amdahl replication tax — every rank re-runs the scans on
+all-gathered powers, so eff(T) = (E+L)/(E+T·L) no matter how the batch is
+split. But the scan chain's TRUE dependencies are tiny: it needs only the
+[B, n_cells]-scale power matrices and its own carry — never the heavy
+extraction outputs — and the overlap-save framing history is a function
+of the RAW INPUT (the host already holds it), not of device compute. So
+the step decomposes into an asynchronous MPMD pipeline instead:
+
+- **stage A (worker w, batch b)**: framing + FFT over B+1 blocks (the
+  leading block RECOMPUTES the previous batch's last spectrum row from
+  the host-fed sample tail — bit-identical to the carried ``prev_spec``
+  row, and it removes the only cross-batch device dependency), all
+  flag-independent extraction (throughput + burst channels), and the
+  detection power measures. Embarrassingly parallel over batches.
+- **stage B (scan owner, in batch order)**: burst hysteresis + slot
+  lifecycle scans + extraction plans on the tiny powers. The only serial
+  stage; its inputs/outputs are KB-scale.
+- **stage C (worker w)**: detection-slot extraction on the worker-resident
+  spectrum, given the owner's slot tables and plans.
+
+Throughput model: the scan chain advances at 1/L independent of
+extraction, so system throughput is min(W/E_step, 1/L) — ~100% scaling
+until W ≈ E/L (≈ 10 for the flagship's E ≈ 0.53 ms, L ≈ 0.05 ms),
+where the SPMD step's replicated-L law has already decayed to ~65%.
+JAX's async dispatch provides the overlap: the host enqueues A/B/C for
+each batch and the runtime executes A(b+1) on worker w+1 concurrently
+with B(b) on the owner; per-device queues serialize reuse naturally.
+
+No reference analog (the reference is single-process; its per-block
+work loop interleaves detection and extraction on one thread,
+reference: lib/SegmentDetection_impl.cc:125-176). Results are
+bit-compatible with FrequencyDomainChannelizer: stage A recomputes
+identical spectra, stage B runs the identical scan ops on identical
+powers, stage C the identical slot extraction — pinned by
+tests/test_pipeline.py (event metadata exactly equal, streams equal
+within the same tolerance as the sharded contract).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdc_tpu.config import ChannelizerConfig
+from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+from fdc_tpu.ops.fft import forward_spectrum
+from fdc_tpu.ops.framing import frame_blocks
+from fdc_tpu.utils.cplx import c2f, c2f_host, f2c
+
+__all__ = ["PipelineChannelizer"]
+
+
+class PipelineChannelizer(FrequencyDomainChannelizer):
+    """FrequencyDomainChannelizer whose batches pipeline over devices.
+
+    Usage::
+
+        fdc = PipelineChannelizer(config, devices=jax.devices())
+        result = fdc.process(samples)   # same API/results as single-device
+
+    ``devices[0]`` owns the sequential detection state (scan chain); all
+    devices (including the owner) serve as extraction workers in
+    round-robin batch order, or only ``devices[1:]`` with
+    ``dedicated_owner=True`` (the high-device-count regime — see the
+    efficiency note on ``__init__``). With one device this degenerates
+    to the plain step's work split across three dispatches (same
+    results, pointless — use the base class).
+
+    ``process_spectra`` falls back to the single-device step on the owner
+    (the pre-FFT'd mode has no framing tail to recompute the reach-back
+    row from; a vector-mode pipeline would need the previous batch's last
+    spectrum row shipped between workers).
+    """
+
+    def __init__(self, config: Optional[ChannelizerConfig] = None,
+                 devices: Optional[List] = None, window: int = 0,
+                 dedicated_owner: bool = False, **kwargs):
+        self.devices = list(devices) if devices else list(jax.devices())
+        if not self.devices:
+            raise ValueError("PipelineChannelizer requires >= 1 device")
+        self.owner = self.devices[0]
+        # With a dedicated owner the scan device does NO extraction — the
+        # owner otherwise pays B + (A+C)/W per batch and the pipeline
+        # efficiency decays as (A+B+C)/(A+C+W·B); dedicating it costs one
+        # device of extraction capacity but removes the scan from every
+        # worker's critical path: eff(W) = (W-1)/W · (A+B+C)/(A+C) until
+        # the scan rate 1/B caps throughput (see PERFORMANCE.md
+        # "Pipeline scaling model").
+        self.workers = (
+            self.devices[1:]
+            if dedicated_owner and len(self.devices) > 1
+            else self.devices
+        )
+        # bound on dispatched-but-unconsumed batches (device memory holds
+        # one spec_ext + extraction set per in-flight batch per worker)
+        self.window = int(window) or 2 * len(self.workers)
+        super().__init__(config, **kwargs)
+
+        cfg = self.config
+        n = cfg.blocksize
+
+        def pipe_front(histf, xf_extf, t0):
+            x = f2c(xf_extf)
+            blocks, _ = frame_blocks(x, f2c(histf), n)
+            spec_ext = forward_spectrum(
+                blocks, use_mxu=cfg.use_mxu_fft
+            )  # [B+1, N]; row 0 == previous batch's last row, recomputed
+            spec = spec_ext[1:]
+            out, pa_powers, pa_ext, seg_powers = self._extract_static(
+                spec, spec_ext, t0
+            )
+            dbg = c2f(spec) if cfg.debug else 0
+            return out, pa_powers, pa_ext, seg_powers, spec_ext, dbg
+
+        def pipe_scan(carry, pa_powers, seg_powers):
+            carry = dict(carry)
+            scans = self._scan_detections(carry, pa_powers, seg_powers)
+            return carry, scans
+
+        def pipe_slots(spec_ext, seg_states, plans):
+            return self._extract_slots_all(spec_ext, seg_states, plans)
+
+        self._jit_front = jax.jit(pipe_front)
+        self._jit_scan = jax.jit(pipe_scan)
+        self._jit_slots = jax.jit(pipe_slots)
+
+        # host rolling tail: the (inplen + ovllen) samples preceding the
+        # next batch — ovllen of framing history for the RECOMPUTED
+        # leading block plus that block's inplen samples
+        self._tail = np.zeros(cfg.inplen + cfg.ovllen, np.complex64)
+
+    def reset(self):
+        super().reset()
+        cfg = self.config
+        self._tail = np.zeros(cfg.inplen + cfg.ovllen, np.complex64)
+
+    # -- pipelined streaming ----------------------------------------------------
+
+    def process(self, samples: np.ndarray):
+        from fdc_tpu.models.channelizer import ProcessResult
+
+        cfg = self.config
+        if self._carry is None:
+            self._carry = jax.device_put(self._jit_init(), self.owner)
+
+        x = np.concatenate(
+            [self._pending, np.asarray(samples, np.complex64)]
+        )
+        bs = self.batch_samples
+        n_batches = len(x) // bs
+        self._pending = x[n_batches * bs:]
+
+        result = ProcessResult(
+            throughput=[
+                np.zeros(0, np.complex64)
+                for _ in range(
+                    self.throughput.num_channels if self.throughput else 0
+                )
+            ],
+            segment_power=[
+                np.zeros((0, sd.geometry.n_cells), np.float32)
+                for sd in self.segments
+            ],
+        )
+        dbg = []
+        inflight = []
+
+        def consume(batch_parts):
+            (out_static, pa_ext, seg_powers, dbgb, scans, extracts,
+             t0_b) = batch_parts
+            out = dict(out_static)
+            if self.power_bank:
+                rise, fall, processed, phase_used = scans["powact"]
+                out["powact"] = {
+                    "rise": rise,
+                    "fall": fall,
+                    "processed": processed,
+                    "phase_used": phase_used,
+                    "extract": pa_ext,
+                }
+            for i, ((_, so), eo, power) in enumerate(
+                zip(scans["segs"], extracts, seg_powers)
+            ):
+                so = dict(so)
+                so.update(eo)
+                so["power"] = power
+                out[f"seg{i}"] = so
+            if cfg.debug:
+                out["debug_spectrum"] = dbgb
+            self._consume_outputs(out, result, dbg, t0=t0_b)
+            result.blocks_processed += cfg.batch_blocks
+
+        for b in range(n_batches):
+            chunk = x[b * bs: (b + 1) * bs]
+            dev = self.workers[b % len(self.workers)]
+
+            # host-fed framing tail: one extra leading block so stage A
+            # recomputes the previous batch's last spectrum row itself
+            x_ext = np.concatenate([self._tail[cfg.ovllen:], chunk])
+            histf = jnp.asarray(c2f_host(self._tail[: cfg.ovllen]))
+            xf = jnp.asarray(c2f_host(x_ext))
+            glue = np.concatenate([self._tail, chunk])
+            self._tail = glue[-(cfg.inplen + cfg.ovllen):]
+
+            # stage A on the batch's worker (async dispatch)
+            histf, xf = jax.device_put((histf, xf), dev)
+            out_static, pa_powers, pa_ext, seg_powers, spec_ext, dbgb = (
+                self._jit_front(histf, xf, jnp.int32(self._t0))
+            )
+            # stage B on the owner, in batch order (the serial chain)
+            pa_o = (
+                jax.device_put(pa_powers, self.owner)
+                if self.power_bank else None
+            )
+            segp_o = [
+                jax.device_put(p, self.owner) for p in seg_powers
+            ]
+            self._carry, scans = self._jit_scan(self._carry, pa_o, segp_o)
+            # stage C back on the worker: slot extraction under the
+            # owner's tables/plans
+            states_w = jax.device_put(
+                [st for st, _ in scans["segs"]], dev
+            )
+            plans_w = jax.device_put(
+                [
+                    {
+                        k: so[k]
+                        for k in ("slot_ids", "slot_ids_narrow")
+                        if k in so
+                    }
+                    for _, so in scans["segs"]
+                ],
+                dev,
+            )
+            extracts = self._jit_slots(spec_ext, states_w, plans_w)
+
+            inflight.append(
+                (out_static, pa_ext, seg_powers, dbgb, scans, extracts,
+                 self._t0)
+            )
+            self._t0 += cfg.batch_blocks
+            if len(inflight) >= self.window:
+                consume(inflight.pop(0))
+
+        while inflight:
+            consume(inflight.pop(0))
+        if dbg:
+            result.debug_spectrum = np.concatenate(dbg)
+        return result
+
+    def process_spectra(self, spectra: np.ndarray):
+        # vector mode stays single-device on the owner (see class doc)
+        return super().process_spectra(spectra)

@@ -1,0 +1,119 @@
+"""Pipeline-parallel semantics: PipelineChannelizer == single-device.
+
+The MPMD batch pipeline (parallel/pipeline.py) must reproduce the plain
+channelizer exactly: stage A recomputes the reach-back spectrum row from
+the host-fed sample tail (bit-identical to the carried prev_spec), stage
+B runs the identical scans on identical powers, stage C the identical
+slot extraction. Runs on the forced 8-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fdc_tpu.config import ChannelizerConfig
+from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+from fdc_tpu.parallel.pipeline import PipelineChannelizer
+
+from tests.test_parallel import (
+    assert_events_match,
+    config,
+    make_signal,
+    run,
+)
+
+
+@pytest.mark.parametrize("n_devices", [1, 3, 8])
+def test_pipeline_matches_single_device(n_devices):
+    cfg = config()
+    rng = np.random.default_rng(7)
+    n_batches = 6
+    x = make_signal(rng, n_batches * cfg.batch_blocks * cfg.inplen)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    pipe = PipelineChannelizer(cfg, devices=jax.devices()[:n_devices])
+
+    chunk = 2 * cfg.batch_blocks * cfg.inplen
+    ev_ref, tp_ref, pw_ref = run(ref, x, chunk)
+    ev_p, tp_p, pw_p = run(pipe, x, chunk)
+
+    assert len(ev_ref) > 0, "test signal must trigger burst + detection"
+    assert_events_match(ev_ref, ev_p)
+    for a, b in zip(tp_ref, tp_p):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    for a, b in zip(pw_ref, pw_p):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=0)
+
+
+def test_pipeline_chunking_invariance():
+    """Ragged process() chunk sizes must not change the pipeline's
+    outputs (host buffering + tail bookkeeping across calls)."""
+    cfg = config()
+    rng = np.random.default_rng(11)
+    n_batches = 5
+    x = make_signal(rng, n_batches * cfg.batch_blocks * cfg.inplen)
+
+    a = PipelineChannelizer(cfg, devices=jax.devices())
+    b = PipelineChannelizer(cfg, devices=jax.devices())
+
+    ra = a.process(x)
+    ra.events.extend(a.flush().events)
+    ev_b, tp_b, _ = run(b, x, 3000)  # ragged chunks
+    ev_b = list(ev_b) + b.flush().events
+
+    ev_a = ra.events
+    assert_events_match(ev_a, ev_b)
+    for s_a, s_b in zip(ra.throughput, tp_b):
+        np.testing.assert_allclose(s_a, s_b, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_flush_finalizes():
+    """flush() on the pipeline finalizes open bursts like the plain path
+    (the base flush drives the overridden process)."""
+    cfg = config()
+    rng = np.random.default_rng(3)
+    n = 4 * cfg.batch_blocks * cfg.inplen
+    t = np.arange(n)
+    x = (
+        2.5 * np.exp(2j * np.pi * (-0.4) * t)  # always-on detection carrier
+        + 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    ).astype(np.complex64)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    pipe = PipelineChannelizer(cfg, devices=jax.devices())
+    ev_ref = ref.process(x).events + ref.flush().events
+    ev_p = pipe.process(x).events + pipe.flush().events
+    assert any(e.finalized for e in ev_ref)
+    assert_events_match(ev_ref, ev_p)
+
+
+def test_pipeline_debug_spectrum():
+    cfg = config(debug=True)
+    rng = np.random.default_rng(5)
+    x = make_signal(rng, 2 * cfg.batch_blocks * cfg.inplen)
+    ref = FrequencyDomainChannelizer(cfg)
+    pipe = PipelineChannelizer(cfg, devices=jax.devices()[:4])
+    da = ref.process(x).debug_spectrum
+    db = pipe.process(x).debug_spectrum
+    assert da.shape == db.shape
+    np.testing.assert_allclose(da, db, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_dedicated_owner_matches():
+    """dedicated_owner=True (scan device does no extraction) must be
+    output-identical — it only changes batch placement."""
+    cfg = config()
+    rng = np.random.default_rng(13)
+    x = make_signal(rng, 4 * cfg.batch_blocks * cfg.inplen)
+    ref = FrequencyDomainChannelizer(cfg)
+    pipe = PipelineChannelizer(
+        cfg, devices=jax.devices()[:4], dedicated_owner=True
+    )
+    assert len(pipe.workers) == 3 and pipe.owner not in pipe.workers
+    ev_ref, tp_ref, _ = run(ref, x, 2 * cfg.batch_blocks * cfg.inplen)
+    ev_p, tp_p, _ = run(pipe, x, 2 * cfg.batch_blocks * cfg.inplen)
+    assert_events_match(ev_ref, ev_p)
+    for a, b in zip(tp_ref, tp_p):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
