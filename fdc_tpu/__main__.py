@@ -129,7 +129,22 @@ def _cmd_run(args) -> int:
         )
     if args.waterfall and not cfg.debug:
         cfg = dataclasses.replace(cfg, debug=True)
-    if args.time_shards > 1 or args.chan_shards > 1:
+    if args.pipeline:
+        if args.time_shards > 1 or args.chan_shards > 1:
+            raise SystemExit(
+                "--pipeline and --time-shards/--chan-shards are exclusive"
+            )
+        import jax
+
+        from fdc_tpu.parallel import PipelineChannelizer
+
+        devs = jax.devices()
+        if args.pipeline > 0:
+            devs = devs[: args.pipeline]
+        fdc = PipelineChannelizer(
+            cfg, devices=devs, dedicated_owner=args.dedicated_owner
+        )
+    elif args.time_shards > 1 or args.chan_shards > 1:
         from fdc_tpu.parallel import ShardedChannelizer, make_mesh
 
         mesh = make_mesh(n_time=args.time_shards, n_chan=args.chan_shards)
@@ -529,6 +544,13 @@ def main(argv=None) -> int:
     p_run.add_argument("--cpu", action="store_true", help="force CPU")
     p_run.add_argument("--no-native", action="store_true",
                        help="skip the native ring (pure-Python buffering)")
+    p_run.add_argument("--pipeline", type=int, nargs="?", const=-1,
+                       default=0, metavar="N",
+                       help="MPMD batch pipeline over N devices (no N = "
+                            "all); exclusive with --*-shards")
+    p_run.add_argument("--dedicated-owner", action="store_true",
+                       help="pipeline: the scan device does no "
+                            "extraction (use at >= 4 devices)")
     p_run.add_argument("--time-shards", type=int, default=1,
                        help="shard time-blocks over this many devices")
     p_run.add_argument("--chan-shards", type=int, default=1,

@@ -235,6 +235,20 @@ def test_run_sharded_matches_plain(config_path, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_run_pipeline_matches_plain(config_path, tmp_path):
+    """--pipeline farms batches over the CPU-mesh devices via the MPMD
+    pipeline driver; the throughput stream must equal the plain run's."""
+    cap, _ = _capture(tmp_path)
+    _run(config_path, cap, tmp_path / "plainp", tmp_path / "ev_pp.jsonl")
+    _run(config_path, cap, tmp_path / "pipe", tmp_path / "ev_pl.jsonl",
+         extra=("--pipeline", "4", "--dedicated-owner"))
+    a = np.fromfile(tmp_path / "plainp" / "throughput_ch0.c64",
+                    np.complex64)
+    b = np.fromfile(tmp_path / "pipe" / "throughput_ch0.c64", np.complex64)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
 def test_run_waterfall_style_flags(config_path, tmp_path):
     """The reference waterfall block's GRC style params are CLI flags
     (colorscheme index or name, dB range, tagmode); the PNG renders
