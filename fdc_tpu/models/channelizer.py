@@ -320,10 +320,10 @@ class FrequencyDomainChannelizer:
         spec_ext = jnp.concatenate([new_carry["prev_spec"][None], spec])
         new_carry["prev_spec"] = spec[-1]
 
-        out, pa_powers, pa_ext, seg_powers = self._extract_static(
-            spec, spec_ext, t0
+        out, pa_powers, pa_ext, seg_powers, seg_packed = (
+            self._extract_static(spec, spec_ext, t0)
         )
-        scans = self._scan_detections(new_carry, pa_powers, seg_powers)
+        scans = self._scan_detections(new_carry, pa_powers, seg_packed)
         self._finish_detections(out, scans, spec_ext, pa_ext, seg_powers)
         if cfg.debug:
             out["debug_spectrum"] = c2f(spec)
@@ -337,8 +337,10 @@ class FrequencyDomainChannelizer:
         this stage on a worker device while the scan owner runs ahead;
         the plain step composes the three stages under one jit (same
         traced graph as before the split). Returns (out, pa_powers,
-        pa_ext, seg_powers) — powers are the tiny matrices the scans
-        consume.
+        pa_ext, seg_powers, seg_packed) — the powers and pre-packed
+        candidate rows are the tiny inputs the scans consume (candidate
+        detection is per-block independent and slot-table-free, so it
+        belongs HERE, off the sequential stage).
         """
         cfg = self.config
         out = {}
@@ -455,15 +457,19 @@ class FrequencyDomainChannelizer:
             else:
                 power = sd.measure(spec, sq)
             seg_powers.append(power)
-        return out, pa_powers, pa_ext, seg_powers
+        seg_packed = [
+            sd._packed_candidates(p)[0]
+            for sd, p in zip(self.segments, seg_powers)
+        ]
+        return out, pa_powers, pa_ext, seg_powers, seg_packed
 
-    def _scan_detections(self, carry_io, pa_powers, seg_powers):
+    def _scan_detections(self, carry_io, pa_powers, seg_packed):
         """The sequential detection logic: burst hysteresis + slot
         lifecycle scans + extraction plans, all on tiny [B, C]-scale
         inputs. Updates ``carry_io`` in place; returns the flags/plans
         pytree. This is the pipeline's serial stage — it depends only on
-        the power matrices and its own carry, never on the extraction
-        outputs."""
+        the power matrices / pre-packed candidate rows and its own carry,
+        never on the extraction outputs."""
         scans = {}
         if self.power_bank:
             carry_io["powact"], flags = self.power_bank.scan_flags(
@@ -474,8 +480,9 @@ class FrequencyDomainChannelizer:
         # serial chain instead of len(segments) back-to-back ones); falls
         # back to per-segment scans on the lax.scan backend
         seg_scans = scan_slots_multi(
-            self.segments, seg_powers,
+            self.segments, [None] * len(self.segments),
             [carry_io[f"seg{i}"] for i in range(len(self.segments))],
+            packed_list=seg_packed,
         )
         segs = []
         for i, sd in enumerate(self.segments):

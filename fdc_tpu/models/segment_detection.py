@@ -231,13 +231,19 @@ class SegmentDetector:
         )  # [B, 7K]
         return packed, k
 
-    def scan_slots(self, power: jax.Array, state):
+    def scan_slots(self, power: jax.Array, state, packed=None):
         """Detection + slot-table lifecycle scan over [B, n_cells] powers.
 
         The cheap sequential part of the step, separated out so the parallel
         layer can run it replicated on all-gathered powers while extraction
         stays sharded. Returns (new_state, (activated, processed, emit,
         phase_used)) — all flags [B, S] in scan order.
+
+        ``packed`` (optional, [B, 7K] from :meth:`_packed_candidates`)
+        skips the candidate detection: it is per-block independent and
+        slot-table-free, so distributed callers detect WHERE THE POWERS
+        LIVE (each time shard / pipeline worker packs its own blocks) and
+        only the tiny candidate rows travel to the scan.
         """
         g = self.geometry
         r = self.relinvovl
@@ -253,7 +259,8 @@ class SegmentDetector:
         if backend in ("pallas", "pallas_interpret"):
             from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle
 
-            packed, k = self._packed_candidates(power)
+            if packed is None:
+                packed, k = self._packed_candidates(power)
             new_state, flags = slot_lifecycle(
                 packed, state,
                 n_cand=k, r=r, delay=delay,
@@ -263,11 +270,23 @@ class SegmentDetector:
 
         # lax.scan reference path (see _packed_candidates for why the
         # candidate detection batches over [B, K] outside the scan)
-        cand_s, cand_e, cand_v = jax.vmap(
-            lambda p: detect_candidates(p, thresh, k, zero_floor=self.vcm)
-        )(power)  # each [B, K], cell coords
-        cand_s = cand_s * dec + d_start  # -> bin coords
-        cand_e = cand_e * dec + d_start
+        if packed is not None:
+            # pre-packed candidates (the time-sharded / pipeline callers
+            # detect per block where the powers live): the first three
+            # column groups ARE (cand_s, cand_e, valid) in bin coords;
+            # the geometry columns are re-derived by the scan body
+            # (identical candidate_geometry arithmetic)
+            cand_s = packed[:, 0 * k:1 * k]
+            cand_e = packed[:, 1 * k:2 * k]
+            cand_v = packed[:, 2 * k:3 * k] != 0
+        else:
+            cand_s, cand_e, cand_v = jax.vmap(
+                lambda p: detect_candidates(
+                    p, thresh, k, zero_floor=self.vcm
+                )
+            )(power)  # each [B, K], cell coords
+            cand_s = cand_s * dec + d_start  # -> bin coords
+            cand_e = cand_e * dec + d_start
 
         def scan_body(carry, cand):
             (
@@ -595,7 +614,7 @@ class SegmentDetector:
         return new_state, outputs
 
 
-def scan_slots_multi(segments, powers, states):
+def scan_slots_multi(segments, powers, states, packed_list=None):
     """Fused lifecycle scans for multiple SegmentDetectors.
 
     Segments are independent automata (the reference runs one std::thread
@@ -610,20 +629,33 @@ def scan_slots_multi(segments, powers, states):
     Falls back to per-segment ``scan_slots`` when fewer than two segments
     are given or any segment resolves to the lax.scan backend (CPU).
 
+    ``packed_list`` (optional, per-segment [B, 7K_g] rows from
+    ``_packed_candidates``) skips the candidate detection — see
+    :meth:`SegmentDetector.scan_slots`.
+
     Returns a list of (new_state, (activated, processed, emit,
     phase_used)) pairs, one per segment, flags [B, S_g] in scan order.
     """
     backends = {sd._resolved_backend() for sd in segments}
     if len(segments) < 2 or backends - {"pallas", "pallas_interpret"}:
+        if packed_list is None:
+            packed_list = [None] * len(segments)
         return [
-            sd.scan_slots(p, st)
-            for sd, p, st in zip(segments, powers, states)
+            sd.scan_slots(p, st, packed=pk)
+            for sd, p, st, pk in zip(segments, powers, states, packed_list)
         ]
     from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle_multi
 
-    packed, ks = zip(
-        *(sd._packed_candidates(p) for sd, p in zip(segments, powers))
-    )
+    if packed_list is not None:
+        packed = tuple(packed_list)
+        ks = tuple(
+            sd.max_candidates or (sd.geometry.n_cells - 1)
+            for sd in segments
+        )
+    else:
+        packed, ks = zip(
+            *(sd._packed_candidates(p) for sd, p in zip(segments, powers))
+        )
     results = slot_lifecycle_multi(
         tuple(packed), tuple(states),
         n_cands=tuple(ks),

@@ -112,15 +112,16 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
                 blocks, use_mxu=cfg.use_mxu_fft
             )  # [B+1, N]; row 0 == previous batch's last row, recomputed
             spec = spec_ext[1:]
-            out, pa_powers, pa_ext, seg_powers = self._extract_static(
-                spec, spec_ext, t0
+            out, pa_powers, pa_ext, seg_powers, seg_packed = (
+                self._extract_static(spec, spec_ext, t0)
             )
             dbg = c2f(spec) if cfg.debug else 0
-            return out, pa_powers, pa_ext, seg_powers, spec_ext, dbg
+            return (out, pa_powers, pa_ext, seg_powers, seg_packed,
+                    spec_ext, dbg)
 
-        def pipe_scan(carry, pa_powers, seg_powers):
+        def pipe_scan(carry, pa_powers, seg_packed):
             carry = dict(carry)
-            scans = self._scan_detections(carry, pa_powers, seg_powers)
+            scans = self._scan_detections(carry, pa_powers, seg_packed)
             return carry, scans
 
         def pipe_slots(spec_ext, seg_states, plans):
@@ -210,18 +211,21 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
 
             # stage A on the batch's worker (async dispatch)
             histf, xf = jax.device_put((histf, xf), dev)
-            out_static, pa_powers, pa_ext, seg_powers, spec_ext, dbgb = (
-                self._jit_front(histf, xf, jnp.int32(self._t0))
+            (out_static, pa_powers, pa_ext, seg_powers, seg_packed,
+             spec_ext, dbgb) = self._jit_front(
+                histf, xf, jnp.int32(self._t0)
             )
             # stage B on the owner, in batch order (the serial chain)
             pa_o = (
                 jax.device_put(pa_powers, self.owner)
                 if self.power_bank else None
             )
-            segp_o = [
-                jax.device_put(p, self.owner) for p in seg_powers
+            # only the tiny pre-packed candidate rows travel to the owner
+            # (candidate detection already ran on the worker, stage A)
+            segk_o = [
+                jax.device_put(p, self.owner) for p in seg_packed
             ]
-            self._carry, scans = self._jit_scan(self._carry, pa_o, segp_o)
+            self._carry, scans = self._jit_scan(self._carry, pa_o, segk_o)
             # stage C back on the worker: slot extraction under the
             # owner's tables/plans
             states_w = jax.device_put(

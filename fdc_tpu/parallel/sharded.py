@@ -440,7 +440,13 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         # Amdahl term of the scaling model (PERFORMANCE.md). Gated on
         # >= 2 segments: with one segment the cond+psum buys nothing.
         shard_scans = self.n_chan > 1 and len(self.segments) >= 2
-        seg_pl, seg_pg = [], []  # per-segment local / time-gathered powers
+        # Candidate detection is per-block independent and slot-table-free
+        # (SegmentDetector._packed_candidates), so each time shard detects
+        # on ITS OWN local powers and only the tiny [B, 7K] candidate rows
+        # are all-gathered — the scans' replicated work shrinks to the
+        # lifecycle kernel itself, directly cutting the Amdahl L term of
+        # the scaling model (PERFORMANCE.md).
+        seg_pl, seg_pk = [], []  # per-segment local powers / gathered cands
         for i, sd in enumerate(self.segments):
             if powers_fused is not None:
                 lo, hi = self._measure_cols[f"seg{i}"]
@@ -452,7 +458,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             else:
                 power_local = sd.measure(spec, sq_local)  # [b_local, nc]
             seg_pl.append(power_local)
-            seg_pg.append(_gather_time(power_local, n_time))  # [B, nc]
+            packed_local, _ = sd._packed_candidates(power_local)
+            seg_pk.append(_gather_time(packed_local, n_time))  # [B, 7K]
         if shard_scans:
             # group segments by owner rank: each owner runs ITS segments'
             # scans FUSED in one kernel (scan_slots_multi) inside one
@@ -463,16 +470,18 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 groups.setdefault(i % self.n_chan, []).append(i)
             for owner, idxs in sorted(groups.items()):
                 sds_g = [self.segments[j] for j in idxs]
-                pws = tuple(seg_pg[j] for j in idxs)
+                pks = tuple(seg_pk[j] for j in idxs)
                 sts = tuple(carry[f"seg{j}"] for j in idxs)
 
-                def run_group(pws, sts, sds_g=sds_g):
-                    return tuple(scan_slots_multi(sds_g, pws, sts))
+                def run_group(pks, sts, sds_g=sds_g):
+                    return tuple(scan_slots_multi(
+                        sds_g, [None] * len(sds_g), sts, packed_list=pks
+                    ))
 
-                def skip_group(pws, sts, sds_g=sds_g):
+                def skip_group(pks, sts, sds_g=sds_g):
                     outs = []
-                    for sd_j, pw, st in zip(sds_g, pws, sts):
-                        nb_g = pw.shape[0]
+                    for sd_j, pk, st in zip(sds_g, pks, sts):
+                        nb_g = pk.shape[0]
                         zf = jnp.zeros((nb_g, sd_j.max_slots), jnp.bool_)
                         outs.append((
                             jax.tree.map(jnp.zeros_like, st),
@@ -483,7 +492,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
 
                 grp = _bcast_chan(
                     jax.lax.cond(
-                        cidx == owner, run_group, skip_group, pws, sts
+                        cidx == owner, run_group, skip_group, pks, sts
                     ),
                     self.n_chan,
                 )
@@ -491,11 +500,12 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                     seg_scans[j] = res
         else:
             seg_scans = scan_slots_multi(
-                self.segments, seg_pg,
+                self.segments, [None] * len(self.segments),
                 [carry[f"seg{i}"] for i in range(len(self.segments))],
+                packed_list=seg_pk,
             )
         for i, sd in enumerate(self.segments):
-            power_local, power = seg_pl[i], seg_pg[i]
+            power_local = seg_pl[i]
             seg_state, (got, processed, emit_now, phase_used) = seg_scans[i]
             new_carry[f"seg{i}"] = seg_state
             so = {

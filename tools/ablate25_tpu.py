@@ -64,11 +64,11 @@ def main():
     )
 
     # one real pass to obtain representative intermediates
-    out_s, pa_p, pa_e, seg_p, spec_ext, _ = pipe._jit_front(
+    out_s, pa_p, pa_e, seg_p, seg_k, spec_ext, _ = pipe._jit_front(
         histf, xf_ext, jnp.int32(0)
     )
     carry0 = pipe._jit_init()
-    carry1, scans = pipe._jit_scan(carry0, pa_p, seg_p)
+    carry1, scans = pipe._jit_scan(carry0, pa_p, seg_k)
     states = [st for st, _ in scans["segs"]]
     plans = [
         {k: so[k] for k in ("slot_ids", "slot_ids_narrow") if k in so}
@@ -88,7 +88,7 @@ def main():
     )
 
     def stage_b(c, pp, t):
-        nc, sc = pipe._jit_scan(c, pp, seg_p)
+        nc, sc = pipe._jit_scan(c, pp, seg_k)
         return nc, sc
 
     results["B_scan_plans_ms"] = round(
