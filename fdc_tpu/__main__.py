@@ -280,7 +280,22 @@ def _cmd_serve(args) -> int:
             interval=args.waterfall_interval,
             png_path=args.waterfall_follow,
         )
-    if args.time_shards > 1 or args.chan_shards > 1:
+    if args.pipeline:
+        if args.time_shards > 1 or args.chan_shards > 1:
+            raise SystemExit(
+                "--pipeline and --time-shards/--chan-shards are exclusive"
+            )
+        import jax
+
+        from fdc_tpu.parallel import PipelineChannelizer
+
+        devs = jax.devices()
+        if args.pipeline > 0:
+            devs = devs[: args.pipeline]
+        fdc = PipelineChannelizer(
+            cfg, devices=devs, dedicated_owner=args.dedicated_owner
+        )
+    elif args.time_shards > 1 or args.chan_shards > 1:
         from fdc_tpu.parallel import ShardedChannelizer, make_mesh
 
         mesh = make_mesh(n_time=args.time_shards,
@@ -458,14 +473,13 @@ def _cmd_vcm(args) -> int:
         # keep feeding silence batches until every slot has aged out, so
         # the emitted event set does not depend on the capture length
         # mod batch — a capture ending exactly on a batch boundary
-        # finalizes identically to a ragged one. Bounded by the
-        # deactivation delay (same bound as
-        # FrequencyDomainChannelizer._finalize_rounds).
-        max_delay = max(
-            (sd.deactivation_delay for sd in adc.segments), default=0
-        )
+        # finalizes identically to a ragged one. Bound shared with
+        # FrequencyDomainChannelizer.flush (finalize_rounds_bound).
+        from fdc_tpu.models.channelizer import finalize_rounds_bound
+
         zeros = jnp.asarray(c2f_host(np.zeros(step, np.complex64)))
-        for _ in range(-(-(max_delay + 2) // cfg.batch_blocks) + 1):
+        for _ in range(finalize_rounds_bound(adc.segments,
+                                             cfg.batch_blocks)):
             if not runner.has_open_slots():
                 break
             histf, specf = front(histf, zeros)
@@ -590,6 +604,13 @@ def main(argv=None) -> int:
     p_srv.add_argument("--events-jsonl", default="",
                        help="write event metadata as JSON lines")
     p_srv.add_argument("--cpu", action="store_true", help="force CPU")
+    p_srv.add_argument("--pipeline", type=int, nargs="?", const=-1,
+                       default=0, metavar="N",
+                       help="MPMD batch pipeline over N devices (no N = "
+                            "all); exclusive with --*-shards")
+    p_srv.add_argument("--dedicated-owner", action="store_true",
+                       help="pipeline: the scan device does no "
+                            "extraction (use at >= 4 devices)")
     p_srv.add_argument("--time-shards", type=int, default=1,
                        help="shard time-blocks over this many devices")
     p_srv.add_argument("--chan-shards", type=int, default=1,

@@ -49,7 +49,24 @@ from fdc_tpu.utils.cplx import c2f, c2f_host, f2c, f2c_host
 from fdc_tpu.utils.events import ChannelEvent, FileSink
 from fdc_tpu.utils.logging import make_logger
 
-__all__ = ["FrequencyDomainChannelizer", "ProcessResult"]
+__all__ = [
+    "FrequencyDomainChannelizer",
+    "ProcessResult",
+    "finalize_rounds_bound",
+]
+
+
+def finalize_rounds_bound(segments, batch_blocks: int) -> int:
+    """Upper bound on the end-of-stream silence batches a finalize pass
+    may need: burst channels fall on the first silent block; detection
+    slots age out after deactivation_delay + 1 silent blocks (plus one
+    block for the emit itself). Bounded so a pathological state (e.g. a
+    burst whose lastpower already sits at the FLT_MIN floor, which can
+    never produce a falling ratio) cannot loop forever. Shared by
+    ``flush(finalize=True)`` and the vcm CLI's end-of-stream pass — one
+    formula, one place to change if the aging/emit semantics move."""
+    max_delay = max((sd.deactivation_delay for sd in segments), default=0)
+    return -(-(max_delay + 2) // batch_blocks) + 1
 
 
 @dataclass
@@ -571,6 +588,15 @@ class FrequencyDomainChannelizer:
         )
         self._spectra_mode = False
 
+    def _host_extra_state(self) -> dict:
+        """Checkpoint hook: subclass-owned host state to snapshot (the
+        pipeline driver's framing tail lives here). Base: nothing."""
+        return {}
+
+    def _restore_host_extra_state(self, extra: dict):
+        """Checkpoint hook: restore what :meth:`_host_extra_state` saved
+        (called after the carry/emitter state is in place)."""
+
     def process(self, samples: np.ndarray) -> ProcessResult:
         """Buffered streaming entry point.
 
@@ -707,18 +733,9 @@ class FrequencyDomainChannelizer:
         return self.process(np.zeros(self.batch_samples, np.complex64))
 
     def _finalize_rounds(self) -> int:
-        """Upper bound on the silence batches flush(finalize=True) may
-        need: burst channels fall on the first silent block; detection
-        slots age out after deactivation_delay + 1 silent blocks (plus
-        one block for the emit itself). Bounded so a pathological state
-        (e.g. a burst whose lastpower already sits at the FLT_MIN floor,
-        which can never produce a falling ratio) cannot loop forever."""
         if not (self.power_bank or self.segments):
             return 0
-        max_delay = max(
-            (sd.deactivation_delay for sd in self.segments), default=0
-        )
-        return -(-(max_delay + 2) // self.config.batch_blocks) + 1
+        return finalize_rounds_bound(self.segments, self.config.batch_blocks)
 
     def _open_bursts(self) -> bool:
         """Any burst channel or detection slot still active on device."""

@@ -51,7 +51,7 @@ from fdc_tpu.config import ChannelizerConfig
 from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
 from fdc_tpu.ops.fft import forward_spectrum
 from fdc_tpu.ops.framing import frame_blocks
-from fdc_tpu.utils.cplx import c2f, c2f_host, f2c
+from fdc_tpu.utils.cplx import c2f, c2f_host, f2c, f2c_host
 
 __all__ = ["PipelineChannelizer"]
 
@@ -105,12 +105,19 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
         cfg = self.config
         n = cfg.blocksize
 
-        def pipe_front(histf, xf_extf, t0):
+        def pipe_front(histf, xf_extf, t0, ov_rowf, ov_flag):
             x = f2c(xf_extf)
             blocks, _ = frame_blocks(x, f2c(histf), n)
             spec_ext = forward_spectrum(
                 blocks, use_mxu=cfg.use_mxu_fft
             )  # [B+1, N]; row 0 == previous batch's last row, recomputed
+            # resuming from a checkpoint WITHOUT a pipeline tail (one
+            # written by the plain/sharded paths): the reach-back row
+            # cannot be recomputed, so the first post-resume batch
+            # substitutes the checkpoint's carried prev_spec (exact)
+            spec_ext = spec_ext.at[0].set(
+                jnp.where(ov_flag, f2c(ov_rowf), spec_ext[0])
+            )
             spec = spec_ext[1:]
             out, pa_powers, pa_ext, seg_powers, seg_packed = (
                 self._extract_static(spec, spec_ext, t0)
@@ -133,13 +140,83 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
 
         # host rolling tail: the (inplen + ovllen) samples preceding the
         # next batch — ovllen of framing history for the RECOMPUTED
-        # leading block plus that block's inplen samples
+        # leading block plus that block's inplen samples. Note
+        # inplen + ovllen == blocksize, so the tail IS the last block.
         self._tail = np.zeros(cfg.inplen + cfg.ovllen, np.complex64)
+        # one-shot reach-back-row override for resume-from-plain
+        # checkpoints (see pipe_front)
+        self._ov_row = np.zeros((cfg.blocksize, 2), np.float32)
+        self._ov_flag = False
 
     def reset(self):
         super().reset()
         cfg = self.config
         self._tail = np.zeros(cfg.inplen + cfg.ovllen, np.complex64)
+        self._ov_row = np.zeros((cfg.blocksize, 2), np.float32)
+        self._ov_flag = False
+
+    # -- checkpoint integration ---------------------------------------------
+
+    def _host_extra_state(self) -> dict:
+        """Checkpoint hook: the pipeline's real framing state is the host
+        tail (carry['hist'] / carry['prev_spec'] are never advanced by
+        the pipelined step). Sync them INTO the carry so a plain or
+        sharded channelizer can resume this checkpoint bit-identically,
+        and save the tail so a pipeline can."""
+        cfg = self.config
+        if self._carry is not None:
+            tailf = jnp.asarray(c2f_host(self._tail))
+
+            @jax.jit
+            def sync(carry, tf):
+                t = f2c(tf)
+                carry = dict(carry)
+                carry["hist"] = t[-cfg.ovllen:]
+                # the tail is exactly the last processed block (see
+                # __init__ note), so its spectrum IS prev_spec
+                carry["prev_spec"] = forward_spectrum(
+                    t[None], use_mxu=cfg.use_mxu_fft
+                )[0]
+                return carry
+
+            self._carry = sync(self._carry, tailf)
+        return {"pipeline_tail": self._tail.copy()}
+
+    def _restore_host_extra_state(self, extra: dict):
+        cfg = self.config
+        tail = extra.get("pipeline_tail")
+        if tail is not None:
+            self._tail = np.asarray(tail, np.complex64)
+            self._ov_flag = False
+            return
+        # plain/sharded checkpoint: reconstruct what is reconstructible —
+        # the tail's hist section comes from the carried hist (it frames
+        # the first real block); the prev-block samples are unknown, so
+        # the recomputed reach-back row would be wrong — override it with
+        # the carried prev_spec for the first post-resume batch (exact)
+        host = self._pack_host_row()
+        self._tail = np.concatenate(
+            [np.zeros(cfg.inplen, np.complex64), host["hist"]]
+        )
+        self._ov_row = host["prev_spec"]
+        self._ov_flag = True
+
+    def _pack_host_row(self):
+        """Fetch carry hist (complex64) + prev_spec ([N, 2] float32) to
+        the host, crossing the device boundary as float pairs."""
+
+        @jax.jit
+        def pack(carry):
+            return {
+                "hist": c2f(carry["hist"]),
+                "prev_spec": c2f(carry["prev_spec"]),
+            }
+
+        out = pack(self._carry)
+        return {
+            "hist": f2c_host(np.asarray(out["hist"])),
+            "prev_spec": np.asarray(out["prev_spec"]),
+        }
 
     # -- pipelined streaming ----------------------------------------------------
 
@@ -202,18 +279,24 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
             dev = self.workers[b % len(self.workers)]
 
             # host-fed framing tail: one extra leading block so stage A
-            # recomputes the previous batch's last spectrum row itself
+            # recomputes the previous batch's last spectrum row itself.
+            # Inputs go host -> worker DIRECTLY (committing via
+            # jnp.asarray first would land them on the default device —
+            # the scan owner — and pay a second device-to-device hop on
+            # exactly the device the pipeline must keep unblocked).
             x_ext = np.concatenate([self._tail[cfg.ovllen:], chunk])
-            histf = jnp.asarray(c2f_host(self._tail[: cfg.ovllen]))
-            xf = jnp.asarray(c2f_host(x_ext))
+            histf = jax.device_put(c2f_host(self._tail[: cfg.ovllen]), dev)
+            xf = jax.device_put(c2f_host(x_ext), dev)
             glue = np.concatenate([self._tail, chunk])
             self._tail = glue[-(cfg.inplen + cfg.ovllen):]
 
             # stage A on the batch's worker (async dispatch)
-            histf, xf = jax.device_put((histf, xf), dev)
+            ov_row = jax.device_put(self._ov_row, dev)
+            ov_flag = jnp.bool_(self._ov_flag)
+            self._ov_flag = False  # consumed by the first post-resume batch
             (out_static, pa_powers, pa_ext, seg_powers, seg_packed,
              spec_ext, dbgb) = self._jit_front(
-                histf, xf, jnp.int32(self._t0)
+                histf, xf, jnp.int32(self._t0), ov_row, ov_flag
             )
             # stage B on the owner, in batch order (the serial chain)
             pa_o = (

@@ -84,7 +84,15 @@ def save_checkpoint(fdc: "FrequencyDomainChannelizer", path: str):
             fdc.power_emitter.get_state() if fdc.power_emitter else None
         ),
         "segment_emitters": [e.get_state() for e in fdc.segment_emitters],
+        # subclass-owned host state (e.g. the pipeline driver's framing
+        # tail); _host_extra_state may also sync derived carry leaves, so
+        # it runs BEFORE the carry snapshot below is taken... which is
+        # why the carry is re-packed here if the hook touched it
+        "host_extra": fdc._host_extra_state(),
     }
+    if state["host_extra"]:
+        packed, iscomplex = _carry_to_host(fdc._carry)
+        state["carry"], state["carry_iscomplex"] = packed, iscomplex
     with open(path, "wb") as fh:
         pickle.dump(state, fh, protocol=pickle.HIGHEST_PROTOCOL)
 
@@ -129,6 +137,9 @@ def load_checkpoint(fdc: "FrequencyDomainChannelizer", path: str):
         raise ValueError("segment count mismatch")
     for e, st in zip(fdc.segment_emitters, state["segment_emitters"]):
         e.set_state(st)
+    # subclass host state (pipeline framing tail / reach-back override);
+    # absent in older checkpoints and for plain/sharded models
+    fdc._restore_host_extra_state(state.get("host_extra") or {})
 
 
 def save_vcm_checkpoint(runner, path: str, extra: dict = None):

@@ -183,3 +183,57 @@ def test_random_config_sharded_equivalence(seed):
         np.testing.assert_allclose(a.data, b.data, rtol=3e-4, atol=3e-5)
     for ya, yb in zip(ra.throughput, rb.throughput):
         np.testing.assert_allclose(ya, yb, rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_random_config_pipeline_equivalence(seed):
+    """Random configs: the MPMD batch pipeline must reproduce the plain
+    channelizer exactly — random segment counts, compaction modes, and
+    burst placements exercise the stage split (flag-independent
+    extraction / scans+plans / slot extraction) across worker devices."""
+    import jax
+
+    from fdc_tpu.parallel.pipeline import PipelineChannelizer
+
+    rng = np.random.default_rng(1000 + seed)
+    cfg = random_config(rng).replace(batch_blocks=8)
+    if not (cfg.throughput_channels or cfg.activity_controlled_channels
+            or cfg.activity_detection_segments):
+        cfg = cfg.replace(activity_detection_segments=[(-0.3, -0.1)])
+
+    n = 3 * cfg.batch_blocks * cfg.inplen
+    t = np.arange(n)
+    x = (0.05 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+         ).astype(np.complex64)
+    for f, _ in (list(cfg.throughput_channels)
+                 + list(cfg.activity_controlled_channels)):
+        on = int(rng.integers(0, 12)) * cfg.inplen
+        off = on + int(rng.integers(4, 12)) * cfg.inplen
+        m = np.zeros(n)
+        m[on:off] = 1.0
+        x += (2.0 * m * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+    for a, b in cfg.activity_detection_segments:
+        f = (a + b) / 2.0
+        on = int(rng.integers(0, 12)) * cfg.inplen
+        off = on + int(rng.integers(4, 12)) * cfg.inplen
+        m = np.zeros(n)
+        m[on:off] = 1.0
+        x += (2.0 * m * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    nd = int(rng.choice([2, 3, 4]))
+    pipe = PipelineChannelizer(
+        cfg, devices=jax.devices()[:nd],
+        dedicated_owner=bool(rng.integers(0, 2)) and nd > 1,
+    )
+    ra = ref.process(x)
+    ra.events.extend(ref.flush().events)
+    rb = pipe.process(x)
+    rb.events.extend(pipe.flush().events)
+    assert len(ra.events) == len(rb.events)
+    for a, b in zip(ra.events, rb.events):
+        assert a.ID.split(".", 1)[1] == b.ID.split(".", 1)[1]
+        assert a.blockstart == b.blockstart and a.blockend == b.blockend
+        np.testing.assert_allclose(a.data, b.data, rtol=3e-4, atol=3e-5)
+    for ya, yb in zip(ra.throughput, rb.throughput):
+        np.testing.assert_allclose(ya, yb, rtol=3e-4, atol=3e-5)

@@ -117,3 +117,47 @@ def test_pipeline_dedicated_owner_matches():
     assert_events_match(ev_ref, ev_p)
     for a, b in zip(tp_ref, tp_p):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("save_kind,load_kind", [
+    ("pipe", "pipe"), ("pipe", "plain"), ("plain", "pipe"),
+])
+def test_pipeline_checkpoint_cross_topology(save_kind, load_kind, tmp_path):
+    """Checkpoint/resume across pipeline <-> plain: the pipeline's real
+    framing state is the host tail; saving syncs it into the carry (so a
+    plain model can resume), and a pipeline resuming a plain checkpoint
+    substitutes the carried reach-back row for its first batch. Resumed
+    runs must equal the uninterrupted run."""
+    from fdc_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = config()
+    rng = np.random.default_rng(21)
+    n_batches = 6
+    x = make_signal(rng, n_batches * cfg.batch_blocks * cfg.inplen)
+
+    def make(kind):
+        if kind == "pipe":
+            return PipelineChannelizer(cfg, devices=jax.devices()[:3])
+        return FrequencyDomainChannelizer(cfg)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    r_full = ref.process(x)
+    ev_full = r_full.events + ref.flush().events
+
+    half = 3 * make("plain").batch_samples
+    a = make(save_kind)
+    ra = a.process(x[:half])
+    ck = str(tmp_path / "pipe.ckpt")
+    save_checkpoint(a, ck)
+    b = make(load_kind)
+    load_checkpoint(b, ck)
+    rb = b.process(x[half:])
+    resumed = ra.events + rb.events + b.flush().events
+
+    assert_events_match(ev_full, resumed)
+    for s_full, s_a, s_b in zip(
+        r_full.throughput, ra.throughput, rb.throughput
+    ):
+        np.testing.assert_allclose(
+            s_full, np.concatenate([s_a, s_b]), rtol=2e-4, atol=2e-5
+        )
