@@ -453,13 +453,26 @@ class SegmentDetector:
         # processed it (activation reads rows b and b+1, processing row b+1;
         # emission reads nothing)
         need = jnp.any(got | processed, axis=0)  # [S]
-        perm = jnp.argsort(
-            jnp.where(need, jnp.int32(0), jnp.int32(1)), stable=True
+        # needy-first stable compaction WITHOUT a sort: prefix-sum ranks
+        # give each slot its target position directly, and the inverse
+        # permutation is a one-hot matmul. Equivalent to the former
+        # stable argsort(where(need, 0, 1)) — but the TPU sort lowering
+        # measured +0.035 ms on the FULL step (it breaks the surrounding
+        # fusion cluster; tools/ablate28_tpu.py V0-V1), dwarfing the
+        # plan's own ~0.003 ms arithmetic.
+        n_need = jnp.sum(need.astype(jnp.int32))
+        rank_needy = jnp.cumsum(need.astype(jnp.int32)) - 1
+        rank_idle = n_need + jnp.cumsum((~need).astype(jnp.int32)) - 1
+        pos = jnp.where(need, rank_needy, rank_idle)  # [S] target position
+        onehot = (
+            pos[None, :] == jnp.arange(s, dtype=jnp.int32)[:, None]
+        ).astype(jnp.float32)  # [S, S], row p hits the slot placed at p
+        ids = jnp.dot(
+            onehot, jnp.arange(s, dtype=jnp.float32),
+            preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
-        overflow = jnp.maximum(
-            jnp.sum(need.astype(jnp.int32)) - jnp.int32(e), 0
-        )
-        return perm[:e], overflow
+        overflow = jnp.maximum(n_need - jnp.int32(e), 0)
+        return ids[:e], overflow
 
     def extract_plan_split(self, got, processed, wlog2_state):
         """Two-bucket compaction plan (extract_width_split configured).
@@ -479,16 +492,24 @@ class SegmentDetector:
         need = jnp.any(got | processed, axis=0)  # [S]
 
         def pick(mask, budget):
+            # sort-free compaction (see extract_plan): chosen slots go to
+            # position rank[s] in index order; unfilled rows get the
+            # sentinel S via the empty one-hot row
             rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
             chosen = mask & (rank < budget)
-            perm = jnp.argsort(
-                jnp.where(chosen, jnp.int32(0), jnp.int32(1)), stable=True
-            ).astype(jnp.int32)[:budget]
-            count = jnp.sum(chosen.astype(jnp.int32))
-            ids = jnp.where(
-                jnp.arange(budget, dtype=jnp.int32) < count, perm,
-                jnp.int32(s),
-            )
+            onehot = (
+                chosen[None, :]
+                & (rank[None, :]
+                   == jnp.arange(budget, dtype=jnp.int32)[:, None])
+            ).astype(jnp.float32)  # [budget, S]
+            hit = jnp.sum(onehot, axis=1)  # 1 if row filled else 0
+            ids = (
+                jnp.dot(
+                    onehot, jnp.arange(s, dtype=jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                + (1.0 - hit) * float(s)
+            ).astype(jnp.int32)
             return chosen, ids
 
         narrow_ok = need & (wlog2_state <= self.split_log2)

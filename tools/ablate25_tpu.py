@@ -63,9 +63,12 @@ def main():
         jnp.asarray(np.zeros((cfg.ovllen, 2), np.float32))
     )
 
-    # one real pass to obtain representative intermediates
+    # one real pass to obtain representative intermediates (no resume
+    # override: ov_flag=False leaves the recomputed reach-back row)
+    ov_rowf = jnp.zeros((cfg.blocksize, 2), jnp.float32)
+    ov_flag = jnp.bool_(False)
     out_s, pa_p, pa_e, seg_p, seg_k, spec_ext, _ = pipe._jit_front(
-        histf, xf_ext, jnp.int32(0)
+        histf, xf_ext, jnp.int32(0), ov_rowf, ov_flag
     )
     carry0 = pipe._jit_init()
     carry1, scans = pipe._jit_scan(carry0, pa_p, seg_k)
@@ -78,7 +81,7 @@ def main():
     results = {}
 
     def stage_a(c, xf, t):
-        outs = pipe._jit_front(histf, xf, jnp.int32(0))
+        outs = pipe._jit_front(histf, xf, jnp.int32(0), ov_rowf, ov_flag)
         # checksum-thread the big outputs so nothing is dead-code-eliminated
         return c, outs
 
