@@ -488,19 +488,31 @@ class FrequencyDomainChannelizer:
         the power matrices / pre-packed candidate rows and its own carry,
         never on the extraction outputs."""
         scans = {}
-        if self.power_bank:
-            carry_io["powact"], flags = self.power_bank.scan_flags(
-                pa_powers, carry_io["powact"]
-            )
-            scans["powact"] = flags
         # all segments' lifecycle scans fused into one Pallas kernel (one
-        # serial chain instead of len(segments) back-to-back ones); falls
-        # back to per-segment scans on the lax.scan backend
-        seg_scans = scan_slots_multi(
-            self.segments, [None] * len(self.segments),
-            [carry_io[f"seg{i}"] for i in range(len(self.segments))],
-            packed_list=seg_packed,
-        )
+        # serial chain instead of len(segments) back-to-back ones), with
+        # the powact hysteresis automaton riding the SAME invocation when
+        # backends allow (ablate28: the scan stage is launch/glue
+        # dominated); falls back to separate scans on the lax.scan backend
+        if self.power_bank and self.segments:
+            seg_scans, pa_result = scan_slots_multi(
+                self.segments, [None] * len(self.segments),
+                [carry_io[f"seg{i}"] for i in range(len(self.segments))],
+                packed_list=seg_packed,
+                powact=(self.power_bank, pa_powers, carry_io["powact"]),
+            )
+            carry_io["powact"], flags = pa_result
+            scans["powact"] = flags
+        else:
+            if self.power_bank:
+                carry_io["powact"], flags = self.power_bank.scan_flags(
+                    pa_powers, carry_io["powact"]
+                )
+                scans["powact"] = flags
+            seg_scans = scan_slots_multi(
+                self.segments, [None] * len(self.segments),
+                [carry_io[f"seg{i}"] for i in range(len(self.segments))],
+                packed_list=seg_packed,
+            )
         segs = []
         for i, sd in enumerate(self.segments):
             seg_state, (got, processed, emit_now, phase_used) = seg_scans[i]

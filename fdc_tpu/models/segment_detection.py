@@ -266,7 +266,9 @@ class SegmentDetector:
                 n_cand=k, r=r, delay=delay,
                 interpret=(backend == "pallas_interpret"),
             )
-            return self._free_tombstones(new_state), flags
+            # tombstones are freed IN-KERNEL (same semantics as
+            # _free_tombstones, which remains for the lax.scan path)
+            return new_state, flags
 
         # lax.scan reference path (see _packed_candidates for why the
         # candidate detection batches over [B, K] outside the scan)
@@ -635,7 +637,8 @@ class SegmentDetector:
         return new_state, outputs
 
 
-def scan_slots_multi(segments, powers, states, packed_list=None):
+def scan_slots_multi(segments, powers, states, packed_list=None,
+                     powact=None):
     """Fused lifecycle scans for multiple SegmentDetectors.
 
     Segments are independent automata (the reference runs one std::thread
@@ -654,17 +657,43 @@ def scan_slots_multi(segments, powers, states, packed_list=None):
     ``_packed_candidates``) skips the candidate detection — see
     :meth:`SegmentDetector.scan_slots`.
 
+    ``powact`` (optional, ``(bank, pa_powers, pa_state)``) fuses the
+    PowerActivationBank hysteresis automaton into the SAME kernel
+    invocation when every automaton resolves to the same Pallas backend
+    (the scan stage is launch/glue dominated — tools/ablate28_tpu.py);
+    otherwise the bank's own ``scan_flags`` runs separately, identical
+    semantics. With ``powact`` the return value becomes
+    ``(seg_results, (pa_new_state, pa_flags))``.
+
     Returns a list of (new_state, (activated, processed, emit,
     phase_used)) pairs, one per segment, flags [B, S_g] in scan order.
     """
     backends = {sd._resolved_backend() for sd in segments}
-    if len(segments) < 2 or backends - {"pallas", "pallas_interpret"}:
+    pa_fusable = False
+    if powact is not None:
+        bank, pa_powers, pa_state = powact
+        pb = bank.lifecycle_backend
+        if pb == "auto":
+            pb = "scan" if jax.default_backend() == "cpu" else "pallas"
+        # fuse only when ALL automata run the same Pallas flavor
+        pa_fusable = (
+            len(segments) >= 1
+            and (backends | {pb}) in ({"pallas"}, {"pallas_interpret"})
+        )
+
+    if len(segments) < 2 and not pa_fusable or (
+        backends - {"pallas", "pallas_interpret"}
+    ):
         if packed_list is None:
             packed_list = [None] * len(segments)
-        return [
+        seg_results = [
             sd.scan_slots(p, st, packed=pk)
             for sd, p, st, pk in zip(segments, powers, states, packed_list)
         ]
+        if powact is None:
+            return seg_results
+        return seg_results, bank.scan_flags(pa_powers, pa_state)
+
     from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle_multi
 
     if packed_list is not None:
@@ -677,14 +706,35 @@ def scan_slots_multi(segments, powers, states, packed_list=None):
         packed, ks = zip(
             *(sd._packed_candidates(p) for sd, p in zip(segments, powers))
         )
-    results = slot_lifecycle_multi(
+    kw = {}
+    if pa_fusable:
+        kw = dict(
+            powact={
+                "powers": pa_powers,
+                "lastpower": pa_state["lastpower"],
+                "active": pa_state["active"],
+                "phase": pa_state["phase"],
+                "delta": jnp.asarray(
+                    [g.delta_phase for g in bank.geometry], jnp.int32
+                ),
+            },
+            pa_r=bank.relinvovl,
+            pa_thresh=float(bank.thresh),
+        )
+    out = slot_lifecycle_multi(
         tuple(packed), tuple(states),
         n_cands=tuple(ks),
         rs=tuple(sd.relinvovl for sd in segments),
         delays=tuple(sd.deactivation_delay for sd in segments),
         interpret=("pallas_interpret" in backends),
+        **kw,
     )
-    return [
-        (sd._free_tombstones(ns), fl)
-        for sd, (ns, fl) in zip(segments, results)
-    ]
+    # tombstones are freed in-kernel; no host-side _free_tombstones pass
+    if pa_fusable:
+        seg_results, pa_result = out
+        return list(seg_results), pa_result
+    seg_results = list(out)
+    if powact is not None:
+        # segments fused, bank on a different backend: scan it separately
+        return seg_results, bank.scan_flags(pa_powers, pa_state)
+    return seg_results

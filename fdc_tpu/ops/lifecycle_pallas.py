@@ -45,6 +45,7 @@ def _lifecycle_kernel(
     rs: tuple,
     delays: tuple,
     chunk: int,
+    pa_r: int = None,
 ):
     """G-segment fused lifecycle kernel.
 
@@ -68,12 +69,25 @@ def _lifecycle_kernel(
     cwork_refs = refs[2 * g_n:3 * g_n]
     state_refs = refs[3 * g_n:4 * g_n]
     counters_ref = refs[4 * g_n]
-    o_states = refs[4 * g_n + 1:5 * g_n + 1]
-    o_counters = refs[5 * g_n + 1]
-    f_gots = refs[5 * g_n + 2:6 * g_n + 2]
-    f_procs = refs[6 * g_n + 2:7 * g_n + 2]
-    f_emits = refs[7 * g_n + 2:8 * g_n + 2]
-    f_pus = refs[8 * g_n + 2:9 * g_n + 2]
+    n_in = 4 * g_n + 1
+    if pa_r is not None:
+        # fused powact automaton (see the epilogue below): ratio edges,
+        # per-chunk work flags, [2, C] state rows (active, phase), delta
+        (rup_ref, rdn_ref, pa_cwork_ref, pa_state_ref, pa_delta_ref) = (
+            refs[n_in:n_in + 5]
+        )
+        n_in += 5
+    outs = refs[n_in:]
+    o_states = outs[0:g_n]
+    o_counters = outs[g_n]
+    f_gots = outs[g_n + 1:2 * g_n + 1]
+    f_procs = outs[2 * g_n + 1:3 * g_n + 1]
+    f_emits = outs[3 * g_n + 1:4 * g_n + 1]
+    f_pus = outs[4 * g_n + 1:5 * g_n + 1]
+    if pa_r is not None:
+        (o_pa_state, pa_rise, pa_fall, pa_proc, pa_pu) = (
+            outs[5 * g_n + 1:5 * g_n + 6]
+        )
 
     # Mosaic cannot legalize scf.for with vector loop-carries: the vector
     # state lives in the output refs (initialized below, mutated per
@@ -436,14 +450,93 @@ def _lifecycle_kernel(
     else:
         jax.lax.fori_loop(0, n_blocks, body, 0)
 
+    # -- step-end tombstone recycling (SegmentDetector._free_tombstones):
+    # emitted slots stay tombstoned for the whole batch (per-step-constant
+    # geometry for the batched extraction), then free HERE — saving the
+    # post-kernel fusion the host-side version cost. Geometry rows are
+    # left in place for the emitters' slot_meta reads.
+    for g in range(g_n):
+        act = o_states[g][0:1, :]
+        tmb = o_states[g][1:2, :]
+        o_states[g][0:1, :] = jnp.where(tmb != 0, 0, act)
+        o_states[g][1:2, :] = jnp.zeros_like(tmb)
+
+    # -- fused powact hysteresis automaton (identical op sequence to
+    # _powact_kernel): an independent automaton, so it simply runs after
+    # the segments' chain inside the SAME kernel invocation — one launch
+    # + one wrapper instead of two (the scans marginal was launch/glue
+    # dominated, tools/ablate28_tpu.py).
+    if pa_r is not None:
+        delta = pa_delta_ref[:]  # [1, C]
+        c_dim = delta.shape[1]
+        o_pa_state[:] = pa_state_ref[:]
+
+        def pa_body(i, _):
+            pa_active = o_pa_state[0:1, :] != 0
+            pa_phase = o_pa_state[1:2, :]
+            rise = ~pa_active & (rup_ref[pl.ds(i, 1), :] != 0)
+            fall = pa_active & (rdn_ref[pl.ds(i, 1), :] != 0)
+            processed = rise | pa_active
+            phase_used = jnp.where(rise, delta, pa_phase)
+            pa_phase = jnp.where(
+                rise,
+                (2 * delta) % pa_r,
+                jnp.where(processed, (pa_phase + delta) % pa_r, pa_phase),
+            )
+            pa_active = (pa_active | rise) & ~fall
+
+            row = pl.ds(i, 1)
+            pa_rise[row, :] = rise.astype(jnp.int32)
+            pa_fall[row, :] = fall.astype(jnp.int32)
+            pa_proc[row, :] = processed.astype(jnp.int32)
+            pa_pu[row, :] = phase_used
+            o_pa_state[0:1, :] = pa_active.astype(jnp.int32)
+            o_pa_state[1:2, :] = pa_phase
+            return 0
+
+        def pa_chunk(c, _):
+            rows = pl.ds(c * chunk, chunk)
+
+            @pl.when(pa_cwork_ref[c] == 0)
+            def _quiet():
+                # no edges in the chunk: activity constant, every active
+                # channel processes every block, phase += delta per block
+                pa_active = o_pa_state[0:1, :] != 0
+                phase0 = o_pa_state[1:2, :]
+                j = jax.lax.broadcasted_iota(jnp.int32, (chunk, c_dim), 0)
+                z = jnp.zeros((chunk, c_dim), jnp.int32)
+                pa_rise[rows, :] = z
+                pa_fall[rows, :] = z
+                pa_proc[rows, :] = jnp.broadcast_to(
+                    pa_active.astype(jnp.int32), (chunk, c_dim)
+                )
+                pa_pu[rows, :] = jnp.where(
+                    pa_active, (phase0 + j * delta) % pa_r, phase0
+                )
+                o_pa_state[1:2, :] = jnp.where(
+                    pa_active, (phase0 + chunk * delta) % pa_r, phase0
+                )
+
+            @pl.when(pa_cwork_ref[c] != 0)
+            def _edges():
+                jax.lax.fori_loop(c * chunk, (c + 1) * chunk, pa_body, 0)
+            return 0
+
+        if chunk > 1:
+            jax.lax.fori_loop(0, n_blocks // chunk, pa_chunk, 0)
+        else:
+            jax.lax.fori_loop(0, n_blocks, pa_body, 0)
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_cands", "rs", "delays", "chunk", "interpret"),
+    static_argnames=("n_cands", "rs", "delays", "chunk", "interpret",
+                     "pa_r", "pa_thresh"),
 )
 def slot_lifecycle_multi(
     cands, states,
     *, n_cands, rs, delays, chunk=32, interpret=False,
+    powact=None, pa_r=None, pa_thresh=None,
 ):
     """Run G segments' slot lifecycles over a batch in ONE kernel.
 
@@ -468,9 +561,22 @@ def slot_lifecycle_multi(
       states: tuple of G SegmentDetector slot-table dicts (init_state).
       n_cands/rs/delays: per-segment static config tuples.
       interpret: run in interpreter mode (CPU testing).
+      powact: optional dict {powers [B, C] f32, lastpower [C], active [C]
+        bool, phase [C] i32, delta [C] i32} — fuses the burst hysteresis
+        automaton (PowerActivationBank.scan_flags semantics) into the
+        SAME kernel invocation as a final independent chain; requires the
+        static pa_r (relinvovl) and pa_thresh (linear threshold). One
+        launch instead of two — the scan stage is launch/glue dominated
+        (tools/ablate28_tpu.py).
+
+    Tombstoned (emitted) slots are FREED in-kernel at step end — returned
+    states match SegmentDetector._free_tombstones applied to the raw scan
+    result (idempotent with the host-side version).
 
     Returns a tuple of G (new_state, (got, processed, emit, phase_used))
     pairs, flags [B, S_g] (scan-order layout, same as the lax.scan path).
+    With ``powact``, returns (that tuple, (pa_new_state, pa_flags)) where
+    pa_flags are [C, B] like powact_flags.
     """
     g_n = len(cands)
     nb = cands[0].shape[0]
@@ -526,18 +632,58 @@ def slot_lifecycle_multi(
         + (jax.ShapeDtypeStruct((3 * g_n,), jnp.int32),)
         + tuple(fl(s) for s in ss) * 4
     )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [vm] * g_n + [sm] * (2 * g_n) + [vm] * g_n + [sm]
+    out_specs = [vm] * g_n + [sm] + [vm] * (4 * g_n)
+
+    if powact is not None:
+        if pa_r is None or pa_thresh is None:
+            raise ValueError("powact requires static pa_r and pa_thresh")
+        # ratio edges batch-precompute OUTSIDE the kernel, identical to
+        # powact_flags (lastpower is always the previous block's power,
+        # reference: lib/PowerActivationChannel_impl.cc:286-306)
+        pw = powact["powers"].astype(jnp.float32)  # [B, C]
+        c_dim = pw.shape[1]
+        lastp = jnp.concatenate(
+            [powact["lastpower"].astype(jnp.float32)[None, :], pw[:-1]],
+            axis=0,
+        )
+        thr = jnp.float32(pa_thresh)
+        r_up = (pw / lastp >= thr).astype(jnp.int32)
+        r_dn = (lastp / pw >= thr).astype(jnp.int32)
+        if chunk > 1:
+            pa_cwork = jnp.max(
+                jnp.max(r_up | r_dn, axis=1).reshape(-1, chunk), axis=1
+            )
+        else:
+            pa_cwork = jnp.zeros((nb,), jnp.int32)  # unused, keeps arity
+        pa_state_rows = jnp.stack(
+            [
+                powact["active"].astype(jnp.int32),
+                powact["phase"].astype(jnp.int32),
+            ]
+        )  # [2, C]
+        pa_delta = powact["delta"].astype(jnp.int32).reshape(1, c_dim)
+        ins = ins + (r_up, r_dn, pa_cwork, pa_state_rows, pa_delta)
+        in_specs += [vm, vm, sm, vm, vm]
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((2, c_dim), jnp.int32),
+            fl(c_dim), fl(c_dim), fl(c_dim), fl(c_dim),
+        )
+        out_specs += [vm] * 5
+
     kernel = functools.partial(
         _lifecycle_kernel,
         n_blocks=nb, n_cands=tuple(n_cands), rs=tuple(rs),
         delays=tuple(delays), chunk=chunk,
+        pa_r=(pa_r if powact is not None else None),
     )
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vm] * g_n + [sm] * (2 * g_n) + [vm] * g_n + [sm],
-        out_specs=tuple([vm] * g_n + [sm] + [vm] * (4 * g_n)),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(*ins)
 
@@ -572,7 +718,22 @@ def slot_lifecycle_multi(
             f_pus[g],
         )
         results.append((new_state, flags))
-    return tuple(results)
+    if powact is None:
+        return tuple(results)
+
+    o_pa, pa_f_rise, pa_f_fall, pa_f_proc, pa_f_pu = outs[5 * g_n + 1:]
+    pa_new_state = {
+        "active": o_pa[0] != 0,
+        "lastpower": pw[-1],
+        "phase": o_pa[1],
+    }
+    pa_flags = (
+        (pa_f_rise != 0).T,  # [C, B], same convention as powact_flags
+        (pa_f_fall != 0).T,
+        (pa_f_proc != 0).T,
+        pa_f_pu.T,
+    )
+    return tuple(results), (pa_new_state, pa_flags)
 
 
 def slot_lifecycle(

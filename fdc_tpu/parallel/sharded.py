@@ -396,10 +396,6 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             else:
                 powers_local = pa.measure(spec, sq_local)  # [b_local, C]
             powers = _gather_time(powers_local, n_time)  # [B, C]
-            pa_state, (rise, fall, processed, phase_used) = pa.scan_flags(
-                powers, carry["powact"]
-            )
-            new_carry["powact"] = pa_state
             ext = {}
             for bucket, starts_r, wins_r in self._pa_unfused:
 
@@ -418,14 +414,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                     [pa_branch(s, w) for s, w in zip(starts_r, wins_r)],
                     spec_ext,
                 )
-            out["powact"] = {
-                "rise": rise,
-                "fall": fall,
-                "processed": processed,
-                "phase_used": phase_used,
-                # keep a leading per-shard axis so time shards concatenate
-                "extract": {w: v[:, None] for w, v in ext.items()},
-            }
+            pa_extract = {w: v[:, None] for w, v in ext.items()}
 
         # Segments are independent automata (the reference runs one
         # std::thread per segment, reference:
@@ -446,6 +435,7 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
         # are all-gathered — the scans' replicated work shrinks to the
         # lifecycle kernel itself, directly cutting the Amdahl L term of
         # the scaling model (PERFORMANCE.md).
+        pa_state = pa_flags = None  # set by the fused scan or separately
         seg_pl, seg_pk = [], []  # per-segment local powers / gathered cands
         for i, sd in enumerate(self.segments):
             if powers_fused is not None:
@@ -498,12 +488,37 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 )
                 for j, res in zip(idxs, grp):
                     seg_scans[j] = res
+        elif self.power_bank and self.segments:
+            # unsharded scans + a power bank: the powact automaton rides
+            # the same fused kernel invocation (scan_slots_multi powact=,
+            # ablate28: the scan stage is launch/glue dominated)
+            seg_scans, (pa_state, pa_flags) = scan_slots_multi(
+                self.segments, [None] * len(self.segments),
+                [carry[f"seg{i}"] for i in range(len(self.segments))],
+                packed_list=seg_pk,
+                powact=(self.power_bank, powers, carry["powact"]),
+            )
         else:
             seg_scans = scan_slots_multi(
                 self.segments, [None] * len(self.segments),
                 [carry[f"seg{i}"] for i in range(len(self.segments))],
                 packed_list=seg_pk,
             )
+        if self.power_bank:
+            if pa_state is None:
+                pa_state, pa_flags = self.power_bank.scan_flags(
+                    powers, carry["powact"]
+                )
+            new_carry["powact"] = pa_state
+            rise, fall, processed, phase_used = pa_flags
+            out["powact"] = {
+                "rise": rise,
+                "fall": fall,
+                "processed": processed,
+                "phase_used": phase_used,
+                # keep a leading per-shard axis so time shards concatenate
+                "extract": pa_extract,
+            }
         for i, sd in enumerate(self.segments):
             power_local = seg_pl[i]
             seg_state, (got, processed, emit_now, phase_used) = seg_scans[i]

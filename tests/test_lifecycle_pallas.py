@@ -411,3 +411,145 @@ def test_scan_slots_multi_cpu_fallback():
             np.testing.assert_array_equal(
                 np.asarray(ns_a[k]), np.asarray(ns_b[k])
             )
+
+
+# ---------------------------------------------------------------------------
+# powact automaton fused into the lifecycle kernel
+# ---------------------------------------------------------------------------
+
+
+def _random_pa(rng, c, nb):
+    powers = jnp.asarray(
+        np.exp(rng.normal(0, 2.0, (nb, c))).astype(np.float32)
+    )
+    state = {
+        "active": jnp.asarray(rng.random(c) < 0.5),
+        "lastpower": jnp.asarray(
+            np.exp(rng.normal(0, 2.0, c)).astype(np.float32)
+        ),
+        "phase": jnp.asarray(rng.integers(0, 4, c), jnp.int32),
+    }
+    return powers, state
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("nb", [24, 64])  # per-block and chunked paths
+def test_fused_powact_matches_separate(seed, nb):
+    """powact riding the multi-segment kernel == separate scan_flags +
+    per-segment scan_slots, bit-exact (nb=64 exercises the chunked quiet
+    path, nb=24 the per-block fallback)."""
+    rng = np.random.default_rng(seed)
+    shapes = [
+        dict(band=(0.05, 0.3), max_slots=16, max_candidates=8, delay=1),
+        dict(band=(0.3, 0.55), max_slots=8, max_candidates=4, delay=0),
+    ]
+    chans = [(0.2, 0.03), (0.45, 0.05), (0.7, 0.02), (0.85, 0.04)]
+    sds_scan = [make_detector_at("scan", **s) for s in shapes]
+    sds_pal = [make_detector_at("pallas_interpret", **s) for s in shapes]
+    pa_scan = PowerActivationBank(1024, 4, chans, 10.0, "scan")
+    pa_pal = PowerActivationBank(1024, 4, chans, 10.0, "pallas_interpret")
+
+    states = [random_state(sd, rng, occupancy=0.3) for sd in sds_scan]
+    powers = [random_power(sd, rng, nb=nb) for sd in sds_scan]
+    pa_powers, pa_state = _random_pa(rng, pa_scan.num_channels, nb)
+
+    ref = [
+        jax.jit(sd.scan_slots)(p, st)
+        for sd, p, st in zip(sds_scan, powers, states)
+    ]
+    pa_ref = jax.jit(pa_scan.scan_flags)(pa_powers, pa_state)
+
+    fused, pa_fused = scan_slots_multi(
+        sds_pal, powers, states, powact=(pa_pal, pa_powers, pa_state)
+    )
+
+    for g, ((ns_a, fl_a), (ns_b, fl_b)) in enumerate(zip(ref, fused)):
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+                err_msg=f"seg{g} state[{k}]",
+            )
+        for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                            fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"seg{g} {nm}"
+            )
+    ns_a, fl_a = pa_ref
+    ns_b, fl_b = pa_fused
+    for k in ns_a:
+        np.testing.assert_array_equal(
+            np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+            err_msg=f"pa state[{k}]",
+        )
+    for nm, a, b in zip(("rise", "fall", "proc", "pu"), fl_a, fl_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"pa {nm}"
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_powact_single_segment(seed):
+    """G=1 + powact fuses too (the flagship shape)."""
+    rng = np.random.default_rng(seed)
+    chans = [(0.3, 0.04)]
+    sd_scan = make_detector_at("scan", band=(0.55, 0.8))
+    sd_pal = make_detector_at("pallas_interpret", band=(0.55, 0.8))
+    pa_scan = PowerActivationBank(1024, 4, chans, 10.0, "scan")
+    pa_pal = PowerActivationBank(1024, 4, chans, 10.0, "pallas_interpret")
+
+    state = random_state(sd_scan, rng, occupancy=0.3)
+    power = random_power(sd_scan, rng, nb=64)
+    pa_powers, pa_state = _random_pa(rng, 1, 64)
+
+    ns_ref, fl_ref = jax.jit(sd_scan.scan_slots)(power, state)
+    pa_ref = jax.jit(pa_scan.scan_flags)(pa_powers, pa_state)
+
+    fused, pa_fused = scan_slots_multi(
+        [sd_pal], [power], [state], powact=(pa_pal, pa_powers, pa_state)
+    )
+    ((ns_b, fl_b),) = fused
+    for k in ns_ref:
+        np.testing.assert_array_equal(
+            np.asarray(ns_ref[k]), np.asarray(ns_b[k]),
+            err_msg=f"state[{k}]",
+        )
+    for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                        fl_ref, fl_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=nm)
+    for k in pa_ref[0]:
+        np.testing.assert_array_equal(
+            np.asarray(pa_ref[0][k]), np.asarray(pa_fused[0][k]),
+            err_msg=f"pa state[{k}]",
+        )
+    for nm, a, b in zip(("rise", "fall", "proc", "pu"),
+                        pa_ref[1], pa_fused[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=f"pa {nm}")
+
+
+def test_scan_slots_multi_powact_cpu_fallback():
+    """powact=(bank, ...) on the scan backend returns (segs, pa) via the
+    separate paths."""
+    rng = np.random.default_rng(5)
+    sds = [make_detector_at("scan", band=(0.05, 0.3))]
+    chans = [(0.2, 0.03), (0.7, 0.02)]
+    bank = PowerActivationBank(1024, 4, chans, 10.0, "scan")
+    states = [random_state(sd, rng) for sd in sds]
+    powers = [random_power(sd, rng) for sd in sds]
+    pa_powers, pa_state = _random_pa(rng, 2, 24)
+
+    ref_seg = [sd.scan_slots(p, st) for sd, p, st in zip(sds, powers, states)]
+    ref_pa = bank.scan_flags(pa_powers, pa_state)
+    segs, pa = scan_slots_multi(
+        sds, powers, states, powact=(bank, pa_powers, pa_state)
+    )
+    for (ns_a, _), (ns_b, _) in zip(ref_seg, segs):
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k])
+            )
+    for k in ref_pa[0]:
+        np.testing.assert_array_equal(
+            np.asarray(ref_pa[0][k]), np.asarray(pa[0][k])
+        )
