@@ -111,7 +111,10 @@ def main():
     for name, (rate, kw) in configs.items():
         t0 = time.time()
         fdc = FrequencyDomainChannelizer(ChannelizerConfig(**kw))
-        sps = measure_samples_per_sec(fdc, k=24)
+        # k=48: k=24 gave a ~19 ms timed window at the faster configs —
+        # below the >=25 ms dispatch-jitter floor (one k=24 run read
+        # cfg4 22% low; three k=48 repeats re-measured it in-family)
+        sps = measure_samples_per_sec(fdc, k=48)
         print(json.dumps({
             "config": name,
             "msps": round(sps / 1e6, 1),
