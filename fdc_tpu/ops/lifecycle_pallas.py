@@ -59,17 +59,20 @@ def _lifecycle_kernel(
 
     Ref layout (G = len(n_cands)): inputs are G candidate packs [B, 7K_g]
     (VMEM), G per-block work flags [B] (SMEM), G per-chunk work flags
-    (SMEM), G state packs [10, S_g] (VMEM), one counters vector [3G]
-    (SMEM: alloc/dropped/n_live per segment); outputs are G state packs,
-    the counters vector, then G x 4 flag arrays grouped by flag kind.
+    (SMEM), G per-chunk gap-safe probe flags (SMEM — the refresh-only
+    closed form's prefilter), G state packs [10, S_g] (VMEM), one
+    counters vector [3G] (SMEM: alloc/dropped/n_live per segment);
+    outputs are G state packs, the counters vector, then G x 4 flag
+    arrays grouped by flag kind.
     """
     g_n = len(n_cands)
     cand_refs = refs[0:g_n]
     work_refs = refs[g_n:2 * g_n]
     cwork_refs = refs[2 * g_n:3 * g_n]
-    state_refs = refs[3 * g_n:4 * g_n]
-    counters_ref = refs[4 * g_n]
-    n_in = 4 * g_n + 1
+    pwork_refs = refs[3 * g_n:4 * g_n]
+    state_refs = refs[4 * g_n:5 * g_n]
+    counters_ref = refs[5 * g_n]
+    n_in = 5 * g_n + 1
     if pa_r is not None:
         # fused powact automaton (see the epilogue below): ratio edges,
         # per-chunk work flags, [2, C] state rows (active, phase), delta
@@ -130,6 +133,19 @@ def _lifecycle_kernel(
         s = state_refs[g].shape[1]
         if s not in tri_ss:
             tri_ss[s] = _iota_mat(s, lambda a, b: a <= b)  # tri_s[a,b]=a<=b
+
+    # refresh-only closed-chunk constants (chunk > 1): per-delay banded
+    # window matrices (band[j, i] = j-delay <= i <= j, so band @ R counts
+    # refreshes in each block's look-back window) and the suffix-any
+    # matrix (suf[j, i] = i >= j, so suf @ R counts refreshes at or after
+    # each block — the trailing no-refresh run is its zero count)
+    bands, suf_mat = {}, None
+    if chunk > 1:
+        jj = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+        suf_mat = (ii >= jj).astype(jnp.float32)
+        for d in set(delays):
+            bands[d] = ((ii <= jj) & (ii >= jj - d)).astype(jnp.float32)
 
     def body(i, _):
         # Multi-segment blocks take ONE global 2-way branch: if no
@@ -225,92 +241,246 @@ def _lifecycle_kernel(
                 _lifecycle_block(g, i)
         return 0
 
+    def _idle_seg(g, rows):
+        s_dim = state_refs[g].shape[1]
+        z = jnp.zeros((chunk, s_dim), jnp.int32)
+        f_gots[g][rows, :] = z
+        f_procs[g][rows, :] = z
+        f_emits[g][rows, :] = z
+        f_pus[g][rows, :] = jnp.broadcast_to(
+            o_states[g][6:7, :], (chunk, s_dim)
+        )
+
+    def _age_seg(g, rows):
+        # Candidate-free chunk with live slots: aging is CLOSED FORM. A
+        # live slot entering with age a0 retires at in-chunk block
+        # j* = max(delay - a0, 0) (aged first, then emit when age >
+        # delay), processes blocks j < j*, and advances its phase once
+        # per processed block — all per-block flags and the end-of-chunk
+        # state are computable vectorized, so a carrier's dwell costs
+        # one serial iteration per chunk instead of one per block.
+        s_dim = state_refs[g].shape[1]
+        delay, r = delays[g], rs[g]
+        st = o_states[g][:]
+        active = st[0:1, :] != 0
+        tomb = st[1:2, :] != 0
+        phase0 = st[6:7, :]
+        phase_inc = st[7:8, :]
+        a0 = st[8:9, :]
+        live0 = active & ~tomb  # [1, S]
+        jstar = jnp.maximum(delay - a0, 0)  # [1, S]
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (chunk, s_dim), 0)
+        processed = live0 & (j < jstar)  # [chunk, S]
+        emit = live0 & (j == jstar)
+        phase_used = jnp.where(
+            live0,
+            (phase0 + jnp.minimum(j, jstar) * phase_inc) % r,
+            phase0,
+        )
+        f_gots[g][rows, :] = jnp.zeros((chunk, s_dim), jnp.int32)
+        f_procs[g][rows, :] = processed.astype(jnp.int32)
+        f_emits[g][rows, :] = emit.astype(jnp.int32)
+        f_pus[g][rows, :] = phase_used
+
+        retires = live0 & (jstar < chunk)
+        n_steps = jnp.minimum(jstar, chunk)  # processed blocks
+        o_states[g][1:2, :] = (tomb | retires).astype(jnp.int32)
+        o_states[g][6:7, :] = jnp.where(
+            live0, (phase0 + n_steps * phase_inc) % r, phase0
+        )
+        o_states[g][8:9, :] = jnp.where(
+            live0, a0 + jnp.minimum(jstar + 1, chunk), a0
+        )
+        o_counters[3 * g + 2] = jnp.sum(
+            (live0 & (jstar >= chunk)).astype(jnp.int32)
+        )
+
+    def _refresh_info(g, rows):
+        """Refresh matrix of a candidate-bearing chunk under the CURRENT
+        (chunk-constant) slot table, plus the fall-back predicate.
+
+        Candidate matching is per-block independent given a constant
+        table, so the whole chunk's first-match-consumes pass batches as
+        a static K-loop of [chunk, S] vector ops (reference semantics:
+        lib/SegmentDetection_impl.cc:246-288 per block). Returns
+        (refreshed [chunk, S] bool, bad scalar) where ``bad`` is True if
+        the chunk has ANY structural event — an unconsumed valid
+        candidate (allocation/drop) or an in-chunk retirement — in which
+        case the caller must walk the chunk per block.
+
+        Retirement test, exact: a live slot emits at in-chunk block j
+        iff its age exceeds delay there, i.e. no refresh in the look-back
+        window [j-delay, j] (banded matmul) AND j + a0 + 1 > delay (the
+        virtual pre-chunk refresh at index -(a0+1); for j > delay the
+        conjunct is vacuously true).
+        """
+        k = n_cands[g]
+        delay = delays[g]
+        s_dim = state_refs[g].shape[1]
+        st = o_states[g][:]
+        active = st[0:1, :] != 0
+        tomb = st[1:2, :] != 0
+        det_start = st[2:3, :]
+        det_stop = st[3:4, :]
+        a0 = st[8:9, :]
+        order = st[9:10, :]
+        live = active & ~tomb  # [1, S]
+
+        cpack = cand_refs[g][rows, :]  # [chunk, 7K]
+        refreshed = jnp.zeros((chunk, s_dim), jnp.int32) != 0
+        unconsumed = jnp.zeros((), jnp.int32) != 0
+        for kk in range(k):
+            cs_k = cpack[:, kk:kk + 1]                  # [chunk, 1]
+            ce_k = cpack[:, k + kk:k + kk + 1]
+            v_k = cpack[:, 2 * k + kk:2 * k + kk + 1] != 0
+            m_k = (
+                live & v_k & (cs_k < det_stop) & (ce_k >= det_start)
+            )  # [chunk, S]
+            consumed_k = jnp.any(m_k, axis=1, keepdims=True)  # [chunk, 1]
+            unconsumed = unconsumed | jnp.any(v_k & ~consumed_k)
+            order_m = jnp.where(m_k, order, _BIG)
+            min_o = jnp.min(order_m, axis=1, keepdims=True)  # [chunk, 1]
+            refreshed = refreshed | (m_k & (order == min_o))
+
+        rf = refreshed.astype(jnp.float32)
+        recent = jax.lax.dot_general(
+            bands[delay], rf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [chunk, S] refresh count in each block's look-back window
+        jcol = jax.lax.broadcasted_iota(jnp.int32, (chunk, s_dim), 0)
+        retire = live & (recent == 0.0) & (jcol + a0 + 1 > delay)
+        bad = unconsumed | jnp.any(retire)
+        return refreshed, bad
+
+    def _refresh_seg(g, rows, refreshed):
+        """Apply a refresh-only chunk in closed form: no allocation, no
+        retirement (guaranteed by _refresh_info's predicate), so flags
+        are got=0 / emit=0 / processed=live / phase trajectory, and the
+        only state changes are the phase advance and the age counters
+        (trailing no-refresh run per slot). ``refreshed`` is the probe's
+        [chunk, S] matrix, captured as a value — not recomputed."""
+        r = rs[g]
+        s_dim = state_refs[g].shape[1]
+        st = o_states[g][:]
+        active = st[0:1, :] != 0
+        tomb = st[1:2, :] != 0
+        phase0 = st[6:7, :]
+        phase_inc = st[7:8, :]
+        a0 = st[8:9, :]
+        live = active & ~tomb
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (chunk, s_dim), 0)
+        z = jnp.zeros((chunk, s_dim), jnp.int32)
+        f_gots[g][rows, :] = z
+        f_emits[g][rows, :] = z
+        f_procs[g][rows, :] = jnp.broadcast_to(
+            live.astype(jnp.int32), (chunk, s_dim)
+        )
+        f_pus[g][rows, :] = jnp.where(
+            live, (phase0 + j * phase_inc) % r, phase0
+        )
+        o_states[g][6:7, :] = jnp.where(
+            live, (phase0 + chunk * phase_inc) % r, phase0
+        )
+        # end-of-chunk age = trailing no-refresh run (suffix-any matmul);
+        # with no refresh at all it extends the incoming age instead
+        suffix_refs = jax.lax.dot_general(
+            suf_mat, refreshed.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [chunk, S] refresh count at or after each block
+        trailing = jnp.sum(
+            (suffix_refs == 0.0).astype(jnp.float32), axis=0, keepdims=True
+        ).astype(jnp.int32)  # [1, S]
+        any_ref = jnp.any(refreshed, axis=0, keepdims=True)
+        o_states[g][8:9, :] = jnp.where(
+            live, trailing + jnp.where(any_ref, 0, a0), a0
+        )
+        # live count unchanged (no allocation, no retirement)
+
     def chunk_body(c, _):
-        # Chunked idle fast path: a chunk of blocks with no valid
-        # candidates anywhere (in ANY segment) walks no blocks at all —
-        # each segment's flags and end-of-chunk state are closed form.
-        # Chunk-idleness is sound because live slots can only appear via
-        # an allocation, which needs a candidate: no work in the chunk +
-        # no live slots at its start ⇒ every block in it is idle. If any
-        # segment has work, the whole chunk walks per block and each
-        # segment takes its per-block branch (exact either way; a
-        # no-work segment then pays a cheap per-block store instead of
-        # its closed form).
+        # Chunked fast paths. A chunk of blocks with no valid candidates
+        # anywhere is closed form per segment (idle store, or closed-form
+        # aging when slots are live — sound because live slots only
+        # appear via an allocation, which needs a candidate). A chunk
+        # WITH candidates is still closed form when every segment's
+        # candidates only REFRESH existing slots (all consumed, no
+        # retirement: the steady busy case — a dwelling carrier re-detects
+        # every block): the first-match pass batches over the chunk under
+        # the chunk-constant table (_refresh_info). Only chunks with a
+        # STRUCTURAL event (allocation, drop, retirement) walk per block
+        # — the per-block branches of `body` keep those exact.
         any_work = cwork_refs[0][c] != 0
         for g in range(1, g_n):
             any_work = any_work | (cwork_refs[g][c] != 0)
         rows = pl.ds(c * chunk, chunk)
 
-        @pl.when(any_work)
-        def _scan_chunk():
-            jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
-
         @pl.when(jnp.logical_not(any_work))
         def _closed_chunk():
             for g in range(g_n):
-                s_dim = state_refs[g].shape[1]
                 live_in = o_counters[3 * g + 2] > 0
 
                 @pl.when(jnp.logical_not(live_in))
-                def _idle(g=g, s_dim=s_dim):
-                    z = jnp.zeros((chunk, s_dim), jnp.int32)
-                    f_gots[g][rows, :] = z
-                    f_procs[g][rows, :] = z
-                    f_emits[g][rows, :] = z
-                    f_pus[g][rows, :] = jnp.broadcast_to(
-                        o_states[g][6:7, :], (chunk, s_dim)
-                    )
+                def _idle(g=g):
+                    _idle_seg(g, rows)
 
                 @pl.when(live_in)
-                def _age_chunk(g=g, s_dim=s_dim):
-                    # Candidate-free chunk with live slots: aging is
-                    # CLOSED FORM. A live slot entering with age a0
-                    # retires at in-chunk block j* = max(delay - a0, 0)
-                    # (aged first, then emit when age > delay), processes
-                    # blocks j < j*, and advances its phase once per
-                    # processed block — all per-block flags and the
-                    # end-of-chunk state are computable vectorized, so a
-                    # carrier's dwell costs one serial iteration per
-                    # chunk instead of one per block.
-                    delay, r = delays[g], rs[g]
-                    st = o_states[g][:]
-                    active = st[0:1, :] != 0
-                    tomb = st[1:2, :] != 0
-                    phase0 = st[6:7, :]
-                    phase_inc = st[7:8, :]
-                    a0 = st[8:9, :]
-                    live0 = active & ~tomb  # [1, S]
-                    jstar = jnp.maximum(delay - a0, 0)  # [1, S]
+                def _age(g=g):
+                    _age_seg(g, rows)
 
-                    j = jax.lax.broadcasted_iota(
-                        jnp.int32, (chunk, s_dim), 0
-                    )
-                    processed = live0 & (j < jstar)  # [chunk, S]
-                    emit = live0 & (j == jstar)
-                    phase_used = jnp.where(
-                        live0,
-                        (phase0 + jnp.minimum(j, jstar) * phase_inc) % r,
-                        phase0,
-                    )
-                    f_gots[g][rows, :] = jnp.zeros(
-                        (chunk, s_dim), jnp.int32
-                    )
-                    f_procs[g][rows, :] = processed.astype(jnp.int32)
-                    f_emits[g][rows, :] = emit.astype(jnp.int32)
-                    f_pus[g][rows, :] = phase_used
+        # prefilter (SMEM scalars only, computed batched OUTSIDE the
+        # kernel): a has-work chunk whose candidate-free run exceeds
+        # delay is PROVABLY ineligible — any live slot ages past delay
+        # during the gap (no candidate ⇒ no refresh), and without live
+        # slots the candidates are unconsumed. Such chunks walk directly,
+        # so the probe's vector work is never spent on churny workloads
+        # (the Bernoulli-toggle bound measured a 2x scan REGRESSION with
+        # an unconditional probe).
+        hint = jnp.zeros((), jnp.int32) == 0  # True
+        for g in range(g_n):
+            hint = hint & (
+                (cwork_refs[g][c] == 0) | (pwork_refs[g][c] != 0)
+            )
 
-                    retires = live0 & (jstar < chunk)
-                    n_steps = jnp.minimum(jstar, chunk)  # processed blocks
-                    o_states[g][1:2, :] = (tomb | retires).astype(jnp.int32)
-                    o_states[g][6:7, :] = jnp.where(
-                        live0, (phase0 + n_steps * phase_inc) % r, phase0
-                    )
-                    o_states[g][8:9, :] = jnp.where(
-                        live0, a0 + jnp.minimum(jstar + 1, chunk), a0
-                    )
-                    o_counters[3 * g + 2] = jnp.sum(
-                        (live0 & (jstar >= chunk)).astype(jnp.int32)
-                    )
+        @pl.when(any_work & jnp.logical_not(hint))
+        def _walk_direct():
+            jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
+
+        @pl.when(any_work & hint)
+        def _busy_chunk():
+            # probe every segment (values — captured by the apply branch
+            # below, no recompute); bads of no-work segments are ignored
+            infos = [_refresh_info(g, rows) for g in range(g_n)]
+            ok = jnp.zeros((), jnp.int32) == 0  # True
+            for g in range(g_n):
+                has_w = cwork_refs[g][c] != 0
+                ok = ok & (
+                    jnp.logical_not(has_w) | jnp.logical_not(infos[g][1])
+                )
+
+            @pl.when(ok)
+            def _all_closed():
+                for g in range(g_n):
+                    has_w = cwork_refs[g][c] != 0
+                    live_in = o_counters[3 * g + 2] > 0
+
+                    @pl.when(has_w)
+                    def _refresh(g=g):
+                        _refresh_seg(g, rows, infos[g][0])
+
+                    @pl.when(jnp.logical_not(has_w)
+                             & jnp.logical_not(live_in))
+                    def _idle(g=g):
+                        _idle_seg(g, rows)
+
+                    @pl.when(jnp.logical_not(has_w) & live_in)
+                    def _age(g=g):
+                        _age_seg(g, rows)
+
+            @pl.when(jnp.logical_not(ok))
+            def _walk():
+                jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
         return 0
 
     def _lifecycle_block(g, i):
@@ -595,8 +765,31 @@ def slot_lifecycle_multi(
         chunk_works = tuple(
             jnp.max(hw.reshape(-1, chunk), axis=1) for hw in has_works
         )
+
+        def _gap_ok(hw, delay):
+            # per chunk: every in-chunk candidate-free run <= delay
+            # (⟺ every full window of delay+1 blocks has a candidate).
+            # Table-independent prefilter for the kernel's refresh-only
+            # closed form: a longer gap PROVES a structural event.
+            w = hw.reshape(-1, chunk)
+            if delay + 1 >= chunk:
+                return jnp.ones((w.shape[0],), jnp.int32)
+            cs = jnp.cumsum(w, axis=1)  # inclusive prefix counts
+            hi = cs[:, delay:]  # counts through block j, j >= delay
+            lo = jnp.concatenate(
+                [jnp.zeros((w.shape[0], 1), cs.dtype),
+                 cs[:, :chunk - delay - 1]],
+                axis=1,
+            )  # counts through block j - delay - 1
+            win = hi - lo  # candidates in [j-delay, j]
+            return jnp.all(win > 0, axis=1).astype(jnp.int32)
+
+        probe_works = tuple(
+            _gap_ok(hw, d) for hw, d in zip(has_works, delays)
+        )
     else:
         chunk_works = has_works  # unused by the kernel, keeps the arity
+        probe_works = has_works
 
     state_rows = tuple(
         jnp.stack(
@@ -622,7 +815,7 @@ def slot_lifecycle_multi(
         counters.append(
             jnp.sum((st["active"] & ~st["tomb"]).astype(jnp.int32))
         )
-    ins = cands + has_works + chunk_works + state_rows + (
+    ins = cands + has_works + chunk_works + probe_works + state_rows + (
         jnp.stack(counters),
     )
 
@@ -634,7 +827,7 @@ def slot_lifecycle_multi(
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [vm] * g_n + [sm] * (2 * g_n) + [vm] * g_n + [sm]
+    in_specs = [vm] * g_n + [sm] * (3 * g_n) + [vm] * g_n + [sm]
     out_specs = [vm] * g_n + [sm] + [vm] * (4 * g_n)
 
     if powact is not None:

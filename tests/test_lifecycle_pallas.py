@@ -553,3 +553,100 @@ def test_scan_slots_multi_powact_cpu_fallback():
         np.testing.assert_array_equal(
             np.asarray(ref_pa[0][k]), np.asarray(pa[0][k])
         )
+
+
+# ---------------------------------------------------------------------------
+# refresh-only closed-form chunks (event-driven fast path)
+# ---------------------------------------------------------------------------
+
+
+def _carrier_power(sd, nb, pattern, cell=6, width=3, level=2.0):
+    """[nb, n_cells] noise-floor powers with one carrier present on the
+    blocks where pattern[b] is truthy."""
+    nc = sd.geometry.n_cells
+    p = np.full((nb, nc), 1e-6, np.float32)
+    for b in range(nb):
+        if pattern[b % len(pattern)]:
+            p[b, cell:cell + width] += level
+    return jnp.asarray(p)
+
+
+@pytest.mark.parametrize("delay", [0, 1, 3])
+@pytest.mark.parametrize("pattern", [
+    (1,),            # carrier every block: refresh-only chunks
+    (1, 0),          # toggle: gap 1 (== delay boundary at delay=1)
+    (1, 0, 0),       # gap 2: retires at delay<=1, refresh-only at 3
+    (1, 1, 1, 1, 0, 0, 0, 0),  # dwell + silence crossing chunk state
+])
+def test_refresh_chunk_parity(delay, pattern):
+    """Deterministic dwell patterns around the refresh-only closed-form
+    chunk's eligibility boundaries (gap == delay keeps the slot, gap >
+    delay must fall back to the per-block walk and retire), bit-exact
+    vs the lax.scan reference over two 32-chunks + a carried step."""
+    sd_scan = make_detector_at("scan", band=(0.05, 0.5), delay=delay)
+    sd_pal = make_detector_at("pallas_interpret", band=(0.05, 0.5),
+                              delay=delay)
+    nb = 64
+    power = _carrier_power(sd_scan, nb, pattern)
+    st_a = sd_scan.init_state()
+    st_b = sd_pal.init_state()
+    # two steps: the second starts with carried ages/slots so chunk
+    # boundaries land mid-dwell
+    for step in range(2):
+        ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, st_a)
+        ns_b, fl_b = sd_pal.scan_slots(power, st_b)
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+                err_msg=f"step{step} delay{delay} {pattern} state[{k}]",
+            )
+        for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                            fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"step{step} delay{delay} {pattern} {nm}",
+            )
+        st_a, st_b = ns_a, ns_b
+
+
+@pytest.mark.parametrize("seed", list(range(6)))
+def test_refresh_chunk_fuzz(seed):
+    """Random dwell/gap patterns at random delays: alloc, refresh,
+    retire, and realloc churn across chunk boundaries, bit-exact."""
+    rng = np.random.default_rng(100 + seed)
+    delay = int(rng.integers(0, 4))
+    sd_scan = make_detector_at("scan", band=(0.05, 0.5), delay=delay)
+    sd_pal = make_detector_at("pallas_interpret", band=(0.05, 0.5),
+                              delay=delay)
+    nb = 64
+    nc = sd_scan.geometry.n_cells
+    p = np.full((nb, nc), 1e-6, np.float32)
+    for _ in range(3):  # carriers with random on/off runs
+        cell = int(rng.integers(2, nc - 8))
+        w = int(rng.integers(1, 5))
+        b = 0
+        on = bool(rng.integers(0, 2))
+        while b < nb:
+            run = int(rng.integers(1, 8))
+            if on:
+                p[b:b + run, cell:cell + w] += float(rng.random()) + 0.5
+            b += run
+            on = not on
+    power = jnp.asarray(p)
+    st_a = sd_scan.init_state()
+    st_b = sd_pal.init_state()
+    for step in range(2):
+        ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, st_a)
+        ns_b, fl_b = sd_pal.scan_slots(power, st_b)
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+                err_msg=f"seed{seed} step{step} state[{k}]",
+            )
+        for nm, a, b2 in zip(("got", "processed", "emit", "phase_used"),
+                             fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b2),
+                err_msg=f"seed{seed} step{step} {nm}",
+            )
+        st_a, st_b = ns_a, ns_b

@@ -58,11 +58,20 @@ def main():
     sds = fdc4.segments
 
     rng = np.random.default_rng(0)
-    # realistic powers: noise floor + a few strong cells toggling
+    # adversarial-churn bound: noise floor + a strong cell toggling
+    # RANDOMLY per block (Bernoulli 0.5 — retire/realloc every few
+    # blocks, the worst case for any chunked fast path)
     nc = sds[0].geometry.n_cells
     pow_host = (1e-6 * (1.0 + rng.random((B, nc)))).astype(np.float32)
     pow_host[:, 5] *= np.where(rng.random(B) > 0.5, 1e3, 1.0)
     powf = jax.device_put(jnp.asarray(pow_host))
+    # steady-dwell busy case: the carrier is PRESENT every block (a real
+    # burst re-detects for its whole dwell) — candidates refresh the same
+    # slot with no structural events, the refresh-only closed form's
+    # target workload
+    pow_dwell = (1e-6 * (1.0 + rng.random((B, nc)))).astype(np.float32)
+    pow_dwell[:, 5] *= 1e3
+    powf_dwell = jax.device_put(jnp.asarray(pow_dwell))
 
     def make_scan_step(k_segs):
         def step(carry, pw, t):
@@ -86,6 +95,11 @@ def main():
             perturb_arg=0,
         )
         results[f"scan_only_{k_segs}seg_ms"] = round(dt * 1e3, 4)
+        dt = time_scanned(
+            make_scan_step(k_segs), carry0, powf_dwell, k=96, repeats=15,
+            perturb_arg=0,
+        )
+        results[f"scan_dwell_{k_segs}seg_ms"] = round(dt * 1e3, 4)
     results["l_scan_marginal_ms"] = round(
         (results["scan_only_4seg_ms"] - results["scan_only_1seg_ms"]) / 3,
         4,
