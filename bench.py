@@ -44,8 +44,11 @@ def main():
     ap.add_argument("--batch-blocks", type=int, default=512)
     # each repeat is ~100 ms of device time vs minutes of (cached) compile;
     # the median over 5 still left the roofline with ~±7% spread, which
-    # dominates vs_baseline — 15 tightens it for ~1 s extra wall
-    ap.add_argument("--repeats", type=int, default=15)
+    # dominates vs_baseline — 15 tightened it, but the ratio of medians
+    # still swung 0.94-0.96 across same-day runs (each side's IQR ~±3%);
+    # 31 repeats halves the median's standard error again for ~2 s extra
+    # device time
+    ap.add_argument("--repeats", type=int, default=31)
     args = ap.parse_args()
 
     import os
