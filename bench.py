@@ -42,13 +42,13 @@ def main():
     # (one run read 3x slow at K=16 while fft_only was normal)
     ap.add_argument("--steps", type=int, default=48, help="K (timed as 2K-K)")
     ap.add_argument("--batch-blocks", type=int, default=512)
-    # each repeat is ~100 ms of device time vs minutes of (cached) compile;
-    # the median over 5 still left the roofline with ~±7% spread, which
-    # dominates vs_baseline — 15 tightened it, but the ratio of medians
-    # still swung 0.94-0.96 across same-day runs (each side's IQR ~±3%);
-    # 31 repeats halves the median's standard error again for ~2 s extra
-    # device time
-    ap.add_argument("--repeats", type=int, default=31)
+    # each repeat (round) is ~0.3 s of device time vs minutes of (cached)
+    # compile. History: 15 phased repeats swung vs_baseline 0.94-0.96
+    # across same-day runs; interleaving (time_scanned_paired) cancels
+    # slow drift, but the per-round dispatch jitter leaves the per-round
+    # ratio IQR at ~±2.5%, so the median of 31 rounds still carries ~±1%
+    # standard error — 63 rounds brings it to ~±0.7% for ~10 s extra
+    ap.add_argument("--repeats", type=int, default=63)
     args = ap.parse_args()
 
     import os
@@ -108,7 +108,7 @@ def run_bench(args):
     from fdc_tpu.ops.fft import forward_spectrum
     from fdc_tpu.ops.framing import frame_blocks
     from fdc_tpu.utils.cplx import c2f_host, f2c
-    from fdc_tpu.utils.profiling import time_scanned, time_scanned_stats
+    from fdc_tpu.utils.profiling import time_scanned_paired
 
     cfg = _flagship(batch_blocks=args.batch_blocks)
     fdc = FrequencyDomainChannelizer(cfg)
@@ -128,11 +128,6 @@ def run_bench(args):
         return fdc._device_step(
             carry, xf_in, t_idx * jnp.int32(cfg.batch_blocks)
         )
-
-    st_full = time_scanned_stats(
-        step_full, carry0, xf, k=args.steps, repeats=args.repeats
-    )
-    dt_full = st_full["median"]
 
     # -- roofline: framing + FFT + every consumer's windowing/IFFT ----------
     # detection slots at the CONFIGURED extraction budgets (the pipeline
@@ -209,11 +204,6 @@ def run_bench(args):
             )
         return nc, out
 
-    st_roof = time_scanned_stats(
-        step_roofline, carry0, xf, k=2 * args.steps, repeats=args.repeats
-    )
-    dt_roof = st_roof["median"]
-
     # -- FFT front-end alone (context, not the baseline denominator) --------
     def step_fft(carry, xf_in, t0):
         xx = f2c(xf_in)
@@ -223,9 +213,27 @@ def run_bench(args):
         nc["hist"] = hist
         return nc, [spec]
 
-    dt_fft = time_scanned(
-        step_fft, carry0, xf, k=4 * args.steps, repeats=args.repeats
+    # INTERLEAVED timing (one K/2K pair of each step per round): phased
+    # timing let slow tunnel drift land in the full/roofline RATIO, which
+    # swung 0.94-0.96 across same-day runs; vs_baseline is the median of
+    # per-round ratios, cancelling round-scale drift exactly
+    st_full, st_roof, st_fft = time_scanned_paired(
+        [
+            (step_full, carry0, (xf,), args.steps, 0),
+            (step_roofline, carry0, (xf,), 2 * args.steps, 0),
+            (step_fft, carry0, (xf,), 4 * args.steps, 0),
+        ],
+        repeats=args.repeats,
     )
+    dt_full = st_full["median"]
+    dt_roof = st_roof["median"]
+    dt_fft = st_fft["median"]
+
+    ratios = sorted(
+        rf / fl
+        for rf, fl in zip(st_roof["rounds"], st_full["rounds"])
+    )
+    nr = len(ratios)
 
     msps = n / dt_full / 1e6
     msps_roof = n / dt_roof / 1e6
@@ -235,16 +243,16 @@ def run_bench(args):
         "metric": "wideband_complex_Msamples_per_s_per_chip_4096fft_64ch",
         "value": round(msps, 3),
         "unit": "Msamples/s",
-        "vs_baseline": round(msps / msps_roof, 4),
+        "vs_baseline": round(ratios[nr // 2], 4),
         "roofline_msps": round(msps_roof, 1),
         "fft_only_msps": round(msps_fft, 1),
         "batch_blocks": cfg.batch_blocks,
         # spread of the per-step timing diffs (VERDICT r2 item 7): the
-        # tunnel drifts ±15% session-to-session, so the single median
+        # tunnel drifts ±15% session-to-session, so a single median
         # cannot separate drift from regression — the IQR (in Msamples/s,
         # [q75-time, q25-time] => [lo, hi]) makes it decidable from the
-        # JSON alone. vs_baseline_iqr pairs each side's quartiles
-        # conservatively (slow full / fast roofline, and vice versa).
+        # JSON alone. vs_baseline_iqr is the IQR of the per-round
+        # roofline/full ratios (interleaved rounds, drift-cancelled).
         "value_iqr": [
             round(n / st_full["q75"] / 1e6, 1),
             round(n / st_full["q25"] / 1e6, 1),
@@ -254,8 +262,8 @@ def run_bench(args):
             round(n / st_roof["q25"] / 1e6, 1),
         ],
         "vs_baseline_iqr": [
-            round(st_roof["q25"] / st_full["q75"], 4),
-            round(st_roof["q75"] / st_full["q25"], 4),
+            round(ratios[nr // 4], 4),
+            round(ratios[(3 * nr) // 4], 4),
         ],
         "timing_repeats": st_full["n"],
     }

@@ -23,6 +23,7 @@ __all__ = [
     "checksum",
     "time_scanned",
     "time_scanned_stats",
+    "time_scanned_paired",
     "measure_samples_per_sec",
 ]
 
@@ -137,6 +138,85 @@ def time_scanned_stats(
         "max": at(n - 1),
         "n": n,
     }
+
+
+def time_scanned_paired(specs, repeats: int = 15):
+    """Interleaved :func:`time_scanned_stats` over several step functions.
+
+    ``specs``: list of ``(step, carry, args_tuple, k, perturb_arg)``.
+    Timing rounds alternate ROUND-ROBIN across the specs (one K/2K pair
+    each per round) instead of timing each spec's repeats in a separate
+    phase — slow tunnel drift then lands equally in every spec's
+    samples, so RATIOS between specs (bench.py's vs_baseline) are far
+    more repeatable than ratios of independently-phased medians (which
+    swung 0.94–0.96 across same-day runs at 15 repeats).
+
+    Returns a list of stats dicts (fields of :func:`time_scanned_stats`)
+    plus ``"rounds"``: the per-round per-step diffs, index-aligned across
+    specs so callers can form per-round ratios (median-of-ratios cancels
+    round-scale drift exactly).
+    """
+
+    runs = []
+    for step, carry, args, k, perturb_arg in specs:
+        def make(kk, step=step, args=args, perturb_arg=perturb_arg):
+            @jax.jit
+            def run(c0):
+                def body(cs, t):
+                    c, s = cs
+                    pargs = list(args)
+                    if perturb_arg is not None:
+                        a = pargs[perturb_arg]
+                        pargs[perturb_arg] = a + (
+                            s * jnp.float32(1e-38)
+                        ).astype(a.dtype)
+                    c2, out = step(c, *pargs, t)
+                    val = checksum(out)
+                    return (c2, val), val
+
+                ts = jnp.arange(kk, dtype=jnp.int32)
+                (c_fin, _), sums = lax.scan(
+                    body, (c0, jnp.float32(0.0)), ts
+                )
+                return checksum(c_fin) + jnp.sum(sums)
+
+            return run
+
+        r1, r2 = make(k), make(2 * k)
+        # compile + post-compile warm-up pair (first timed dispatches
+        # after compilation routinely spike ~10 ms through the tunnel)
+        jax.block_until_ready(r1(carry))
+        jax.block_until_ready(r2(carry))
+        jax.block_until_ready(r1(carry))
+        jax.block_until_ready(r2(carry))
+        runs.append((r1, r2, carry, k))
+
+    n_rounds = max(repeats, 5)
+    rounds = [[] for _ in runs]
+    for _ in range(n_rounds):
+        for i, (r1, r2, carry, k) in enumerate(runs):
+            t0 = time.perf_counter()
+            jax.block_until_ready(r1(carry))
+            ta = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(r2(carry))
+            tb = time.perf_counter() - t0
+            rounds[i].append(max((tb - ta) / k, 1e-9))
+
+    out = []
+    for i in range(len(runs)):
+        diffs = sorted(rounds[i])
+        n = len(diffs)
+        out.append({
+            "median": diffs[n // 2],
+            "q25": diffs[n // 4],
+            "q75": diffs[(3 * n) // 4],
+            "min": diffs[0],
+            "max": diffs[n - 1],
+            "n": n,
+            "rounds": rounds[i],
+        })
+    return out
 
 
 def measure_samples_per_sec(channelizer, k: int = 8) -> float:

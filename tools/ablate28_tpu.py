@@ -103,13 +103,17 @@ def main():
 
         sd.extract_plan = plan_id
 
-    def stub_multi(segments, powers, states, packed_list=None):
+    def stub_multi(segments, powers, states, packed_list=None,
+                   powact=None):
         outs = []
         for sd, st in zip(segments, states):
             s = sd.max_slots
             z = jnp.zeros((B, s), bool)
             zi = jnp.zeros((B, s), jnp.int32)
             outs.append((st, (z, z, z, zi)))
+        if powact is not None:
+            bank, pa_powers, pa_state = powact
+            return outs, stub_flags(pa_powers, pa_state)
         return outs
 
     pa = fdc.power_bank
