@@ -591,6 +591,23 @@ class FrequencyDomainChannelizer:
     def batch_samples(self) -> int:
         return self.config.batch_blocks * self.config.inplen
 
+    def _new_result(self) -> "ProcessResult":
+        """Empty ProcessResult shell with per-channel/segment slots sized
+        for this config (shared by the streaming drivers here and in
+        parallel/pipeline.py)."""
+        return ProcessResult(
+            throughput=[
+                np.zeros(0, np.complex64)
+                for _ in range(
+                    self.throughput.num_channels if self.throughput else 0
+                )
+            ],
+            segment_power=[
+                np.zeros((0, sd.geometry.n_cells), np.float32)
+                for sd in self.segments
+            ],
+        )
+
     def reset(self):
         self._carry = None
         self._t0 = 0
@@ -625,14 +642,7 @@ class FrequencyDomainChannelizer:
         n_batches = len(x) // bs
         self._pending = x[n_batches * bs :]
 
-        result = ProcessResult(
-            throughput=[
-                np.zeros(0, np.complex64)
-                for _ in range(self.throughput.num_channels if self.throughput else 0)
-            ],
-            segment_power=[np.zeros((0, sd.geometry.n_cells), np.float32)
-                           for sd in self.segments],
-        )
+        result = self._new_result()
         dbg = []
         for i in range(n_batches):
             chunk = x[i * bs : (i + 1) * bs]
@@ -793,14 +803,7 @@ class FrequencyDomainChannelizer:
         bb = cfg.batch_blocks
         n_batches = spectra.shape[0] // bb
         self._pending_spec = spectra[n_batches * bb:]
-        result = ProcessResult(
-            throughput=[
-                np.zeros(0, np.complex64)
-                for _ in range(self.throughput.num_channels if self.throughput else 0)
-            ],
-            segment_power=[np.zeros((0, sd.geometry.n_cells), np.float32)
-                           for sd in self.segments],
-        )
+        result = self._new_result()
         dbg = []
         for i in range(n_batches):
             chunk = spectra[i * bb: (i + 1) * bb]

@@ -72,10 +72,11 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
     to the plain step's work split across three dispatches (same
     results, pointless — use the base class).
 
-    ``process_spectra`` falls back to the single-device step on the owner
-    (the pre-FFT'd mode has no framing tail to recompute the reach-back
-    row from; a vector-mode pipeline would need the previous batch's last
-    spectrum row shipped between workers).
+    ``process_spectra`` (the pre-FFT'd vector mode) pipelines the same
+    way: there is no framing tail to recompute the reach-back row from,
+    but none is needed — the HOST holds the input spectra, so each
+    batch ships with the previous batch's last spectrum row prepended
+    (exact, not recomputed) and stage A skips straight to extraction.
     """
 
     def __init__(self, config: Optional[ChannelizerConfig] = None,
@@ -126,6 +127,19 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
             return (out, pa_powers, pa_ext, seg_powers, seg_packed,
                     spec_ext, dbg)
 
+        def pipe_front_spec(spec_extf, t0):
+            # vector-mode stage A: the host prepends the previous batch's
+            # last spectrum row (it owns the input spectra), so there is
+            # no framing/FFT and no recomputation — row 0 is exact
+            spec_ext = f2c(spec_extf)  # [B+1, N]
+            spec = spec_ext[1:]
+            out, pa_powers, pa_ext, seg_powers, seg_packed = (
+                self._extract_static(spec, spec_ext, t0)
+            )
+            dbg = c2f(spec) if cfg.debug else 0
+            return (out, pa_powers, pa_ext, seg_powers, seg_packed,
+                    spec_ext, dbg)
+
         def pipe_scan(carry, pa_powers, seg_packed):
             carry = dict(carry)
             scans = self._scan_detections(carry, pa_powers, seg_packed)
@@ -135,6 +149,7 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
             return self._extract_slots_all(spec_ext, seg_states, plans)
 
         self._jit_front = jax.jit(pipe_front)
+        self._jit_front_spec = jax.jit(pipe_front_spec)
         self._jit_scan = jax.jit(pipe_scan)
         self._jit_slots = jax.jit(pipe_slots)
 
@@ -147,6 +162,11 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
         # checkpoints (see pipe_front)
         self._ov_row = np.zeros((cfg.blocksize, 2), np.float32)
         self._ov_flag = False
+        # vector-mode rolling state: the previous batch's last spectrum
+        # row (float pairs), prepended to the next batch as the exact
+        # reach-back row (carry['prev_spec'] is never advanced by the
+        # pipelined vector step — see _host_extra_state)
+        self._prev_specf = np.zeros((cfg.blocksize, 2), np.float32)
 
     def reset(self):
         super().reset()
@@ -154,52 +174,82 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
         self._tail = np.zeros(cfg.inplen + cfg.ovllen, np.complex64)
         self._ov_row = np.zeros((cfg.blocksize, 2), np.float32)
         self._ov_flag = False
+        self._prev_specf = np.zeros((cfg.blocksize, 2), np.float32)
 
     # -- checkpoint integration ---------------------------------------------
 
     def _host_extra_state(self) -> dict:
-        """Checkpoint hook: the pipeline's real framing state is the host
-        tail (carry['hist'] / carry['prev_spec'] are never advanced by
-        the pipelined step). Sync them INTO the carry so a plain or
-        sharded channelizer can resume this checkpoint bit-identically,
-        and save the tail so a pipeline can."""
+        """Checkpoint hook: the pipeline's real framing state is host-side
+        (the sample tail, or in vector mode the previous spectrum row);
+        carry['hist'] / carry['prev_spec'] are never advanced by the
+        pipelined steps. Sync them INTO the carry so a plain or sharded
+        channelizer can resume this checkpoint bit-identically, and save
+        the host state so a pipeline can."""
         cfg = self.config
         if self._carry is not None:
-            tailf = jnp.asarray(c2f_host(self._tail))
+            if self._spectra_mode:
+                # vector mode: the sample tail is meaningless (all zeros)
+                # — syncing from it would overwrite prev_spec with the
+                # spectrum of silence; the real reach-back row is the
+                # host-held _prev_specf
+                rowf = jnp.asarray(self._prev_specf)
 
-            @jax.jit
-            def sync(carry, tf):
-                t = f2c(tf)
-                carry = dict(carry)
-                carry["hist"] = t[-cfg.ovllen:]
-                # the tail is exactly the last processed block (see
-                # __init__ note), so its spectrum IS prev_spec
-                carry["prev_spec"] = forward_spectrum(
-                    t[None], use_mxu=cfg.use_mxu_fft
-                )[0]
-                return carry
+                @jax.jit
+                def sync_spec(carry, rf):
+                    carry = dict(carry)
+                    carry["prev_spec"] = f2c(rf)
+                    return carry
 
-            self._carry = sync(self._carry, tailf)
-        return {"pipeline_tail": self._tail.copy()}
+                self._carry = sync_spec(self._carry, rowf)
+            else:
+                tailf = jnp.asarray(c2f_host(self._tail))
+
+                @jax.jit
+                def sync(carry, tf):
+                    t = f2c(tf)
+                    carry = dict(carry)
+                    carry["hist"] = t[-cfg.ovllen:]
+                    # the tail is exactly the last processed block (see
+                    # __init__ note), so its spectrum IS prev_spec
+                    carry["prev_spec"] = forward_spectrum(
+                        t[None], use_mxu=cfg.use_mxu_fft
+                    )[0]
+                    return carry
+
+                self._carry = sync(self._carry, tailf)
+        return {
+            "pipeline_tail": self._tail.copy(),
+            "pipeline_prev_specf": self._prev_specf.copy(),
+        }
 
     def _restore_host_extra_state(self, extra: dict):
         cfg = self.config
         tail = extra.get("pipeline_tail")
+        row = extra.get("pipeline_prev_specf")
         if tail is not None:
             self._tail = np.asarray(tail, np.complex64)
+            self._prev_specf = (
+                np.asarray(row, np.float32)
+                if row is not None
+                # pre-row pipeline checkpoint: the saving side synced the
+                # carry, so the carried prev_spec is the exact row
+                else self._pack_host_row()["prev_spec"]
+            )
             self._ov_flag = False
             return
         # plain/sharded checkpoint: reconstruct what is reconstructible —
         # the tail's hist section comes from the carried hist (it frames
         # the first real block); the prev-block samples are unknown, so
         # the recomputed reach-back row would be wrong — override it with
-        # the carried prev_spec for the first post-resume batch (exact)
+        # the carried prev_spec for the first post-resume batch (exact).
+        # In vector mode the carried prev_spec IS the reach-back row.
         host = self._pack_host_row()
         self._tail = np.concatenate(
             [np.zeros(cfg.inplen, np.complex64), host["hist"]]
         )
         self._ov_row = host["prev_spec"]
         self._ov_flag = True
+        self._prev_specf = host["prev_spec"]
 
     def _pack_host_row(self):
         """Fetch carry hist (complex64) + prev_spec ([N, 2] float32) to
@@ -220,9 +270,65 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
 
     # -- pipelined streaming ----------------------------------------------------
 
-    def process(self, samples: np.ndarray):
-        from fdc_tpu.models.channelizer import ProcessResult
+    def _pipe_scan_extract(self, dev, pa_powers, seg_packed, spec_ext):
+        """Stages B and C for one batch: the owner's sequential scans on
+        the tiny powers/candidate rows, then slot extraction back on the
+        batch's worker under the owner's tables/plans."""
+        # stage B on the owner, in batch order (the serial chain)
+        pa_o = (
+            jax.device_put(pa_powers, self.owner)
+            if self.power_bank else None
+        )
+        # only the tiny pre-packed candidate rows travel to the owner
+        # (candidate detection already ran on the worker, stage A)
+        segk_o = [jax.device_put(p, self.owner) for p in seg_packed]
+        self._carry, scans = self._jit_scan(self._carry, pa_o, segk_o)
+        # stage C back on the worker
+        states_w = jax.device_put([st for st, _ in scans["segs"]], dev)
+        plans_w = jax.device_put(
+            [
+                {
+                    k: so[k]
+                    for k in ("slot_ids", "slot_ids_narrow")
+                    if k in so
+                }
+                for _, so in scans["segs"]
+            ],
+            dev,
+        )
+        extracts = self._jit_slots(spec_ext, states_w, plans_w)
+        return scans, extracts
 
+    def _consume_pipeline_batch(self, batch_parts, result, dbg):
+        """Reassemble one in-flight batch's stage outputs into the plain
+        step's `out` dict and fold it into the result (deferred, so the
+        host never blocks the pipeline on device completion)."""
+        cfg = self.config
+        (out_static, pa_ext, seg_powers, dbgb, scans, extracts,
+         t0_b) = batch_parts
+        out = dict(out_static)
+        if self.power_bank:
+            rise, fall, processed, phase_used = scans["powact"]
+            out["powact"] = {
+                "rise": rise,
+                "fall": fall,
+                "processed": processed,
+                "phase_used": phase_used,
+                "extract": pa_ext,
+            }
+        for i, ((_, so), eo, power) in enumerate(
+            zip(scans["segs"], extracts, seg_powers)
+        ):
+            so = dict(so)
+            so.update(eo)
+            so["power"] = power
+            out[f"seg{i}"] = so
+        if cfg.debug:
+            out["debug_spectrum"] = dbgb
+        self._consume_outputs(out, result, dbg, t0=t0_b)
+        result.blocks_processed += cfg.batch_blocks
+
+    def process(self, samples: np.ndarray):
         cfg = self.config
         if self._carry is None:
             self._carry = jax.device_put(self._jit_init(), self.owner)
@@ -234,45 +340,9 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
         n_batches = len(x) // bs
         self._pending = x[n_batches * bs:]
 
-        result = ProcessResult(
-            throughput=[
-                np.zeros(0, np.complex64)
-                for _ in range(
-                    self.throughput.num_channels if self.throughput else 0
-                )
-            ],
-            segment_power=[
-                np.zeros((0, sd.geometry.n_cells), np.float32)
-                for sd in self.segments
-            ],
-        )
+        result = self._new_result()
         dbg = []
         inflight = []
-
-        def consume(batch_parts):
-            (out_static, pa_ext, seg_powers, dbgb, scans, extracts,
-             t0_b) = batch_parts
-            out = dict(out_static)
-            if self.power_bank:
-                rise, fall, processed, phase_used = scans["powact"]
-                out["powact"] = {
-                    "rise": rise,
-                    "fall": fall,
-                    "processed": processed,
-                    "phase_used": phase_used,
-                    "extract": pa_ext,
-                }
-            for i, ((_, so), eo, power) in enumerate(
-                zip(scans["segs"], extracts, seg_powers)
-            ):
-                so = dict(so)
-                so.update(eo)
-                so["power"] = power
-                out[f"seg{i}"] = so
-            if cfg.debug:
-                out["debug_spectrum"] = dbgb
-            self._consume_outputs(out, result, dbg, t0=t0_b)
-            result.blocks_processed += cfg.batch_blocks
 
         for b in range(n_batches):
             chunk = x[b * bs: (b + 1) * bs]
@@ -298,34 +368,9 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
              spec_ext, dbgb) = self._jit_front(
                 histf, xf, jnp.int32(self._t0), ov_row, ov_flag
             )
-            # stage B on the owner, in batch order (the serial chain)
-            pa_o = (
-                jax.device_put(pa_powers, self.owner)
-                if self.power_bank else None
+            scans, extracts = self._pipe_scan_extract(
+                dev, pa_powers, seg_packed, spec_ext
             )
-            # only the tiny pre-packed candidate rows travel to the owner
-            # (candidate detection already ran on the worker, stage A)
-            segk_o = [
-                jax.device_put(p, self.owner) for p in seg_packed
-            ]
-            self._carry, scans = self._jit_scan(self._carry, pa_o, segk_o)
-            # stage C back on the worker: slot extraction under the
-            # owner's tables/plans
-            states_w = jax.device_put(
-                [st for st, _ in scans["segs"]], dev
-            )
-            plans_w = jax.device_put(
-                [
-                    {
-                        k: so[k]
-                        for k in ("slot_ids", "slot_ids_narrow")
-                        if k in so
-                    }
-                    for _, so in scans["segs"]
-                ],
-                dev,
-            )
-            extracts = self._jit_slots(spec_ext, states_w, plans_w)
 
             inflight.append(
                 (out_static, pa_ext, seg_powers, dbgb, scans, extracts,
@@ -333,14 +378,64 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
             )
             self._t0 += cfg.batch_blocks
             if len(inflight) >= self.window:
-                consume(inflight.pop(0))
+                self._consume_pipeline_batch(inflight.pop(0), result, dbg)
 
         while inflight:
-            consume(inflight.pop(0))
+            self._consume_pipeline_batch(inflight.pop(0), result, dbg)
         if dbg:
             result.debug_spectrum = np.concatenate(dbg)
         return result
 
     def process_spectra(self, spectra: np.ndarray):
-        # vector mode stays single-device on the owner (see class doc)
-        return super().process_spectra(spectra)
+        """Pipelined pre-FFT'd vector mode: same batch farm-out as
+        ``process``, minus framing/FFT. The host owns the input spectra,
+        so each batch ships to its worker with the previous batch's last
+        spectrum row prepended — the reach-back row is exact by
+        construction (no recompute, no carried-row override needed)."""
+        cfg = self.config
+        if self._carry is None:
+            self._carry = jax.device_put(self._jit_init(), self.owner)
+        self._spectra_mode = True
+        spectra = np.ascontiguousarray(spectra, np.complex64)
+        if spectra.ndim != 2 or spectra.shape[1] != cfg.blocksize:
+            raise ValueError(
+                f"spectra must be [B, {cfg.blocksize}], got {spectra.shape}"
+            )
+        if len(self._pending_spec):
+            spectra = np.concatenate([self._pending_spec, spectra])
+        bb = cfg.batch_blocks
+        n_batches = spectra.shape[0] // bb
+        self._pending_spec = spectra[n_batches * bb:]
+
+        result = self._new_result()
+        dbg = []
+        inflight = []
+
+        for b in range(n_batches):
+            chunk = spectra[b * bb: (b + 1) * bb]
+            dev = self.workers[b % len(self.workers)]
+            spec_extf = np.concatenate(
+                [self._prev_specf[None], c2f_host(chunk)]
+            )  # [B+1, N, 2]
+            self._prev_specf = spec_extf[-1]
+            sf = jax.device_put(spec_extf, dev)
+
+            (out_static, pa_powers, pa_ext, seg_powers, seg_packed,
+             spec_ext, dbgb) = self._jit_front_spec(sf, jnp.int32(self._t0))
+            scans, extracts = self._pipe_scan_extract(
+                dev, pa_powers, seg_packed, spec_ext
+            )
+
+            inflight.append(
+                (out_static, pa_ext, seg_powers, dbgb, scans, extracts,
+                 self._t0)
+            )
+            self._t0 += bb
+            if len(inflight) >= self.window:
+                self._consume_pipeline_batch(inflight.pop(0), result, dbg)
+
+        while inflight:
+            self._consume_pipeline_batch(inflight.pop(0), result, dbg)
+        if dbg:
+            result.debug_spectrum = np.concatenate(dbg)
+        return result

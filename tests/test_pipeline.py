@@ -119,6 +119,92 @@ def test_pipeline_dedicated_owner_matches():
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("n_devices", [1, 3, 8])
+def test_pipeline_process_spectra_matches(n_devices):
+    """Vector mode pipelines too: batches farm over workers with the
+    previous batch's last spectrum row prepended by the HOST (exact, no
+    recompute). Ragged chunk sizes exercise the row buffering."""
+    import dataclasses
+
+    cfg = config()
+    rng = np.random.default_rng(17)
+    x = make_signal(rng, 5 * cfg.batch_blocks * cfg.inplen)
+    dbg = FrequencyDomainChannelizer(dataclasses.replace(cfg, debug=True))
+    spec = dbg.process(x).debug_spectrum  # [5*B, N]
+
+    ref = FrequencyDomainChannelizer(cfg)
+    r_ref = ref.process_spectra(spec)
+    ev_ref = list(r_ref.events) + ref.flush().events
+
+    pipe = PipelineChannelizer(cfg, devices=jax.devices()[:n_devices])
+    ev_p, tp_p = [], [list() for _ in r_ref.throughput]
+    rows = spec.shape[0]
+    for lo, hi in ((0, 5), (5, 19), (19, rows)):  # ragged splits
+        r = pipe.process_spectra(spec[lo:hi])
+        ev_p.extend(r.events)
+        for i, s in enumerate(r.throughput):
+            tp_p[i].append(s)
+    fp = pipe.flush()
+    ev_p.extend(fp.events)
+    for i, s in enumerate(fp.throughput):
+        tp_p[i].append(s)
+
+    assert len(ev_ref) > 0, "test signal must trigger burst + detection"
+    assert_events_match(ev_ref, ev_p)
+    for a, b in zip(r_ref.throughput, [np.concatenate(s) for s in tp_p]):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("save_kind,load_kind", [
+    ("pipe", "plain"), ("plain", "pipe"), ("pipe", "pipe"),
+])
+def test_pipeline_spectra_checkpoint_cross_topology(
+    save_kind, load_kind, tmp_path
+):
+    """Checkpoint/resume in VECTOR mode across pipeline <-> plain: the
+    pipelined vector step never advances carry['prev_spec'] (the host
+    holds the reach-back row), so saving must sync the host row into the
+    carry — without it, a plain resume would see the spectrum of silence
+    as its reach-back row."""
+    import dataclasses
+
+    from fdc_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = config()
+    rng = np.random.default_rng(23)
+    x = make_signal(rng, 6 * cfg.batch_blocks * cfg.inplen)
+    dbg = FrequencyDomainChannelizer(dataclasses.replace(cfg, debug=True))
+    spec = dbg.process(x).debug_spectrum
+
+    def make(kind):
+        if kind == "pipe":
+            return PipelineChannelizer(cfg, devices=jax.devices()[:3])
+        return FrequencyDomainChannelizer(cfg)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    r_full = ref.process_spectra(spec)
+    ev_full = r_full.events + ref.flush().events
+    assert len(ev_full) > 0
+
+    half = 3 * cfg.batch_blocks
+    a = make(save_kind)
+    ra = a.process_spectra(spec[:half])
+    ck = str(tmp_path / "pipe_spec.ckpt")
+    save_checkpoint(a, ck)
+    b = make(load_kind)
+    load_checkpoint(b, ck)
+    rb = b.process_spectra(spec[half:])
+    resumed = ra.events + rb.events + b.flush().events
+
+    assert_events_match(ev_full, resumed)
+    for s_full, s_a, s_b in zip(
+        r_full.throughput, ra.throughput, rb.throughput
+    ):
+        np.testing.assert_allclose(
+            s_full, np.concatenate([s_a, s_b]), rtol=2e-4, atol=2e-5
+        )
+
+
 @pytest.mark.parametrize("save_kind,load_kind", [
     ("pipe", "pipe"), ("pipe", "plain"), ("plain", "pipe"),
 ])
