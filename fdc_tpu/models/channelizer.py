@@ -282,6 +282,7 @@ class FrequencyDomainChannelizer:
         # pre-FFT'd vector-mode buffer (process_spectra remainders)
         self._pending_spec = np.zeros((0, cfg.blocksize), np.complex64)
         self._spectra_mode = False  # which silence flavor flush() feeds
+        self._samples_mode = False  # process() has been used on this stream
 
         self._jit_step = jax.jit(self._device_step)
         self._jit_step_spectra = jax.jit(self._device_step_spectra)
@@ -616,6 +617,7 @@ class FrequencyDomainChannelizer:
             (0, self.config.blocksize), np.complex64
         )
         self._spectra_mode = False
+        self._samples_mode = False
 
     def _host_extra_state(self) -> dict:
         """Checkpoint hook: subclass-owned host state to snapshot (the
@@ -634,6 +636,18 @@ class FrequencyDomainChannelizer:
         stream_to_vector equivalent).
         """
         cfg = self.config
+        if self._spectra_mode:
+            # mixing the two entry points on one stream is documented
+            # unsupported (the sample front-end and its history are
+            # bypassed in vector mode); failing loudly here keeps a
+            # mixed-mode checkpoint from silently corrupting resume
+            # (the pipeline driver's host framing state is per-mode)
+            raise RuntimeError(
+                "process() called on a stream already driven by "
+                "process_spectra(); use one entry point per stream "
+                "(reset() starts a new one)"
+            )
+        self._samples_mode = True
         if self._carry is None:
             self._carry = self._jit_init()
 
@@ -790,6 +804,12 @@ class FrequencyDomainChannelizer:
         step (spectrum rows time-sharded, prev-spec ppermute handoff;
         results identical, pinned by tests/test_parallel.py)."""
         cfg = self.config
+        if self._samples_mode:
+            raise RuntimeError(
+                "process_spectra() called on a stream already driven by "
+                "process(); use one entry point per stream (reset() "
+                "starts a new one)"
+            )
         if self._carry is None:
             self._carry = self._jit_init()
         self._spectra_mode = True

@@ -133,6 +133,22 @@ class SegmentDetector:
             blocksize, seg_start, seg_stop, minchandist
         )
 
+        # K for edge DETECTION (0 = exact: every ratio position) vs K for
+        # the candidate PACK the lifecycle consumes. The greedy non-overlap
+        # acceptance bounds the survivors: every accepted interval [s, e)
+        # has e - s >= 2 (a rise and a fall cannot share a ratio index for
+        # thresh >= 1) and accepted intervals are disjoint within the
+        # n_cells - 1 ratio span, so at most (n_cells - 1) // 2 candidates
+        # are ever valid per block. Compacting them to the front
+        # (order-preserving) and truncating the pack to k_pack is therefore
+        # BIT-EXACT — and it is what keeps exact all-edges mode
+        # (max_candidates=0, reference lib/SegmentDetection_impl.cc:208-243)
+        # from paying kernel work quadratic in n_cells.
+        self.k_detect = self.max_candidates or (self.geometry.n_cells - 1)
+        self.k_pack = min(
+            self.k_detect, max(1, (self.geometry.n_cells - 1) // 2)
+        )
+
         # Window table for every power-of-2 width <= w_cap, phase-0 copies,
         # zero-padded to w_cap (reference builds all widths x all phases,
         # lib/SegmentDetection_impl.cc:551-583; phases factor out — see
@@ -210,12 +226,39 @@ class SegmentDetector:
         # K = n_cells - 1 covers ALL of them — identical semantics to the
         # reference's unbounded edge list
         # (reference: lib/SegmentDetection_impl.cc:208-243).
-        k = self.max_candidates or (g.n_cells - 1)
+        k = self.k_detect
         cand_s, cand_e, cand_v = jax.vmap(
             lambda p: detect_candidates(
                 p, self.thresh, k, zero_floor=self.vcm
             )
         )(power)  # each [B, K], cell coords
+        if True:
+            # compact accepted candidates to the front, order-preserving,
+            # ALWAYS — the greedy acceptance leaves invalid holes between
+            # accepted rows and the Pallas kernel's tier dispatch requires
+            # valid-first packs (its per-block k_eff body only reads the
+            # leading columns). Truncating to k_pack rows is bit-exact
+            # (see __init__: at most (n_cells - 1) // 2 survive the greedy
+            # acceptance). The one-hot contraction replaces a traced-index
+            # gather (slow TPU path); candidate values are small ints —
+            # exact in f32.
+            kp = self.k_pack
+            rank = jnp.cumsum(cand_v.astype(jnp.int32), axis=1) - 1  # [B, K]
+            onehot = (
+                (rank[:, None, :]
+                 == jnp.arange(kp, dtype=jnp.int32)[None, :, None])
+                & cand_v[:, None, :]
+            ).astype(jnp.float32)  # [B, kp, K]
+
+            def take(v):
+                return jnp.einsum(
+                    "bpk,bk->bp", onehot, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+
+            cand_s, cand_e = take(cand_s), take(cand_e)
+            cand_v = take(cand_v.astype(jnp.int32)) > 0
+            k = kp
         cand_s = cand_s * g.decimation + g.start  # -> bin coords
         cand_e = cand_e * g.decimation + g.start
         wl2, es, too_big = candidate_geometry(
@@ -252,7 +295,6 @@ class SegmentDetector:
         d_start = g.start
         delay = self.deactivation_delay
         thresh = self.thresh
-        k = self.max_candidates or (g.n_cells - 1)
         puffer = self.flank_puffer
 
         backend = self._resolved_backend()
@@ -260,10 +302,10 @@ class SegmentDetector:
             from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle
 
             if packed is None:
-                packed, k = self._packed_candidates(power)
+                packed, _ = self._packed_candidates(power)
             new_state, flags = slot_lifecycle(
                 packed, state,
-                n_cand=k, r=r, delay=delay,
+                n_cand=self.k_pack, r=r, delay=delay,
                 interpret=(backend == "pallas_interpret"),
             )
             # tombstones are freed IN-KERNEL (same semantics as
@@ -275,13 +317,16 @@ class SegmentDetector:
         if packed is not None:
             # pre-packed candidates (the time-sharded / pipeline callers
             # detect per block where the powers live): the first three
-            # column groups ARE (cand_s, cand_e, valid) in bin coords;
+            # column groups ARE (cand_s, cand_e, valid) in bin coords
+            # at the COMPACTED k_pack width (see _packed_candidates);
             # the geometry columns are re-derived by the scan body
             # (identical candidate_geometry arithmetic)
+            k = self.k_pack
             cand_s = packed[:, 0 * k:1 * k]
             cand_e = packed[:, 1 * k:2 * k]
             cand_v = packed[:, 2 * k:3 * k] != 0
         else:
+            k = self.k_detect
             cand_s, cand_e, cand_v = jax.vmap(
                 lambda p: detect_candidates(
                     p, thresh, k, zero_floor=self.vcm
@@ -698,10 +743,7 @@ def scan_slots_multi(segments, powers, states, packed_list=None,
 
     if packed_list is not None:
         packed = tuple(packed_list)
-        ks = tuple(
-            sd.max_candidates or (sd.geometry.n_cells - 1)
-            for sd in segments
-        )
+        ks = tuple(sd.k_pack for sd in segments)
     else:
         packed, ks = zip(
             *(sd._packed_candidates(p) for sd, p in zip(segments, powers))

@@ -124,17 +124,46 @@ def detect_edges(
     # (reference: lib/SegmentDetection_impl.cc:203-207) — so validity is
     # "> thresh", not isfinite.
     rise_strength = jnp.where(rise, ratio, -jnp.inf)
-    top_val, top_i = jax.lax.top_k(rise_strength, k_eff)  # [k_eff]
-    has_rise = top_val > jnp.float32(thresh)
-    # next_fall[top_i] as a one-hot matmul (traced-index gathers are a slow
-    # TPU path); sentinel clamped to n_r so the f32 accumulate stays exact
     nf_clamped = jnp.minimum(next_fall, n_r).astype(jnp.float32)
-    onehot = (
-        top_i[:, None] == jnp.arange(n_r, dtype=jnp.int32)[None, :]
-    ).astype(jnp.float32)
-    nf = jnp.dot(
-        onehot, nf_clamped, preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
+    if k_eff == n_r:
+        # exact all-edges mode: the "top k of k" is a FULL sort, and TPU
+        # sort ops break the surrounding fusion cluster (the same lesson
+        # as extract_plan's argsort, PERFORMANCE.md/ablate28). A total
+        # strength order over n_r elements is cheaper as a comparison
+        # matrix: rank_j = #{i stronger than j} (ties by lower index,
+        # exactly lax.top_k's stable order), then the permutation is a
+        # one-hot matmul — O(n_r^2) fully-vectorized elementwise work,
+        # no sort primitive.
+        s_i = rise_strength[:, None]  # compared-to
+        s_j = rise_strength[None, :]  # ranked
+        stronger = (s_i > s_j) | (
+            (s_i == s_j) & (idx[:, None] < idx[None, :])
+        )
+        rank = jnp.sum(stronger.astype(jnp.int32), axis=0)  # [n_r]
+        onehot = (
+            rank[None, :] == jnp.arange(n_r, dtype=jnp.int32)[:, None]
+        ).astype(jnp.float32)  # [k_eff, n_r] permutation, row p = rank p
+
+        def perm(v):
+            return jnp.dot(
+                onehot, v, preferred_element_type=jnp.float32
+            )
+
+        top_i = perm(idx.astype(jnp.float32)).astype(jnp.int32)
+        has_rise = perm(rise.astype(jnp.float32)) > 0.0
+        nf = perm(nf_clamped).astype(jnp.int32)
+    else:
+        top_val, top_i = jax.lax.top_k(rise_strength, k_eff)  # [k_eff]
+        has_rise = top_val > jnp.float32(thresh)
+        # next_fall[top_i] as a one-hot matmul (traced-index gathers are
+        # a slow TPU path); sentinel clamped to n_r so the f32
+        # accumulate stays exact
+        onehot = (
+            top_i[:, None] == jnp.arange(n_r, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        nf = jnp.dot(
+            onehot, nf_clamped, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
     has_pair = has_rise & (nf < n_r)
 
     cand_s = top_i.astype(jnp.int32)  # start cell (the low cell before rise)
@@ -188,11 +217,14 @@ def detect_candidates(
     )
 
     # greedy overlap rejection in strength order, exact reference test.
-    # Small K unrolls statically: candidate j only needs the accepted set
+    # K <= 64 unrolls statically: candidate j only needs the accepted set
     # so far, which lives in registers — the whole acceptance chain fuses
-    # into one kernel with no loop machinery. Large K (the exact
-    # all-edges mode on wide segments) keeps the lax.scan.
-    if k <= 16:
+    # into one kernel with no loop machinery (a lax.scan pays per-step
+    # while-loop overhead for ~3 tiny vector ops; at the flagship's
+    # exact-mode K=32 that overhead is most of the exact-vs-bounded step
+    # cost, tools/ablate31_tpu.py). Very large K (exact mode on
+    # pod-width segments) keeps the lax.scan.
+    if k <= 64:
         acc_v = jnp.zeros(k, bool)
         acc_s = jnp.where(has_pair, cand_s, 0)
         acc_e = jnp.where(has_pair, cand_e, 0)

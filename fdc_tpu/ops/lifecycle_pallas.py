@@ -18,9 +18,13 @@ design), every flag write needed an [S, S] identity-matmul transpose — four
 MXU round-trips per block on the kernel's serial chain. Rotated, only the
 candidate vectors need a transpose, and all seven (bins, validity, and the
 pre-computed geometry) are packed into ONE [1, 7K] row so it costs a single
-[7K, 7K] matmul per block. All "gather by index" steps are masked sums
-(each assignment matrix row/column has at most one hit), so the kernel
-needs no gathers or sorts.
+selection matmul per block — and because valid candidates arrive compacted
+to the pack front, that matmul (and the whole candidate side of the body)
+is statically TIERED by the block's actual valid count, so exact all-edges
+detection (max_candidates=0) does not pay K-proportional work on
+one-carrier blocks. All "gather by index" steps are masked sums (each
+assignment matrix row/column has at most one hit), so the kernel needs no
+gathers or sorts.
 """
 
 from __future__ import annotations
@@ -45,6 +49,7 @@ def _lifecycle_kernel(
     rs: tuple,
     delays: tuple,
     chunk: int,
+    ladders: tuple,
     pa_r: int = None,
 ):
     """G-segment fused lifecycle kernel.
@@ -57,22 +62,39 @@ def _lifecycle_kernel(
     kernels. G == 1 reproduces the original single-segment kernel
     byte-for-byte in behavior (same op sequence per segment).
 
+    TIERING: candidate packs arrive with valid candidates COMPACTED to
+    the front (SegmentDetector._packed_candidates), so a block whose
+    valid-candidate count is nv only needs the first nv candidate
+    columns — candidates beyond nv are invalid and contribute nothing
+    anywhere. ``ladders`` gives each segment a static ascending ladder
+    of candidate widths (last entry = K_g); per block the caller
+    provides a tier index t such that ladder_g[t] >= nv_g for every
+    segment, and the body/probe run statically specialized at
+    k_eff = ladder_g[t]. This keeps exact all-edges detection
+    (max_candidates=0) from paying the full-K body on every
+    candidate-bearing block: the usual one-or-two-carrier block runs the
+    smallest tier regardless of K.
+
     Ref layout (G = len(n_cands)): inputs are G candidate packs [B, 7K_g]
-    (VMEM), G per-block work flags [B] (SMEM), G per-chunk work flags
-    (SMEM), G per-chunk gap-safe probe flags (SMEM — the refresh-only
-    closed form's prefilter), G state packs [10, S_g] (VMEM), one
-    counters vector [3G] (SMEM: alloc/dropped/n_live per segment);
-    outputs are G state packs, the counters vector, then G x 4 flag
-    arrays grouped by flag kind.
+    (VMEM), G per-block valid-candidate counts [B] (SMEM), G per-chunk
+    max counts (SMEM), G per-chunk gap-safe probe flags (SMEM — the
+    refresh-only closed form's prefilter), the per-block tier index [B]
+    and per-chunk tier index (SMEM, global across segments), G state
+    packs [10, S_g] (VMEM), one counters vector [3G] (SMEM:
+    alloc/dropped/n_live per segment); outputs are G state packs, the
+    counters vector, then G x 4 flag arrays grouped by flag kind.
     """
     g_n = len(n_cands)
+    n_tiers = len(ladders[0])
     cand_refs = refs[0:g_n]
-    work_refs = refs[g_n:2 * g_n]
-    cwork_refs = refs[2 * g_n:3 * g_n]
+    work_refs = refs[g_n:2 * g_n]          # [B] valid counts
+    cwork_refs = refs[2 * g_n:3 * g_n]     # per-chunk max counts
     pwork_refs = refs[3 * g_n:4 * g_n]
-    state_refs = refs[4 * g_n:5 * g_n]
-    counters_ref = refs[5 * g_n]
-    n_in = 5 * g_n + 1
+    tier_blk_ref = refs[4 * g_n]
+    tier_chunk_ref = refs[4 * g_n + 1]
+    state_refs = refs[4 * g_n + 2:5 * g_n + 2]
+    counters_ref = refs[5 * g_n + 2]
+    n_in = 5 * g_n + 3
     if pa_r is not None:
         # fused powact automaton (see the epilogue below): ratio edges,
         # per-chunk work flags, [2, C] state rows (active, phase), delta
@@ -110,26 +132,38 @@ def _lifecycle_kernel(
         o_counters[j] = counters_ref[j]
 
     # loop-invariant constants, deduped across same-shaped segments:
-    # candidate row -> columns needs ONE [7K, 7K] transpose-by-matmul per
-    # block per segment (Mosaic only allows dynamic indices on the
-    # SUBLANE dim, so the per-block candidate load is a [1, 7K] row; the
-    # match matrix needs [K, 1] columns — static sublane slices of the
-    # transposed pack). Values are small ints — exact in f32. Prefix sums
-    # are triangular matmuls (Mosaic has no cumsum primitive).
+    # candidate row -> columns needs ONE transpose-by-matmul per block per
+    # segment (Mosaic only allows dynamic indices on the SUBLANE dim, so
+    # the per-block candidate load is a [1, 7K] row; the match matrix
+    # needs [K, 1] columns — static sublane slices of the transposed
+    # pack). A tier at k_eff < K uses a RECTANGULAR [7*k_eff, 7K]
+    # selection matrix that transposes AND compacts the leading k_eff
+    # columns of each of the 7 groups in one matmul — k_eff == K
+    # degenerates to the identity. Values are small ints — exact in f32.
+    # Prefix sums are triangular matmuls (Mosaic has no cumsum primitive).
     def _iota_mat(n, cmp):
         return cmp(
             jax.lax.broadcasted_iota(jnp.int32, (n, n), 0),
             jax.lax.broadcasted_iota(jnp.int32, (n, n), 1),
         ).astype(jnp.float32)
 
-    eyes, tri_ks, tri_ss = {}, {}, {}
+    def _sel_mat(k_eff, k_full):
+        a = jax.lax.broadcasted_iota(
+            jnp.int32, (7 * k_eff, 7 * k_full), 0
+        )
+        b = jax.lax.broadcasted_iota(
+            jnp.int32, (7 * k_eff, 7 * k_full), 1
+        )
+        return (b == (a // k_eff) * k_full + a % k_eff).astype(jnp.float32)
+
+    sels, tri_ks, tri_ss = {}, {}, {}
     for g in range(g_n):
-        kp = cand_refs[g].shape[1]  # 7 * K_g
-        if kp not in eyes:
-            eyes[kp] = _iota_mat(kp, lambda a, b: a == b)
-        k = n_cands[g]
-        if k not in tri_ks:
-            tri_ks[k] = _iota_mat(k, lambda a, b: b <= a)  # tri_k[a,b]=b<=a
+        k_full = n_cands[g]
+        for k in set(ladders[g]):
+            if (k, k_full) not in sels:
+                sels[(k, k_full)] = _sel_mat(k, k_full)
+            if k not in tri_ks:
+                tri_ks[k] = _iota_mat(k, lambda a, b: b <= a)  # b<=a
         s = state_refs[g].shape[1]
         if s not in tri_ss:
             tri_ss[s] = _iota_mat(s, lambda a, b: a <= b)  # tri_s[a,b]=a<=b
@@ -178,10 +212,19 @@ def _lifecycle_kernel(
                     f_emits[g][row, :] = z
                     f_pus[g][row, :] = o_states[g][6:7, :]
 
-            @pl.when(any_act)
-            def _all_full():
-                for g in range(g_n):
-                    _lifecycle_block(g, i)
+            # tier dispatch: one branch per ladder level; every segment
+            # runs its full body branchless at this tier's k_eff (see the
+            # hybrid note above — per-segment branches forfeit the
+            # cross-segment ILP, tier branches are mutually exclusive)
+            for t in range(n_tiers):
+                cond_t = any_act & (tier_blk_ref[i] == t)
+                if t == n_tiers - 1:
+                    cond_t = any_act & (tier_blk_ref[i] >= t)
+
+                @pl.when(cond_t)
+                def _all_full(t=t):
+                    for g in range(g_n):
+                        _lifecycle_block(g, i, ladders[g][t])
             return 0
         # Single segment: per-block 3-way branch. Idle fast path: a block
         # with no valid candidates and no live slots cannot change any
@@ -236,9 +279,14 @@ def _lifecycle_kernel(
                 o_states[g][8:9, :] = inactive
                 o_counters[3 * g + 2] = jnp.sum(processed.astype(jnp.int32))
 
-            @pl.when(has_cand)
-            def _full(g=g):
-                _lifecycle_block(g, i)
+            for t in range(n_tiers):
+                cond_t = has_cand & (tier_blk_ref[i] == t)
+                if t == n_tiers - 1:
+                    cond_t = has_cand & (tier_blk_ref[i] >= t)
+
+                @pl.when(cond_t)
+                def _full(g=g, t=t):
+                    _lifecycle_block(g, i, ladders[g][t])
         return 0
 
     def _idle_seg(g, rows):
@@ -296,14 +344,17 @@ def _lifecycle_kernel(
             (live0 & (jstar >= chunk)).astype(jnp.int32)
         )
 
-    def _refresh_info(g, rows):
+    def _refresh_info(g, rows, k_eff):
         """Refresh matrix of a candidate-bearing chunk under the CURRENT
         (chunk-constant) slot table, plus the fall-back predicate.
 
         Candidate matching is per-block independent given a constant
         table, so the whole chunk's first-match-consumes pass batches as
         a static K-loop of [chunk, S] vector ops (reference semantics:
-        lib/SegmentDetection_impl.cc:246-288 per block). Returns
+        lib/SegmentDetection_impl.cc:246-288 per block). ``k_eff`` bounds
+        the loop: valid candidates are compacted to the pack front, so a
+        tier with k_eff >= the chunk's max valid count is exact — the
+        skipped columns are invalid everywhere in the chunk. Returns
         (refreshed [chunk, S] bool, bad scalar) where ``bad`` is True if
         the chunk has ANY structural event — an unconsumed valid
         candidate (allocation/drop) or an in-chunk retirement — in which
@@ -330,7 +381,7 @@ def _lifecycle_kernel(
         cpack = cand_refs[g][rows, :]  # [chunk, 7K]
         refreshed = jnp.zeros((chunk, s_dim), jnp.int32) != 0
         unconsumed = jnp.zeros((), jnp.int32) != 0
-        for kk in range(k):
+        for kk in range(k_eff):
             cs_k = cpack[:, kk:kk + 1]                  # [chunk, 1]
             ce_k = cpack[:, k + kk:k + kk + 1]
             v_k = cpack[:, 2 * k + kk:2 * k + kk + 1] != 0
@@ -447,46 +498,66 @@ def _lifecycle_kernel(
         def _walk_direct():
             jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
 
-        @pl.when(any_work & hint)
-        def _busy_chunk():
-            # probe every segment (values — captured by the apply branch
-            # below, no recompute); bads of no-work segments are ignored
-            infos = [_refresh_info(g, rows) for g in range(g_n)]
-            ok = jnp.zeros((), jnp.int32) == 0  # True
-            for g in range(g_n):
-                has_w = cwork_refs[g][c] != 0
-                ok = ok & (
-                    jnp.logical_not(has_w) | jnp.logical_not(infos[g][1])
-                )
+        # probe tiers (see the kernel docstring): k_eff per segment from
+        # the per-chunk tier index — the probe's K-loop shrinks to the
+        # chunk's actual candidate population, which is what makes the
+        # refresh-only closed form pay off at pod-scale K
+        for t in range(n_tiers):
+            cond_t = any_work & hint & (tier_chunk_ref[c] == t)
+            if t == n_tiers - 1:
+                cond_t = any_work & hint & (tier_chunk_ref[c] >= t)
 
-            @pl.when(ok)
-            def _all_closed():
+            @pl.when(cond_t)
+            def _busy_chunk(t=t):
+                # probe every segment (values — captured by the apply
+                # branch below, no recompute); bads of no-work segments
+                # are ignored
+                infos = [
+                    _refresh_info(g, rows, ladders[g][t])
+                    for g in range(g_n)
+                ]
+                ok = jnp.zeros((), jnp.int32) == 0  # True
                 for g in range(g_n):
                     has_w = cwork_refs[g][c] != 0
-                    live_in = o_counters[3 * g + 2] > 0
+                    ok = ok & (
+                        jnp.logical_not(has_w)
+                        | jnp.logical_not(infos[g][1])
+                    )
 
-                    @pl.when(has_w)
-                    def _refresh(g=g):
-                        _refresh_seg(g, rows, infos[g][0])
+                @pl.when(ok)
+                def _all_closed():
+                    for g in range(g_n):
+                        has_w = cwork_refs[g][c] != 0
+                        live_in = o_counters[3 * g + 2] > 0
 
-                    @pl.when(jnp.logical_not(has_w)
-                             & jnp.logical_not(live_in))
-                    def _idle(g=g):
-                        _idle_seg(g, rows)
+                        @pl.when(has_w)
+                        def _refresh(g=g):
+                            _refresh_seg(g, rows, infos[g][0])
 
-                    @pl.when(jnp.logical_not(has_w) & live_in)
-                    def _age(g=g):
-                        _age_seg(g, rows)
+                        @pl.when(jnp.logical_not(has_w)
+                                 & jnp.logical_not(live_in))
+                        def _idle(g=g):
+                            _idle_seg(g, rows)
 
-            @pl.when(jnp.logical_not(ok))
-            def _walk():
-                jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
+                        @pl.when(jnp.logical_not(has_w) & live_in)
+                        def _age(g=g):
+                            _age_seg(g, rows)
+
+                @pl.when(jnp.logical_not(ok))
+                def _walk():
+                    jax.lax.fori_loop(
+                        c * chunk, (c + 1) * chunk, body, 0
+                    )
         return 0
 
-    def _lifecycle_block(g, i):
+    def _lifecycle_block(g, i, k_eff):
+        """One block's full lifecycle for segment g, statically
+        specialized at k_eff candidate columns (exact whenever k_eff >=
+        the block's valid count — compaction puts valid first, and every
+        candidate op below is masked by c_v)."""
         delay, r = delays[g], rs[g]
-        eye_p = eyes[cand_refs[g].shape[1]]
-        tri_k = tri_ks[n_cands[g]]
+        sel_p = sels[(k_eff, n_cands[g])]
+        tri_k = tri_ks[k_eff]
         tri_s = tri_ss[state_refs[g].shape[1]]
         alloc_counter = o_counters[3 * g + 0]
         dropped = o_counters[3 * g + 1]
@@ -503,11 +574,11 @@ def _lifecycle_kernel(
         order = st[9:10, :]
 
         pack = jax.lax.dot_general(
-            eye_p, cand_refs[g][pl.ds(i, 1), :].astype(jnp.float32),
+            sel_p, cand_refs[g][pl.ds(i, 1), :].astype(jnp.float32),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.int32)  # [7K, 1]
-        k = n_cands[g]
+        ).astype(jnp.int32)  # [7*k_eff, 1], groups compacted to k_eff
+        k = k_eff
         cs = pack[0 * k:1 * k, :]          # [K, 1] int32 (bin coords)
         ce = pack[1 * k:2 * k, :]
         c_v = pack[2 * k:3 * k, :] != 0    # [K, 1] bool
@@ -727,7 +798,11 @@ def slot_lifecycle_multi(
     Args:
       cands: tuple of G [B, 7K_g] int32 arrays — per block the
         concatenation of (cand_start_bin, cand_end_bin, valid, wlog2,
-        ext_start, ext_start % r, too_big), each [K_g], in that order.
+        ext_start, ext_start % r, too_big), each [K_g], in that order,
+        with VALID CANDIDATES COMPACTED TO THE FRONT of each group
+        (SegmentDetector._packed_candidates does this; the kernel's tier
+        dispatch relies on it — an uncompacted pack whose valid count
+        undercounts trailing valid columns would silently drop them).
       states: tuple of G SegmentDetector slot-table dicts (init_state).
       n_cands/rs/delays: per-segment static config tuples.
       interpret: run in interpreter mode (CPU testing).
@@ -752,19 +827,44 @@ def slot_lifecycle_multi(
     nb = cands[0].shape[0]
     ss = tuple(st["active"].shape[0] for st in states)
 
-    # per-block "any valid candidate" + incoming live-slot count feed the
-    # kernel's idle fast paths (both computed batched/off-chain here)
+    # per-block valid-candidate COUNTS feed the kernel's idle fast paths
+    # and the tier dispatch (all computed batched/off-chain here).
+    # Valid candidates are compacted to the pack front
+    # (SegmentDetector._packed_candidates), so a tier whose k_eff covers
+    # the count is exact.
     cands = tuple(c.astype(jnp.int32) for c in cands)
-    has_works = tuple(
-        jnp.any(c[:, 2 * k:3 * k] != 0, axis=1).astype(jnp.int32)
+    nvs = tuple(
+        jnp.sum((c[:, 2 * k:3 * k] != 0).astype(jnp.int32), axis=1)
         for c, k in zip(cands, n_cands)
     )  # each [B]
+    has_works = tuple((nv > 0).astype(jnp.int32) for nv in nvs)
+
+    # static tier ladders: ascending candidate widths per segment, last
+    # entry = K_g; all ladders padded to equal length (repeat K_g)
+    base_tiers = (2, 16)
+    ladders = [
+        [t for t in base_tiers if t < k] + [k] for k in n_cands
+    ]
+    n_tiers = max(len(lad) for lad in ladders)
+    ladders = tuple(
+        tuple(lad + [lad[-1]] * (n_tiers - len(lad))) for lad in ladders
+    )
+    # per-block tier index: smallest t with ladder_g[t] >= nv_g for
+    # every segment (= max over segments of each one's first-fit index)
+    tier_blk = jnp.zeros((nb,), jnp.int32)
+    for nv, lad in zip(nvs, ladders):
+        idx = jnp.zeros((nb,), jnp.int32)
+        for t in range(n_tiers - 1):
+            idx = idx + (nv > lad[t]).astype(jnp.int32)
+        tier_blk = jnp.maximum(tier_blk, idx)
+
     if nb % chunk != 0:
         chunk = 1  # odd batch sizes fall back to the per-block loop
     if chunk > 1:
         chunk_works = tuple(
-            jnp.max(hw.reshape(-1, chunk), axis=1) for hw in has_works
+            jnp.max(nv.reshape(-1, chunk), axis=1) for nv in nvs
         )
+        tier_chunk = jnp.max(tier_blk.reshape(-1, chunk), axis=1)
 
         def _gap_ok(hw, delay):
             # per chunk: every in-chunk candidate-free run <= delay
@@ -788,8 +888,9 @@ def slot_lifecycle_multi(
             _gap_ok(hw, d) for hw, d in zip(has_works, delays)
         )
     else:
-        chunk_works = has_works  # unused by the kernel, keeps the arity
+        chunk_works = nvs  # unused by the kernel, keeps the arity
         probe_works = has_works
+        tier_chunk = tier_blk
 
     state_rows = tuple(
         jnp.stack(
@@ -815,8 +916,9 @@ def slot_lifecycle_multi(
         counters.append(
             jnp.sum((st["active"] & ~st["tomb"]).astype(jnp.int32))
         )
-    ins = cands + has_works + chunk_works + probe_works + state_rows + (
-        jnp.stack(counters),
+    ins = (
+        cands + nvs + chunk_works + probe_works
+        + (tier_blk, tier_chunk) + state_rows + (jnp.stack(counters),)
     )
 
     fl = lambda s: jax.ShapeDtypeStruct((nb, s), jnp.int32)
@@ -827,7 +929,7 @@ def slot_lifecycle_multi(
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [vm] * g_n + [sm] * (3 * g_n) + [vm] * g_n + [sm]
+    in_specs = [vm] * g_n + [sm] * (3 * g_n + 2) + [vm] * g_n + [sm]
     out_specs = [vm] * g_n + [sm] + [vm] * (4 * g_n)
 
     if powact is not None:
@@ -869,7 +971,7 @@ def slot_lifecycle_multi(
     kernel = functools.partial(
         _lifecycle_kernel,
         n_blocks=nb, n_cands=tuple(n_cands), rs=tuple(rs),
-        delays=tuple(delays), chunk=chunk,
+        delays=tuple(delays), chunk=chunk, ladders=ladders,
         pa_r=(pa_r if powact is not None else None),
     )
     outs = pl.pallas_call(

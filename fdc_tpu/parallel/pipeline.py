@@ -330,6 +330,18 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
 
     def process(self, samples: np.ndarray):
         cfg = self.config
+        if self._spectra_mode:
+            # same contract as the base class: one entry point per
+            # stream. For the pipeline this is load-bearing — the host
+            # framing state (_tail vs _prev_specf) is per-mode, and a
+            # mixed-mode checkpoint would sync the wrong one into the
+            # carry and silently corrupt resume.
+            raise RuntimeError(
+                "process() called on a stream already driven by "
+                "process_spectra(); use one entry point per stream "
+                "(reset() starts a new one)"
+            )
+        self._samples_mode = True
         if self._carry is None:
             self._carry = jax.device_put(self._jit_init(), self.owner)
 
@@ -393,6 +405,12 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
         spectrum row prepended — the reach-back row is exact by
         construction (no recompute, no carried-row override needed)."""
         cfg = self.config
+        if self._samples_mode:
+            raise RuntimeError(
+                "process_spectra() called on a stream already driven by "
+                "process(); use one entry point per stream (reset() "
+                "starts a new one)"
+            )
         if self._carry is None:
             self._carry = jax.device_put(self._jit_init(), self.owner)
         self._spectra_mode = True
@@ -417,7 +435,9 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
             spec_extf = np.concatenate(
                 [self._prev_specf[None], c2f_host(chunk)]
             )  # [B+1, N, 2]
-            self._prev_specf = spec_extf[-1]
+            # .copy(): a bare view would keep the whole [B+1, N, 2] batch
+            # array alive between calls just to retain one row
+            self._prev_specf = spec_extf[-1].copy()
             sf = jax.device_put(spec_extf, dev)
 
             (out_static, pa_powers, pa_ext, seg_powers, seg_packed,

@@ -80,6 +80,7 @@ def save_checkpoint(fdc: "FrequencyDomainChannelizer", path: str):
         "pending": fdc._pending.copy(),
         "pending_spec": fdc._pending_spec.copy(),
         "spectra_mode": fdc._spectra_mode,
+        "samples_mode": fdc._samples_mode,
         "power_emitter": (
             fdc.power_emitter.get_state() if fdc.power_emitter else None
         ),
@@ -129,6 +130,16 @@ def load_checkpoint(fdc: "FrequencyDomainChannelizer", path: str):
         else np.zeros((0, fdc.config.blocksize), np.complex64)
     )
     fdc._spectra_mode = bool(state.get("spectra_mode", False))
+    # older checkpoints predate the mode-exclusivity guard: infer samples
+    # mode from "has processed or buffered samples and is not in vector
+    # mode" so a restored stream keeps rejecting mixed entry points
+    fdc._samples_mode = bool(
+        state.get(
+            "samples_mode",
+            not fdc._spectra_mode
+            and (fdc._t0 > 0 or len(fdc._pending) > 0),
+        )
+    )
     if state["power_emitter"] is not None:
         if fdc.power_emitter is None:
             raise ValueError("checkpoint has burst state but config has none")

@@ -650,3 +650,79 @@ def test_refresh_chunk_fuzz(seed):
                 err_msg=f"seed{seed} step{step} {nm}",
             )
         st_a, st_b = ns_a, ns_b
+
+
+# ---------------------------------------------------------------------------
+# exact all-edges mode + candidate compaction (round 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_accepted_candidate_bound(seed):
+    """The compaction proof: the greedy non-overlap acceptance never
+    accepts more than (n_cells - 1) // 2 candidates per block — every
+    accepted interval spans >= 2 cells (a rise and a fall cannot share a
+    ratio index) and accepted intervals are disjoint. Exercised with an
+    adversarial comb (alternating strong/weak cells == the densest
+    possible edge pattern) plus random churn."""
+    from fdc_tpu.ops.detect import detect_candidates
+
+    rng = np.random.default_rng(seed)
+    sd = make_detector_at("scan", band=(0.05, 0.5), max_candidates=0)
+    nc = sd.geometry.n_cells
+    bound = max(1, (nc - 1) // 2)
+    assert sd.k_pack == bound
+
+    combs = np.full((8, nc), 1e-6, np.float32)
+    combs[0, ::2] = 1.0                      # densest comb
+    combs[1, 1::2] = 1.0                     # shifted comb
+    combs[2, ::3] = 1.0
+    combs[3] = rng.random(nc) + 1e-6         # broadband churn
+    combs[4] = np.where(rng.random(nc) > 0.5, 1.0, 1e-6)
+    combs[5, : nc // 2 * 2].reshape(-1, 2)[:, 0] = 1e3  # strong comb
+    combs[6] = 10.0 ** rng.integers(-6, 3, nc)
+    combs[7, ::2] = 10.0 ** rng.integers(0, 4, nc // 2 + nc % 2)
+    _, _, cv = jax.vmap(
+        lambda p: detect_candidates(p, sd.thresh, sd.k_detect)
+    )(jnp.asarray(combs))
+    counts = np.asarray(cv).sum(axis=1)
+    assert counts.max() <= bound, (counts, bound)
+
+    # ... and the compacted pack preserves the accepted set in order
+    packed, kp = sd._packed_candidates(jnp.asarray(combs))
+    assert kp == bound
+    pk = np.asarray(packed)
+    assert (pk[:, 2 * kp:3 * kp].sum(axis=1) == counts).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_exact_mode_pallas_matches_scan(seed):
+    """max_candidates=0 (exact all-edges, the config default): Pallas
+    kernel == lax.scan reference across churny multi-carrier streams,
+    with the compacted pack + tier dispatch engaged (k_detect=n_cells-1,
+    k_pack=(n_cells-1)//2)."""
+    rng = np.random.default_rng(300 + seed)
+    sd_scan = make_detector_at("scan", band=(0.05, 0.6),
+                               max_candidates=0)
+    sd_pal = make_detector_at("pallas_interpret", band=(0.05, 0.6),
+                              max_candidates=0)
+    assert sd_scan.k_detect > sd_scan.k_pack > 2
+    state_a = random_state(sd_scan, rng, occupancy=0.4)
+    state_b = jax.tree.map(lambda x: x, state_a)
+    power = random_power(sd_scan, rng, nb=64, n_carriers=6)
+
+    for step in range(2):
+        ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, state_a)
+        ns_b, fl_b = sd_pal.scan_slots(power, state_b)
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+                err_msg=f"seed{seed} step{step} state[{k}]",
+            )
+        for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                            fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"seed{seed} step{step} {nm}",
+            )
+        state_a, state_b = ns_a, ns_b

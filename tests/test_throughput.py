@@ -189,3 +189,29 @@ def test_process_spectra_equals_process():
     for p, q in zip(ra.events, rb.events):
         assert p.blockstart == q.blockstart and p.blockend == q.blockend
         np.testing.assert_allclose(p.data, q.data, rtol=2e-4, atol=2e-5)
+
+
+def test_mixed_stream_modes_rejected():
+    """process() and process_spectra() on one stream is documented
+    unsupported — it must fail loudly (a mixed-mode checkpoint would
+    otherwise silently corrupt resume, ADVICE r3), and reset() starts a
+    fresh stream that accepts either mode again."""
+    import pytest as _pytest
+    from fdc_tpu.config import ChannelizerConfig
+    from fdc_tpu.models.channelizer import FrequencyDomainChannelizer
+
+    cfg = ChannelizerConfig(
+        blocksize=256, relinvovl=4,
+        throughput_channels=[(-0.2, 0.05)],
+        freqmode="basebandfs", batch_blocks=4,
+    )
+    fdc = FrequencyDomainChannelizer(cfg)
+    fdc.process(np.zeros(fdc.batch_samples, np.complex64))
+    with _pytest.raises(RuntimeError, match="process_spectra"):
+        fdc.process_spectra(np.zeros((4, 256), np.complex64))
+    fdc.reset()
+    fdc.process_spectra(np.zeros((4, 256), np.complex64))
+    with _pytest.raises(RuntimeError, match="process\\(\\)"):
+        fdc.process(np.zeros(fdc.batch_samples, np.complex64))
+    # flush in vector mode still works (feeds spectrum silence)
+    fdc.flush()
