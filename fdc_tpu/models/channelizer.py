@@ -516,33 +516,43 @@ class FrequencyDomainChannelizer:
             )
         segs = []
         for i, sd in enumerate(self.segments):
-            seg_state, (got, processed, emit_now, phase_used) = seg_scans[i]
+            seg_state, flags = seg_scans[i]
             carry_io[f"seg{i}"] = seg_state
-            so = {
-                "activated": got.T,
-                "processed": processed.T,
-                "emit": emit_now.T,
-                "phase_used": phase_used.T,
-                "slot_meta": {
-                    "ext_start": seg_state["ext_start"],
-                    "wlog2": seg_state["wlog2"],
-                    "order": seg_state["order"],
-                },
-            }
-            if sd.extract_width_split:
-                ids_n, ids_w, overflow = sd.extract_plan_split(
-                    got, processed, seg_state["wlog2"]
-                )
-                so["slot_ids"] = ids_w
-                so["slot_ids_narrow"] = ids_n
-                so["ext_overflow"] = overflow
-            else:
-                slot_ids, overflow = sd.extract_plan(got, processed)
-                so["slot_ids"] = slot_ids
-                so["ext_overflow"] = overflow
-            segs.append((seg_state, so))
+            segs.append((seg_state, self._seg_scan_outputs(sd, seg_state,
+                                                          flags)))
         scans["segs"] = segs
         return scans
+
+    @staticmethod
+    def _seg_scan_outputs(sd, seg_state, flags):
+        """Assemble one segment's scan-stage outputs (flags in host layout,
+        slot_meta snapshot, compaction plan) from its lifecycle scan
+        result. Shared by _scan_detections and the pipeline's multi-owner
+        scan dispatch (parallel/pipeline.py) so the two cannot drift."""
+        got, processed, emit_now, phase_used = flags
+        so = {
+            "activated": got.T,
+            "processed": processed.T,
+            "emit": emit_now.T,
+            "phase_used": phase_used.T,
+            "slot_meta": {
+                "ext_start": seg_state["ext_start"],
+                "wlog2": seg_state["wlog2"],
+                "order": seg_state["order"],
+            },
+        }
+        if sd.extract_width_split:
+            ids_n, ids_w, overflow = sd.extract_plan_split(
+                got, processed, seg_state["wlog2"]
+            )
+            so["slot_ids"] = ids_w
+            so["slot_ids_narrow"] = ids_n
+            so["ext_overflow"] = overflow
+        else:
+            slot_ids, overflow = sd.extract_plan(got, processed)
+            so["slot_ids"] = slot_ids
+            so["ext_overflow"] = overflow
+        return so
 
     def _extract_slots_all(self, spec_ext, seg_states, plans):
         """Detection-slot extraction for every segment, given the scan's

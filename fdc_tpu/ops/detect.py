@@ -181,6 +181,7 @@ def detect_candidates(
     thresh: float,
     max_candidates: int,
     zero_floor: bool = False,
+    greedy_unroll: int = 64,
 ):
     """Edge-detect carrier candidates in one block's decimated power spectrum.
 
@@ -217,24 +218,28 @@ def detect_candidates(
     )
 
     # greedy overlap rejection in strength order, exact reference test.
-    # K <= 64 unrolls statically: candidate j only needs the accepted set
+    # Small K unrolls statically: candidate j only needs the accepted set
     # so far, which lives in registers — the whole acceptance chain fuses
-    # into one kernel with no loop machinery (a lax.scan pays per-step
-    # while-loop overhead for ~3 tiny vector ops; at the flagship's
-    # exact-mode K=32 that overhead is most of the exact-vs-bounded step
-    # cost, tools/ablate31_tpu.py). Very large K (exact mode on
-    # pod-width segments) keeps the lax.scan.
-    if k <= 64:
+    # into one kernel with no loop machinery. Larger K keeps the lax.scan
+    # (``greedy_unroll`` is the threshold; tools/ablate31_tpu.py measures
+    # the crossover).
+    if k <= greedy_unroll:
+        # precompute the pairwise overlap matrix ONCE (fused elementwise);
+        # the unrolled recurrence then only carries the accept vector and
+        # each step is two ops (mask + any) plus a static one-hot OR —
+        # no dynamic-update-slice per candidate (halves the op count of
+        # the naive unroll, which showed up at exact-mode K=32;
+        # tools/ablate31_tpu.py)
+        ov = (cand_s[:, None] < cand_e[None, :]) & (
+            cand_e[:, None] >= cand_s[None, :]
+        )  # ov[j, i]: candidate j overlaps candidate i
+        eye = jnp.eye(k, dtype=bool)
         acc_v = jnp.zeros(k, bool)
-        acc_s = jnp.where(has_pair, cand_s, 0)
-        acc_e = jnp.where(has_pair, cand_e, 0)
         for j in range(k):
-            overlap = jnp.any(
-                acc_v & (cand_s[j] < acc_e) & (cand_e[j] >= acc_s)
-            )
-            acc_v = acc_v.at[j].set(has_pair[j] & ~overlap)
-        acc_s = jnp.where(acc_v, acc_s, 0)
-        acc_e = jnp.where(acc_v, acc_e, 0)
+            overlap = jnp.any(acc_v & ov[j])
+            acc_v = acc_v | (eye[j] & (has_pair[j] & ~overlap))
+        acc_s = jnp.where(acc_v, cand_s, 0)
+        acc_e = jnp.where(acc_v, cand_e, 0)
         return acc_s, acc_e, acc_v
 
     def scan_body(carry, x):

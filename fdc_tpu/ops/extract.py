@@ -41,10 +41,12 @@ __all__ = [
     "phase_table",
     "apply_phase",
     "apply_phase_pairs",
+    "phase_shifting_windowing",
     "gather_slices",
     "extract_bucket",
     "extract_bucket_phased",
     "extract_bucket_measured",
+    "measured_folded_matrix",
     "extract_dynamic",
 ]
 
@@ -96,6 +98,63 @@ def apply_phase_pairs(
     im = jnp.sum(onehot * jnp.sin(ang), axis=-1)[..., None, None]
     rot = jnp.flip(y, axis=-1) * jnp.asarray([-1.0, 1.0], y.dtype)
     return y * re + rot * im
+
+
+def phase_shifting_windowing(
+    x: jax.Array,
+    wintype,
+    blocklen: int,
+    relinvovl: int,
+    shifts: int,
+    passbw: float,
+    stopbw: float,
+    counter0: int = 0,
+    normalize: bool = False,
+):
+    """Standalone cycling-window multiply — the reference's user-wirable
+    phase_shifting_windowing_vcc block (reference:
+    include/FDC/phase_shifting_windowing_vcc.h:49,
+    lib/phase_shifting_windowing_vcc_impl.cc:73-85): vector i of the
+    stream is multiplied elementwise by the phase-``counter`` copy of the
+    window bank, with ``counter`` advancing by ``shifts`` (mod
+    relinvovl) per vector.
+
+    Inside the channelizer this op never appears as-is — every phase copy
+    is the base window times a scalar e^{j*2pi*p/R} (see the module
+    docstring), so the hot paths factor the phases into scalars/matrix
+    folds. This entry point exists for users who wired the block directly.
+
+    Args:
+      x: [..., B, blocklen] complex vectors.
+      wintype/passbw/stopbw/normalize: window parameters
+        (:func:`fdc_tpu.ops.windows.window_bank` semantics).
+      relinvovl: number of phase states R.
+      shifts: counter increment per vector (negatives allowed, as in the
+        reference's ``((shifts % R) + R) % R``).
+      counter0: starting phase counter (the reference starts at 0; pass
+        the previous call's returned counter to continue a stream).
+
+    Returns (y, counter_end): the windowed vectors and the counter to
+    pass as ``counter0`` for the next batch.
+    """
+    from fdc_tpu.ops.windows import base_window
+
+    if x.shape[-1] != blocklen:
+        raise ValueError(
+            f"vectors are {x.shape[-1]} long, expected blocklen={blocklen}"
+        )
+    shift = ((shifts % relinvovl) + relinvovl) % relinvovl
+    b = x.shape[-2]
+    w_d = jnp.asarray(
+        base_window(wintype, blocklen, passbw, stopbw, normalize),
+        jnp.float32,
+    )
+    counters = (
+        jnp.int32(counter0)
+        + jnp.int32(shift) * jnp.arange(b, dtype=jnp.int32)
+    ) % relinvovl
+    y = apply_phase(x * w_d.astype(x.dtype), counters, relinvovl)
+    return y, int((counter0 + shift * b) % relinvovl)
 
 
 def gather_slices(spectrum: jax.Array, starts: jax.Array, width: int) -> jax.Array:
@@ -159,8 +218,23 @@ def _fold_phase_enabled() -> bool:
     return val == "1"
 
 
+def _fused_interpret() -> bool:
+    """Test-only knob: ``FDC_TPU_FUSED_INTERPRET=1`` lets the fused Pallas
+    extraction kernels engage OFF the TPU backend, running in Pallas
+    interpreter mode. This is how the CPU-mesh tests exercise the
+    multi-chan fused-measures integration (the engagement gates are
+    otherwise TPU-only, so a virtual mesh would silently test the XLA
+    fallback instead). Never set in production."""
+    val = os.environ.get("FDC_TPU_FUSED_INTERPRET", "0").strip()
+    if val not in ("0", "1"):
+        raise ValueError(
+            f"FDC_TPU_FUSED_INTERPRET={val!r}: must be '0' or '1'"
+        )
+    return val == "1"
+
+
 def _shared_fused_matrix(
-    spectrum, starts, base_windows, l, keep_from, gain, fold_phase_r=0
+    n, starts, base_windows, l, keep_from, gain, fold_phase_r=0
 ):
     """Decide whether the fused shared-matrix Pallas kernel can engage,
     and build its folded window+IDFT matrix if so.
@@ -169,18 +243,21 @@ def _shared_fused_matrix(
     windows AND starts) on the TPU backend within the kernel's VMEM
     budget; with ``fold_phase_r`` set, additionally R in {1, 2, 4} with
     the kernel's block tile a multiple of R (the quarter-turn fold's
-    row-group pattern must align to tiles). Returns the [2l, 2k] float32
-    matrix, or None when the caller must take a fallback path. The single
-    decision point for both :func:`extract_bucket` and
-    :func:`extract_bucket_phased` — keep the gates and the fold layout
-    here so the two entry points cannot drift.
+    row-group pattern must align to tiles). ``n`` is the spectrum width
+    (the gate is shape-only, so callers that need the decision BEFORE
+    tracing — e.g. ShardedChannelizer's rank-uniformity check — can
+    evaluate it at build time). Returns the [2l, 2k] float32 matrix, or
+    None when the caller must take a fallback path. The single decision
+    point for :func:`extract_bucket`, :func:`extract_bucket_phased` and
+    :func:`extract_bucket_measured` — keep the gates and the fold layout
+    here so the entry points cannot drift.
     """
     if _fused_mode() in ("off", "static"):
         return None
     if not (
         isinstance(base_windows, np.ndarray)
         and isinstance(starts, np.ndarray)
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or _fused_interpret())
         and (base_windows == base_windows[:1]).all()
     ):
         return None
@@ -197,8 +274,34 @@ def _shared_fused_matrix(
         np.concatenate([base_windows[0], base_windows[0]])[:, None] * m
     ).astype(np.float32)  # [2l, 2k]
     if (
+        fused_shared_vmem_bytes(len(starts), l, folded_sh.shape[1], n)
+        > _VMEM_BUDGET
+    ):
+        return None
+    return folded_sh
+
+
+def measured_folded_matrix(n, starts, base_windows, l, keep_from, gain,
+                           n_masks):
+    """The engagement gate of :func:`extract_bucket_measured`, evaluable
+    from shapes alone (``n`` = spectrum width, ``n_masks`` = measure-mask
+    columns): returns the folded matrix when the shared kernel + in-kernel
+    measures fit, else None. ShardedChannelizer uses this at build time to
+    check that EVERY chan rank's branch engages — lax.switch branches must
+    agree on whether a powers leaf exists."""
+    folded_sh = _shared_fused_matrix(
+        n, starts, base_windows, l, keep_from, gain
+    )
+    if folded_sh is None:
+        return None
+    from fdc_tpu.ops.extract_pallas import (
+        _TB_SHARED, _VMEM_BUDGET, fused_shared_vmem_bytes,
+    )
+
+    if (
         fused_shared_vmem_bytes(
-            len(starts), l, folded_sh.shape[1], spectrum.shape[1]
+            len(starts), l, folded_sh.shape[1], n,
+            tb=_TB_SHARED, n_masks=n_masks,
         )
         > _VMEM_BUDGET
     ):
@@ -253,7 +356,7 @@ def extract_bucket(
         if (
             pairs
             and isinstance(starts, np.ndarray)
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or _fused_interpret())
         ):
             # fully static bucket on TPU: fused Pallas slice+matmul keeps
             # the spectrum tile in VMEM — no gathered-slice or planar
@@ -264,11 +367,12 @@ def extract_bucket(
             )
 
             folded_sh = _shared_fused_matrix(
-                spectrum, starts, base_windows, l, keep_from, gain
+                spectrum.shape[1], starts, base_windows, l, keep_from, gain
             )
             if folded_sh is not None:
                 return fused_extract_shared(
-                    spectrum, starts, folded_sh, pairs=True
+                    spectrum, starts, folded_sh, pairs=True,
+                    interpret=_fused_interpret(),
                 )
             folded = (
                 np.concatenate(
@@ -280,7 +384,8 @@ def extract_bucket(
                 folded.shape[0], l, folded.shape[2], spectrum.shape[1]
             ):
                 return fused_extract_static(
-                    spectrum, starts, folded, pairs=True
+                    spectrum, starts, folded, pairs=True,
+                    interpret=_fused_interpret(),
                 )
         slices = gather_slices(spectrum, starts, l)  # [C, B, l]
         zri = jnp.concatenate(
@@ -362,7 +467,7 @@ def extract_bucket_phased(
     r = relinvovl
     if use_mxu and _fold_phase_enabled():
         folded_sh = _shared_fused_matrix(
-            spectrum, starts, base_windows, l, keep_from, gain,
+            spectrum.shape[1], starts, base_windows, l, keep_from, gain,
             fold_phase_r=r,
         )
         if folded_sh is not None:
@@ -370,6 +475,7 @@ def extract_bucket_phased(
 
             return fused_extract_shared(
                 spectrum, starts, folded_sh, fold_phase_r=r, pairs=True,
+                interpret=_fused_interpret(),
             )
     y = extract_bucket(
         spectrum, starts, base_windows, gain=gain, use_mxu=use_mxu,
@@ -417,25 +523,13 @@ def extract_bucket_measured(
     )
     r = relinvovl
     folded_sh = (
-        _shared_fused_matrix(
-            spectrum, starts, base_windows, l, keep_from, gain
+        measured_folded_matrix(
+            spectrum.shape[1], starts, base_windows, l, keep_from, gain,
+            power_masks.shape[1],
         )
         if use_mxu
         else None
     )
-    if folded_sh is not None:
-        from fdc_tpu.ops.extract_pallas import (
-            _TB_SHARED, _VMEM_BUDGET, fused_shared_vmem_bytes,
-        )
-
-        if (
-            fused_shared_vmem_bytes(
-                len(starts), l, folded_sh.shape[1], spectrum.shape[1],
-                tb=_TB_SHARED, n_masks=power_masks.shape[1],
-            )
-            > _VMEM_BUDGET
-        ):
-            folded_sh = None
     if folded_sh is None:
         y = extract_bucket_phased(
             spectrum, starts, base_windows, relinvovl, gain=gain,
@@ -446,6 +540,7 @@ def extract_bucket_measured(
 
     y, powers = fused_extract_shared(
         spectrum, starts, folded_sh, pairs=True, power_masks=power_masks,
+        interpret=_fused_interpret(),
     )
     b = y.shape[1]
     phase_idx = (

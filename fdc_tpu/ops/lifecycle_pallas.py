@@ -974,6 +974,13 @@ def slot_lifecycle_multi(
         delays=tuple(delays), chunk=chunk, ladders=ladders,
         pa_r=(pa_r if powact is not None else None),
     )
+
+    # Negative result (round 4, do not re-chase): a batch-level lax.cond
+    # skipping the kernel on fully-idle batches (no candidates, no live
+    # slots, no powact edges) measured -1.3% on the flagship bench: the
+    # noise workload has ~1 candidate-bearing block per 512, so the cond
+    # always takes the kernel branch while its predicate + fusion barrier
+    # cost ~0.013 ms every step.
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,

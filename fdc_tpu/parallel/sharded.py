@@ -205,6 +205,29 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                     (b, self._split_rows(b.starts),
                      self._split_rows(b.windows))
                 )
+        # The detection power measures can ride the FIRST unfused tp
+        # bucket's fused extraction kernel on every chan rank — but only
+        # when EVERY rank's branch engages: lax.switch branches must agree
+        # on whether a powers leaf exists, and the engagement gate depends
+        # on each rank's (static) window table. Evaluated here at build
+        # time from shapes alone (measured_folded_matrix); if any rank
+        # falls back, all ranks take the XLA measure path so the
+        # replicated detection automata see bit-identical powers.
+        self._meas_all_ranks = False
+        if self._tp_unfused and self._measure_masks is not None:
+            from fdc_tpu.ops.extract import measured_folded_matrix
+
+            bucket, starts_r, wins_r = self._tp_unfused[0]
+            self._meas_all_ranks = self.config.use_mxu_fft and all(
+                measured_folded_matrix(
+                    self.config.blocksize, s, w, bucket.width,
+                    bucket.width - bucket.out_len, float(bucket.width),
+                    self._measure_masks.shape[1],
+                )
+                is not None
+                for s, w in zip(starts_r, wins_r)
+            )
+
         # fused widths: shared tp+pa row family (same trim for equal width);
         # phase_sel = tp start bins for tp rows, 0 for pa rows (rot^0 == 1,
         # the burst emitter applies its phases host-side)
@@ -295,13 +318,17 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             ):
                 l = bucket.width
                 # detection power measures ride the first shared-kernel
-                # bucket's VMEM tiles (same as the plain step). Gated to
-                # n_chan == 1: with multiple chan ranks the lax.switch
-                # branches could disagree on kernel engagement (per-rank
-                # window tables) and diverge in output structure.
+                # bucket's VMEM tiles (same as the plain step). Multi-chan
+                # requires every rank's branch to engage the fused kernel
+                # (checked at build time, _meas_all_ranks) so the
+                # lax.switch branches agree on the powers leaf AND every
+                # rank computes powers through the identical kernel — a
+                # rank-dependent path would let the replicated detection
+                # automata diverge at the ~1e-7 accumulation difference.
                 want_meas = (
-                    fold_phase and bi == 0 and self.n_chan == 1
+                    fold_phase and bi == 0
                     and self._measure_masks is not None
+                    and (self.n_chan == 1 or self._meas_all_ranks)
                 )
 
                 def tp_branch(s_np, w_np):

@@ -49,9 +49,20 @@ def _pack_carry(carry):
     )
 
 
+_pack_leaf = jax.jit(c2f)
+
+
 def _carry_to_host(carry):
-    packed = jax.tree.map(np.asarray, _pack_carry(carry))
+    # pack PER LEAF, not as one jitted tree computation: the pipeline's
+    # multi-owner mode leaves segment states resident on different owner
+    # devices, and a single jit over the mixed-device carry would raise
+    # (jit requires colocated inputs). Per-leaf jit runs each complex
+    # pack on its leaf's own device; non-complex leaves fetch directly.
     iscomplex = jax.tree.map(lambda x: bool(jnp.iscomplexobj(x)), carry)
+    packed = jax.tree.map(
+        lambda x, c: np.asarray(_pack_leaf(x)) if c else np.asarray(x),
+        carry, iscomplex,
+    )
     return packed, iscomplex
 
 

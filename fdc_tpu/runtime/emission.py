@@ -43,6 +43,73 @@ def _phase_rot_table(relinvovl: int) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# Native engine state <-> structured schema (checkpoint portability)
+#
+# The C++ engine serializes per-unit burst state as a binary blob
+# (runtime/native/emission.cc fdc_emit_save_state: count, part, es, ee, w,
+# live, n_blocks, finished, id_len, id bytes, then per block len+samples).
+# Checkpoints must restore across emitter BACKENDS — a capture saved on a
+# machine with the native build must resume on one without it and vice
+# versa (VERDICT r3 item 5) — so the native emitters' get_state/set_state
+# speak the SAME structured schema as the Python emitters, converting
+# through these two helpers. Legacy {"native_blob": ...} checkpoints load
+# into either backend too.
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+_UNIT_HDR = _struct.Struct("<9q")
+
+
+def _parse_native_blob(blob: bytes, n_units: int) -> list:
+    """Blob -> per-unit dicts {count, part, es, ee, w, live, fin,
+    msg_id, blocks}."""
+    units = []
+    off = 0
+    for _ in range(n_units):
+        (count, part, es, ee, w, live, nb, fin, idl) = _UNIT_HDR.unpack_from(
+            blob, off
+        )
+        off += _UNIT_HDR.size
+        msg_id = blob[off:off + idl].decode()
+        off += idl
+        blocks = []
+        for _ in range(nb):
+            (bl,) = _struct.unpack_from("<q", blob, off)
+            off += 8
+            blocks.append(
+                np.frombuffer(blob, np.complex64, bl, off).copy()
+            )
+            off += 8 * bl
+        units.append(
+            dict(count=count, part=part, es=es, ee=ee, w=w,
+                 live=live != 0, fin=fin, msg_id=msg_id, blocks=blocks)
+        )
+    if off != len(blob):
+        raise ValueError(
+            f"native emitter blob: {len(blob) - off} trailing bytes"
+        )
+    return units
+
+
+def _build_native_blob(units: list) -> bytes:
+    """Per-unit dicts (see :func:`_parse_native_blob`) -> blob."""
+    out = bytearray()
+    for u in units:
+        idb = u["msg_id"].encode()
+        out += _UNIT_HDR.pack(
+            int(u["count"]), int(u["part"]), int(u["es"]), int(u["ee"]),
+            int(u["w"]), 1 if u["live"] else 0, len(u["blocks"]),
+            int(u["fin"]), len(idb),
+        )
+        out += idb
+        for b in u["blocks"]:
+            b = np.ascontiguousarray(b, np.complex64)
+            out += _struct.pack("<q", len(b)) + b.tobytes()
+    return bytes(out)
+
+
 def _surface_overflow(outputs, cumulative: int, log_fn) -> int:
     """Count + log the device-side compaction overflow (the reference's
     philosophy is clamp/skip + LOG, lib/SegmentDetection_impl.cc:298-308 —
@@ -143,6 +210,17 @@ class PowerActivationEmitter:
         }
 
     def set_state(self, st: dict):
+        if "native_blob" in st:  # legacy native-emitter checkpoint
+            units = _parse_native_blob(
+                st["native_blob"], self.bank.num_channels
+            )
+            st = {
+                "blocks": [u["blocks"] for u in units],
+                "count": [u["count"] for u in units],
+                "part": [u["part"] for u in units],
+                "msg_id": [u["msg_id"] for u in units],
+                "finished": [u["fin"] for u in units],
+            }
         self._blocks = [[np.asarray(b) for b in ch] for ch in st["blocks"]]
         self._count = np.asarray(st["count"]).copy()
         self._part = np.asarray(st["part"]).copy()
@@ -303,6 +381,20 @@ class SegmentDetectionEmitter:
         }
 
     def set_state(self, st: dict):
+        if "native_blob" in st:  # legacy native-emitter checkpoint
+            units = _parse_native_blob(
+                st["native_blob"], self.det.max_slots
+            )
+            st = {
+                "data": [u["blocks"] for u in units],
+                "count": [u["count"] for u in units],
+                "part": [u["part"] for u in units],
+                "msg_id": [u["msg_id"] for u in units],
+                "es": [u["es"] for u in units],
+                "ee": [u["ee"] for u in units],
+                "w": [u["w"] for u in units],
+                "live": [u["live"] for u in units],
+            }
         self._data = [[np.asarray(b) for b in sl] for sl in st["data"]]
         self._count = np.asarray(st["count"]).copy()
         self._part = np.asarray(st["part"]).copy()
@@ -612,15 +704,35 @@ class NativePowerActivationEmitter:
         return events
 
     def get_state(self) -> dict:
-        return {"native_blob": self.engine.save_state()}
+        """Backend-portable state: the SAME schema as
+        :class:`PowerActivationEmitter` (a native-saved checkpoint
+        restores into the Python emitter and vice versa)."""
+        units = _parse_native_blob(
+            self.engine.save_state(), self.bank.num_channels
+        )
+        return {
+            "blocks": [u["blocks"] for u in units],
+            "count": np.asarray([u["count"] for u in units], np.int64),
+            "part": np.asarray([u["part"] for u in units], np.int64),
+            "msg_id": [u["msg_id"] for u in units],
+            "finished": np.asarray([u["fin"] for u in units], np.int64),
+        }
 
     def set_state(self, st: dict):
-        if "native_blob" not in st:
-            raise ValueError(
-                "checkpoint was written by the pure-Python emitter; "
-                "restore with use_native_emission=False"
-            )
-        self.engine.load_state(st["native_blob"])
+        if "native_blob" in st:  # legacy pre-portability checkpoint
+            self.engine.load_state(st["native_blob"])
+            return
+        count = np.asarray(st["count"])
+        part = np.asarray(st["part"])
+        fin = np.asarray(st["finished"])
+        units = [
+            # es/ee/w/live are unused by the engine's pa mode
+            dict(count=count[c], part=part[c], es=0, ee=0, w=0,
+                 live=False, fin=fin[c], msg_id=st["msg_id"][c],
+                 blocks=st["blocks"][c])
+            for c in range(self.bank.num_channels)
+        ]
+        self.engine.load_state(_build_native_blob(units))
 
 
 class NativeSegmentDetectionEmitter:
@@ -711,12 +823,36 @@ class NativeSegmentDetectionEmitter:
         return self.engine.lost_rows
 
     def get_state(self) -> dict:
-        return {"native_blob": self.engine.save_state()}
+        """Backend-portable state: the SAME schema as
+        :class:`SegmentDetectionEmitter` (a native-saved checkpoint
+        restores into the Python emitter and vice versa)."""
+        units = _parse_native_blob(
+            self.engine.save_state(), self.det.max_slots
+        )
+        return {
+            "data": [u["blocks"] for u in units],
+            "count": np.asarray([u["count"] for u in units], np.int64),
+            "part": np.asarray([u["part"] for u in units], np.int64),
+            "msg_id": [u["msg_id"] for u in units],
+            "es": np.asarray([u["es"] for u in units], np.int64),
+            "ee": np.asarray([u["ee"] for u in units], np.int64),
+            "w": np.asarray([u["w"] for u in units], np.int64),
+            "live": np.asarray([u["live"] for u in units], bool),
+        }
 
     def set_state(self, st: dict):
-        if "native_blob" not in st:
-            raise ValueError(
-                "checkpoint was written by the pure-Python emitter; "
-                "restore with use_native_emission=False"
-            )
-        self.engine.load_state(st["native_blob"])
+        if "native_blob" in st:  # legacy pre-portability checkpoint
+            self.engine.load_state(st["native_blob"])
+            return
+        count = np.asarray(st["count"])
+        part = np.asarray(st["part"])
+        es, ee = np.asarray(st["es"]), np.asarray(st["ee"])
+        w, live = np.asarray(st["w"]), np.asarray(st["live"])
+        units = [
+            # fin (pa_finished) is unused by the engine's seg modes
+            dict(count=count[s], part=part[s], es=es[s], ee=ee[s],
+                 w=w[s], live=bool(live[s]), fin=0,
+                 msg_id=st["msg_id"][s], blocks=st["data"][s])
+            for s in range(self.det.max_slots)
+        ]
+        self.engine.load_state(_build_native_blob(units))

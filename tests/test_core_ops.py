@@ -323,3 +323,84 @@ def test_extract_pairs_layout_bit_identical(use_mxu):
     dp = extract_dynamic(spec, starts, wl2, wpad, 64, use_mxu=use_mxu,
                          pairs=True)
     np.testing.assert_array_equal(np.asarray(c2f(dc)), np.asarray(dp))
+
+
+# ---------------------------------------------------------------------------
+# round 4: type-generic framing/cut + standalone phased windowing
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "dtype",
+    # the reference blocks are itemsize-generic and declare all five GRC IO
+    # types (reference: lib/overlap_save_impl.cc:62-81 memcpy on itemsize;
+    # grc/FDC_overlap_save.xml, FDC_vector_cut_vxx.xml)
+    [np.uint8, np.int16, np.int32, np.float32, np.complex64],
+)
+def test_frame_blocks_and_vector_cut_dtype_generic(dtype):
+    from fdc_tpu.ops.framing import frame_blocks, initial_history, vector_cut
+
+    rng = np.random.default_rng(5)
+    n, r = 32, 4
+    ovl = n // r
+    inplen = n - ovl
+    nb = 6
+    raw = rng.integers(1, 100, nb * inplen)
+    x = (
+        (raw + 1j * raw[::-1]).astype(dtype)
+        if np.issubdtype(dtype, np.complexfloating)
+        else raw.astype(dtype)
+    )
+
+    blocks, hist = frame_blocks(
+        jnp.asarray(x), initial_history(ovl, dtype=dtype), n
+    )
+    blocks = np.asarray(blocks)
+    assert blocks.dtype == dtype and blocks.shape == (nb, n)
+    # golden: per-block memcpy semantics
+    ext = np.concatenate([np.zeros(ovl, dtype), x])
+    for b in range(nb):
+        np.testing.assert_array_equal(
+            blocks[b], ext[b * inplen: b * inplen + n]
+        )
+    np.testing.assert_array_equal(np.asarray(hist), x[-ovl:])
+
+    cut = np.asarray(vector_cut(jnp.asarray(x), inplen, 3, 7))
+    assert cut.dtype == dtype
+    ref = x.reshape(nb, inplen)[:, 3:10].reshape(-1)
+    np.testing.assert_array_equal(cut, ref)
+
+
+@pytest.mark.parametrize("shifts", [1, 3, -1, 0])
+def test_phase_shifting_windowing_matches_reference_loop(shifts):
+    """Standalone cycling-window op == the reference block's per-vector
+    multiply loop (window bank x advancing counter,
+    reference: lib/phase_shifting_windowing_vcc_impl.cc:73-85)."""
+    from fdc_tpu.config import WindowType
+    from fdc_tpu.ops.extract import phase_shifting_windowing
+    from fdc_tpu.ops.windows import window_bank
+
+    rng = np.random.default_rng(9)
+    l, r, b = 64, 4, 11
+    x = (
+        rng.standard_normal((b, l)) + 1j * rng.standard_normal((b, l))
+    ).astype(np.complex64)
+
+    y1, ctr = phase_shifting_windowing(
+        jnp.asarray(x), WindowType.HANN, l, r, shifts, 0.5, 0.7
+    )
+    # continue the stream: a second batch must pick up the counter
+    y2, _ = phase_shifting_windowing(
+        jnp.asarray(x), WindowType.HANN, l, r, shifts, 0.5, 0.7,
+        counter0=ctr,
+    )
+
+    bank = window_bank(WindowType.HANN, l, 0.5, 0.7, r)  # [R, L] step 1
+    shift = ((shifts % r) + r) % r
+    ref = np.empty((2 * b, l), np.complex64)
+    counter = 0
+    for i in range(2 * b):
+        ref[i] = x[i % b] * bank[counter]
+        counter = (counter + shift) % r
+    got = np.concatenate([np.asarray(y1), np.asarray(y2)])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

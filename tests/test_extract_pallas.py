@@ -254,12 +254,12 @@ def test_fused_kill_switch(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
     monkeypatch.setenv("FDC_TPU_FUSED", "all")
-    assert _shared_fused_matrix(spec, starts, wins, l, 0, 1.0) is not None
+    assert _shared_fused_matrix(spec.shape[1], starts, wins, l, 0, 1.0) is not None
     for mode in ("static", "off", "OFF"):
         monkeypatch.setenv("FDC_TPU_FUSED", mode)
-        assert _shared_fused_matrix(spec, starts, wins, l, 0, 1.0) is None
+        assert _shared_fused_matrix(spec.shape[1], starts, wins, l, 0, 1.0) is None
     monkeypatch.delenv("FDC_TPU_FUSED")
-    assert _shared_fused_matrix(spec, starts, wins, l, 0, 1.0) is not None
+    assert _shared_fused_matrix(spec.shape[1], starts, wins, l, 0, 1.0) is not None
 
 
 @pytest.mark.parametrize("seed", [0, 3])

@@ -726,3 +726,68 @@ def test_exact_mode_pallas_matches_scan(seed):
                 err_msg=f"seed{seed} step{step} {nm}",
             )
         state_a, state_b = ns_a, ns_b
+
+
+@pytest.mark.parametrize("with_pa", [False, True])
+def test_batch_idle_fast_path_matches_scan(with_pa):
+    """A fully idle batch (no candidates, no live slots, no powact
+    edges) takes the kernel-skipping cond branch — outputs must equal
+    the lax.scan reference exactly, including resting phases."""
+    rng = np.random.default_rng(77)
+    sd_scan = make_detector("scan")
+    sd_pal = make_detector("pallas_interpret")
+    nc = sd_scan.geometry.n_cells
+    power = jnp.asarray(
+        np.full((64, nc), 1e-6) + rng.random((64, nc)) * 1e-8, jnp.float32
+    )
+    # idle state with nonzero resting phases (phase_used must echo them)
+    state = sd_scan.init_state()
+    state = {**state, "phase": jnp.asarray(
+        rng.integers(0, 4, sd_scan.max_slots), jnp.int32
+    )}
+
+    if not with_pa:
+        ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, state)
+        ns_b, fl_b = sd_pal.scan_slots(power, state)
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]), err_msg=k
+            )
+        for nm, a, b in zip(("got", "proc", "emit", "pu"), fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=nm
+            )
+        return
+
+    # fused powact riding the idle cond: quiet powers, idle bank state
+    from fdc_tpu.ops.lifecycle_pallas import slot_lifecycle_multi
+
+    packed, _ = sd_pal._packed_candidates(power)
+    c = 3
+    pa_state = {
+        "active": jnp.zeros((c,), bool),
+        "lastpower": jnp.full((c,), 1e-5, jnp.float32),
+        "phase": jnp.asarray([1, 2, 3], jnp.int32),
+    }
+    pows = jnp.full((64, c), 1e-5, jnp.float32)
+    (res,), (pa_new, pa_flags) = slot_lifecycle_multi(
+        (packed,), (state,),
+        n_cands=(sd_pal.k_pack,), rs=(4,), delays=(1,),
+        interpret=True,
+        powact={
+            "powers": pows, "lastpower": pa_state["lastpower"],
+            "active": pa_state["active"], "phase": pa_state["phase"],
+            "delta": jnp.asarray([1, 2, 3], jnp.int32),
+        },
+        pa_r=4, pa_thresh=4.0,
+    )
+    ns_b, fl_b = res
+    assert not np.asarray(fl_b[0]).any()  # no activations
+    np.testing.assert_array_equal(
+        np.asarray(pa_new["phase"]), np.asarray(pa_state["phase"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pa_flags[3]),
+        np.tile(np.asarray(pa_state["phase"])[:, None], (1, 64)),
+    )
+    assert not np.asarray(pa_flags[0]).any()

@@ -281,3 +281,62 @@ def test_native_emission_multistep_fuzz(seed, vcm):
         np.testing.assert_allclose(a.data, b.data, rtol=1e-5, atol=1e-6)
     assert em_py.lost_rows == em_nat.lost_rows
     assert em_py.overflow_slots == em_nat.overflow_slots
+
+
+@pytest.mark.parametrize("save_native,load_native", [(True, False),
+                                                     (False, True)])
+def test_checkpoint_cross_emitter_backend(tmp_path, save_native,
+                                          load_native):
+    """A checkpoint written with one emitter backend restores into the
+    OTHER, with post-resume events identical to the uninterrupted run
+    (VERDICT r3 item 5): the native engines' get_state/set_state speak
+    the Python emitters' structured schema."""
+    from fdc_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg_save = config(native_emission=save_native)
+    cfg_load = config(native_emission=load_native)
+    n = 16 * cfg_save.batch_blocks * cfg_save.inplen
+    x = make_signal(n)
+    half = n // 2 + 17  # split mid-burst so open buffers cross backends
+
+    ev_ref = run(FrequencyDomainChannelizer(cfg_save), x, len(x))
+
+    a = FrequencyDomainChannelizer(cfg_save)
+    ev1 = run(a, x[:half], len(x))
+    ck = str(tmp_path / "cross.ckpt")
+    save_checkpoint(a, ck)
+    b = FrequencyDomainChannelizer(cfg_load)
+    load_checkpoint(b, ck)
+    ev2 = run(b, x[half:], len(x))
+
+    assert len(ev_ref) == len(ev1) + len(ev2)
+    assert any(not e.finalized for e in ev_ref), "need open-burst partials"
+    for p, q in zip(ev_ref, ev1 + ev2):
+        assert p.ID.split(".", 1)[1] == q.ID.split(".", 1)[1]
+        assert p.finalized == q.finalized
+        assert p.part == q.part
+        assert p.blockstart == q.blockstart
+        assert p.blockend == q.blockend
+        assert p.data.shape == q.data.shape
+        np.testing.assert_allclose(p.data, q.data, rtol=1e-5, atol=1e-7)
+
+
+def test_native_state_blob_schema_roundtrip():
+    """The structured schema is a faithful image of the engine blob:
+    blob -> schema -> blob is byte-identical mid-burst."""
+    from fdc_tpu.runtime.emission import (
+        _build_native_blob,
+        _parse_native_blob,
+    )
+
+    cfg = config(native_emission=True)
+    fdc = FrequencyDomainChannelizer(cfg)
+    n = 4 * cfg.batch_blocks * cfg.inplen
+    run(fdc, make_signal(n)[: n // 2 + 31], len(x := np.zeros(1)))
+    for em in [fdc.power_emitter] + fdc.segment_emitters:
+        blob = em.engine.save_state()
+        n_units = (
+            em.bank.num_channels if hasattr(em, "bank")
+            else em.det.max_slots
+        )
+        assert _build_native_blob(_parse_native_blob(blob, n_units)) == blob

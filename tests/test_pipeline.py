@@ -247,3 +247,139 @@ def test_pipeline_checkpoint_cross_topology(save_kind, load_kind, tmp_path):
         np.testing.assert_allclose(
             s_full, np.concatenate([s_a, s_b]), rtol=2e-4, atol=2e-5
         )
+
+
+# ---------------------------------------------------------------------------
+# round 4: pipeline x SPMD composition + multi-owner scans
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shard_time,n_devices,dedicated", [
+    (2, 4, False),   # 2 groups of 2
+    (4, 4, False),   # 1 group of 4
+    (2, 5, True),    # dedicated owner + 2 groups of 2
+])
+def test_pipeline_composed_matches_single_device(shard_time, n_devices,
+                                                 dedicated):
+    """Pipeline x SPMD composition (each worker = a time-shard group):
+    events/streams must equal the plain channelizer — stage A's per-shard
+    reach-back recomputation and the canonical row merging are exact."""
+    # b_local must stay a multiple of relinvovl (phase-fold contract)
+    cfg = config(batch_blocks=4 * shard_time)
+    rng = np.random.default_rng(7)
+    n_batches = 6
+    x = make_signal(rng, n_batches * cfg.batch_blocks * cfg.inplen)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    pipe = PipelineChannelizer(
+        cfg, devices=jax.devices()[:n_devices], shard_time=shard_time,
+        dedicated_owner=dedicated,
+    )
+    assert len(pipe.group_meshes) >= 1
+
+    chunk = 2 * cfg.batch_blocks * cfg.inplen
+    ev_ref, tp_ref, pw_ref = run(ref, x, chunk)
+    ev_p, tp_p, pw_p = run(pipe, x, chunk)
+
+    assert len(ev_ref) > 0
+    assert_events_match(ev_ref, ev_p)
+    for a, b in zip(tp_ref, tp_p):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    for a, b in zip(pw_ref, pw_p):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=0)
+
+
+def test_pipeline_composed_process_spectra_matches():
+    """Vector mode through the composed pipeline: per-shard overlapping
+    spectrum rows are exact (host-owned, no recompute)."""
+    import dataclasses
+
+    cfg = config()
+    rng = np.random.default_rng(13)
+    n_batches = 4
+    x = make_signal(rng, n_batches * cfg.batch_blocks * cfg.inplen)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    pipe = PipelineChannelizer(cfg, devices=jax.devices()[:4],
+                               shard_time=2)
+
+    # front-end the samples once, feed both vector modes
+    import jax.numpy as jnp
+    from fdc_tpu.ops.fft import forward_spectrum
+    from fdc_tpu.ops.framing import frame_blocks
+
+    @jax.jit
+    def fe(xx):
+        blocks, _ = frame_blocks(
+            xx, jnp.zeros((cfg.ovllen,), jnp.complex64), cfg.blocksize
+        )
+        return forward_spectrum(blocks)
+
+    spectra = np.asarray(fe(jnp.asarray(x)))
+    ra = ref.process_spectra(spectra)
+    rb = pipe.process_spectra(spectra)
+    assert_events_match(ra.events, rb.events)
+    for a, b in zip(ra.throughput, rb.throughput):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_multi_owner_scans_match():
+    """Multi-owner stage B (segment scans spread over owner devices) is
+    event-identical to the single-owner pipeline and the plain path."""
+    cfg = config(
+        activity_detection_segments=[(-0.47, -0.3), (-0.28, -0.12),
+                                     (0.03, 0.2)],
+    )
+    rng = np.random.default_rng(5)
+    n_batches = 5
+    n = n_batches * cfg.batch_blocks * cfg.inplen
+    x = make_signal(rng, n)
+    # extra carriers so every segment detects something
+    t = np.arange(n)
+    for f, lo, hi in [(-0.2, n // 5, n // 2), (0.1, n // 3, 4 * n // 5)]:
+        m = np.zeros(n)
+        m[lo:hi] = 1.0
+        x = (x + 2.5 * m * np.exp(2j * np.pi * f * t)).astype(np.complex64)
+
+    ref = FrequencyDomainChannelizer(cfg)
+    pipe = PipelineChannelizer(cfg, devices=jax.devices(), scan_owners=3)
+    assert len(pipe._owner_groups) == 3
+
+    chunk = 2 * cfg.batch_blocks * cfg.inplen
+    ev_ref, tp_ref, _ = run(ref, x, chunk)
+    ev_p, tp_p, _ = run(pipe, x, chunk)
+    assert sum(e.vectorstart is not None for e in ev_ref) > 2
+    assert_events_match(ev_ref, ev_p)
+    for a, b in zip(tp_ref, tp_p):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_pipeline_composed_multi_owner_checkpoint(tmp_path):
+    """Composition + multi-owner + checkpoint mid-stream: resume into a
+    PLAIN channelizer reproduces the uninterrupted event stream."""
+    from fdc_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = config(
+        activity_detection_segments=[(-0.47, -0.3), (0.03, 0.2)],
+    )
+    rng = np.random.default_rng(23)
+    n_batches = 6
+    n = n_batches * cfg.batch_blocks * cfg.inplen
+    x = make_signal(rng, n)
+    half = n // 2 + 3 * cfg.inplen
+
+    ref = FrequencyDomainChannelizer(cfg)
+    ev_ref, _, _ = run(ref, x, len(x))
+
+    a = PipelineChannelizer(cfg, devices=jax.devices(), shard_time=2,
+                            scan_owners=2)
+    ev1 = a.process(x[:half]).events
+    ck = str(tmp_path / "comp.ckpt")
+    save_checkpoint(a, ck)
+    b = FrequencyDomainChannelizer(cfg)
+    load_checkpoint(b, ck)
+    ev2 = b.process(x[half:]).events
+
+    assert len(ev_ref) == len(ev1) + len(ev2)
+    assert_events_match(ev_ref, ev1 + ev2)

@@ -51,6 +51,17 @@ def main():
     B = 512
     results = {}
 
+    def timed(step, carry, arg, k0, **kw):
+        """time_scanned with K auto-sized to keep K*step >= 30 ms — the
+        tiered kernel made dwell scans ~10x faster, which silently pushed
+        fixed-K windows under the dispatch-jitter floor (a 0.0001 ms
+        flagship reading in one run was exactly this failure)."""
+        dt = time_scanned(step, carry, arg, k=k0, repeats=7, **kw)
+        if dt * k0 < 0.025:
+            k = int(min(4096, max(k0, 0.030 / max(dt, 1e-7))))
+            dt = time_scanned(step, carry, arg, k=k, repeats=15, **kw)
+        return dt
+
     # -- (a) full flagship step, bounded vs exact ---------------------------
     def full_step_time(fdc, k=48):
         n = B * fdc.config.inplen
@@ -63,7 +74,7 @@ def main():
         def step(c, xf_in, t):
             return fdc._device_step(c, xf_in, t * jnp.int32(B))
 
-        return time_scanned(step, carry0, xf, k=k, repeats=15)
+        return timed(step, carry0, xf, k)
 
     for label, mc in (("k8", 8), ("exact", 0)):
         fdc = FrequencyDomainChannelizer(
@@ -84,9 +95,7 @@ def main():
         def step(carry, pw, t):
             return sd.scan_slots(pw, carry)
 
-        return time_scanned(
-            step, carry0, powf, k=k_timing, repeats=15, perturb_arg=0
-        )
+        return timed(step, carry0, powf, k_timing, perturb_arg=0)
 
     def workloads(nc):
         # Bernoulli churn: strong cell toggling randomly per block (the
