@@ -39,6 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["slot_lifecycle", "slot_lifecycle_multi", "powact_flags"]
 
+# Measurement-only hook (tools/ablate33_tpu.py): when True at TRACE time,
+# slot_lifecycle_multi replaces the pallas_call with shape-matched
+# constant outputs while keeping ALL wrapper glue (state pack/unpack,
+# nv/tier/chunk inputs) — isolating kernel launch+execution cost from
+# the glue around it. Never set in production.
+_STUB_KERNEL = False
+
 _BIG = np.int32(2**30)  # plain scalar: jnp constants can't be kernel-captured
 
 
@@ -981,13 +988,23 @@ def slot_lifecycle_multi(
     # noise workload has ~1 candidate-bearing block per 512, so the cond
     # always takes the kernel branch while its predicate + fusion barrier
     # cost ~0.013 ms every step.
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shape,
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        interpret=interpret,
-    )(*ins)
+    if _STUB_KERNEL:
+        # shape-matched constants that still depend on the real inputs
+        # (sum % 1 == 0, opaque to the compiler) so none of the glue is
+        # dead-code-eliminated
+        probe = sum(jnp.sum(i.astype(jnp.int32)) for i in ins) % jnp.int32(1)
+        outs = tuple(
+            jnp.zeros(s.shape, s.dtype) + probe.astype(s.dtype)
+            for s in out_shape
+        )
+    else:
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            interpret=interpret,
+        )(*ins)
 
     o_states = outs[0:g_n]
     o_counters = outs[g_n]

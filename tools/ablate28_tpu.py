@@ -132,11 +132,10 @@ def main():
     try:
         measure("V2_scans_stubbed_ms", fdc)
 
-        # V3: V2 + packing stubbed (constant packed rows)
+        # V3: V2 + packing stubbed (constant packed rows, k_pack wide —
+        # packs are compacted/truncated since round 4)
         for sd in fdc.segments:
-            k = sd.max_candidates or (sd.geometry.n_cells - 1)
-
-            def packed_stub(power, _k=k):
+            def packed_stub(power, _k=sd.k_pack):
                 return jnp.zeros((B, 7 * _k), jnp.int32), _k
 
             sd._packed_candidates = packed_stub
