@@ -37,10 +37,12 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    # K sized so K*step >= 25 ms at the current ~0.55 ms step — the
+    # K sized so K*step >= 50 ms at the current ~0.55 ms step — the
     # tunnel's several-ms dispatch spikes poison shorter timed windows
-    # (one run read 3x slow at K=16 while fft_only was normal)
-    ap.add_argument("--steps", type=int, default=48, help="K (timed as 2K-K)")
+    # (one run read 3x slow at K=16 while fft_only was normal; K=48's
+    # ~27 ms windows still left +/-3 % per-round ratio quartiles, K=96
+    # roughly halves that)
+    ap.add_argument("--steps", type=int, default=96, help="K (timed as 2K-K)")
     ap.add_argument("--batch-blocks", type=int, default=512)
     # each repeat (round) is ~0.3 s of device time vs minutes of (cached)
     # compile. History: 15 phased repeats swung vs_baseline 0.94-0.96
@@ -224,6 +226,11 @@ def run_bench(args):
             (step_fft, carry0, (xf,), 4 * args.steps, 0),
         ],
         repeats=args.repeats,
+        # median of 3 back-to-back pairs per round: a lone multi-ms
+        # dispatch spike cannot poison its round's diff, which is what
+        # fattened the vs_baseline quartiles far past the structural
+        # spread (round 4; the median was already spike-robust)
+        pairs_per_round=3,
     )
     dt_full = st_full["median"]
     dt_roof = st_roof["median"]

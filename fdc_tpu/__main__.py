@@ -142,7 +142,9 @@ def _cmd_run(args) -> int:
         if args.pipeline > 0:
             devs = devs[: args.pipeline]
         fdc = PipelineChannelizer(
-            cfg, devices=devs, dedicated_owner=args.dedicated_owner
+            cfg, devices=devs, dedicated_owner=args.dedicated_owner,
+            shard_time=args.pipeline_shard_time,
+            scan_owners=args.pipeline_scan_owners,
         )
     elif args.time_shards > 1 or args.chan_shards > 1:
         from fdc_tpu.parallel import ShardedChannelizer, make_mesh
@@ -293,7 +295,9 @@ def _cmd_serve(args) -> int:
         if args.pipeline > 0:
             devs = devs[: args.pipeline]
         fdc = PipelineChannelizer(
-            cfg, devices=devs, dedicated_owner=args.dedicated_owner
+            cfg, devices=devs, dedicated_owner=args.dedicated_owner,
+            shard_time=args.pipeline_shard_time,
+            scan_owners=args.pipeline_scan_owners,
         )
     elif args.time_shards > 1 or args.chan_shards > 1:
         from fdc_tpu.parallel import ShardedChannelizer, make_mesh
@@ -565,6 +569,16 @@ def main(argv=None) -> int:
     p_run.add_argument("--dedicated-owner", action="store_true",
                        help="pipeline: the scan device does no "
                             "extraction (use at >= 4 devices)")
+    p_run.add_argument("--pipeline-shard-time", type=int, default=1,
+                       metavar="T",
+                       help="pipeline x SPMD: each worker is a T-device "
+                            "time-shard group (batch_blocks and "
+                            "batch_blocks/T must stay multiples of "
+                            "relinvovl)")
+    p_run.add_argument("--pipeline-scan-owners", type=int, default=1,
+                       metavar="N",
+                       help="pipeline: spread segment scan chains over "
+                            "N owner devices (multi-segment configs)")
     p_run.add_argument("--time-shards", type=int, default=1,
                        help="shard time-blocks over this many devices")
     p_run.add_argument("--chan-shards", type=int, default=1,
@@ -611,6 +625,14 @@ def main(argv=None) -> int:
     p_srv.add_argument("--dedicated-owner", action="store_true",
                        help="pipeline: the scan device does no "
                             "extraction (use at >= 4 devices)")
+    p_srv.add_argument("--pipeline-shard-time", type=int, default=1,
+                       metavar="T",
+                       help="pipeline x SPMD: each worker is a T-device "
+                            "time-shard group")
+    p_srv.add_argument("--pipeline-scan-owners", type=int, default=1,
+                       metavar="N",
+                       help="pipeline: spread segment scan chains over "
+                            "N owner devices (multi-segment configs)")
     p_srv.add_argument("--time-shards", type=int, default=1,
                        help="shard time-blocks over this many devices")
     p_srv.add_argument("--chan-shards", type=int, default=1,

@@ -47,6 +47,7 @@ __all__ = ["slot_lifecycle", "slot_lifecycle_multi", "powact_flags"]
 _STUB_KERNEL = False
 
 _BIG = np.int32(2**30)  # plain scalar: jnp constants can't be kernel-captured
+_SUPER = 4  # chunks per hierarchical idle/age super-region
 
 
 def _lifecycle_kernel(
@@ -85,11 +86,13 @@ def _lifecycle_kernel(
     Ref layout (G = len(n_cands)): inputs are G candidate packs [B, 7K_g]
     (VMEM), G per-block valid-candidate counts [B] (SMEM), G per-chunk
     max counts (SMEM), G per-chunk gap-safe probe flags (SMEM — the
-    refresh-only closed form's prefilter), the per-block tier index [B]
-    and per-chunk tier index (SMEM, global across segments), G state
-    packs [10, S_g] (VMEM), one counters vector [3G] (SMEM:
-    alloc/dropped/n_live per segment); outputs are G state packs, the
-    counters vector, then G x 4 flag arrays grouped by flag kind.
+    refresh-only closed form's prefilter), G per-chunk work-block counts
+    and G per-chunk first-work-block indices (SMEM — the single-event
+    closed form's dispatch), the per-block tier index [B] and per-chunk
+    tier index (SMEM, global across segments), G state packs [10, S_g]
+    (VMEM), one counters vector [3G] (SMEM: alloc/dropped/n_live per
+    segment); outputs are G state packs, the counters vector, then
+    G x 4 flag arrays grouped by flag kind.
     """
     g_n = len(n_cands)
     n_tiers = len(ladders[0])
@@ -97,11 +100,14 @@ def _lifecycle_kernel(
     work_refs = refs[g_n:2 * g_n]          # [B] valid counts
     cwork_refs = refs[2 * g_n:3 * g_n]     # per-chunk max counts
     pwork_refs = refs[3 * g_n:4 * g_n]
-    tier_blk_ref = refs[4 * g_n]
-    tier_chunk_ref = refs[4 * g_n + 1]
-    state_refs = refs[4 * g_n + 2:5 * g_n + 2]
-    counters_ref = refs[5 * g_n + 2]
-    n_in = 5 * g_n + 3
+    cnt_refs = refs[4 * g_n:5 * g_n]       # per-chunk work-block counts
+    evt_refs = refs[5 * g_n:6 * g_n]       # per-chunk first work block
+    swork_refs = refs[6 * g_n:7 * g_n]     # per-SUPER-chunk any-work
+    tier_blk_ref = refs[7 * g_n]
+    tier_chunk_ref = refs[7 * g_n + 1]
+    state_refs = refs[7 * g_n + 2:8 * g_n + 2]
+    counters_ref = refs[8 * g_n + 2]
+    n_in = 8 * g_n + 3
     if pa_r is not None:
         # fused powact automaton (see the epilogue below): ratio edges,
         # per-chunk work flags, [2, C] state rows (active, phase), delta
@@ -296,24 +302,26 @@ def _lifecycle_kernel(
                     _lifecycle_block(g, i, ladders[g][t])
         return 0
 
-    def _idle_seg(g, rows):
+    def _idle_seg(g, rows, n_rows=chunk):
         s_dim = state_refs[g].shape[1]
-        z = jnp.zeros((chunk, s_dim), jnp.int32)
+        z = jnp.zeros((n_rows, s_dim), jnp.int32)
         f_gots[g][rows, :] = z
         f_procs[g][rows, :] = z
         f_emits[g][rows, :] = z
         f_pus[g][rows, :] = jnp.broadcast_to(
-            o_states[g][6:7, :], (chunk, s_dim)
+            o_states[g][6:7, :], (n_rows, s_dim)
         )
 
-    def _age_seg(g, rows):
-        # Candidate-free chunk with live slots: aging is CLOSED FORM. A
-        # live slot entering with age a0 retires at in-chunk block
+    def _age_seg(g, rows, n_rows=chunk):
+        # Candidate-free run with live slots: aging is CLOSED FORM. A
+        # live slot entering with age a0 retires at in-run block
         # j* = max(delay - a0, 0) (aged first, then emit when age >
         # delay), processes blocks j < j*, and advances its phase once
-        # per processed block — all per-block flags and the end-of-chunk
-        # state are computable vectorized, so a carrier's dwell costs
-        # one serial iteration per chunk instead of one per block.
+        # per processed block — all per-block flags and the end-of-run
+        # state are computable vectorized for ANY static run length
+        # (per chunk, or per SUPER-chunk via the hierarchical skip), so
+        # a carrier's dwell costs one serial iteration per run instead
+        # of one per block.
         s_dim = state_refs[g].shape[1]
         delay, r = delays[g], rs[g]
         st = o_states[g][:]
@@ -325,31 +333,102 @@ def _lifecycle_kernel(
         live0 = active & ~tomb  # [1, S]
         jstar = jnp.maximum(delay - a0, 0)  # [1, S]
 
-        j = jax.lax.broadcasted_iota(jnp.int32, (chunk, s_dim), 0)
-        processed = live0 & (j < jstar)  # [chunk, S]
+        j = jax.lax.broadcasted_iota(jnp.int32, (n_rows, s_dim), 0)
+        processed = live0 & (j < jstar)  # [n_rows, S]
         emit = live0 & (j == jstar)
         phase_used = jnp.where(
             live0,
             (phase0 + jnp.minimum(j, jstar) * phase_inc) % r,
             phase0,
         )
-        f_gots[g][rows, :] = jnp.zeros((chunk, s_dim), jnp.int32)
+        f_gots[g][rows, :] = jnp.zeros((n_rows, s_dim), jnp.int32)
         f_procs[g][rows, :] = processed.astype(jnp.int32)
         f_emits[g][rows, :] = emit.astype(jnp.int32)
         f_pus[g][rows, :] = phase_used
 
-        retires = live0 & (jstar < chunk)
-        n_steps = jnp.minimum(jstar, chunk)  # processed blocks
+        retires = live0 & (jstar < n_rows)
+        n_steps = jnp.minimum(jstar, n_rows)  # processed blocks
         o_states[g][1:2, :] = (tomb | retires).astype(jnp.int32)
         o_states[g][6:7, :] = jnp.where(
             live0, (phase0 + n_steps * phase_inc) % r, phase0
         )
         o_states[g][8:9, :] = jnp.where(
-            live0, a0 + jnp.minimum(jstar + 1, chunk), a0
+            live0, a0 + jnp.minimum(jstar + 1, n_rows), a0
         )
         o_counters[3 * g + 2] = jnp.sum(
-            (live0 & (jstar >= chunk)).astype(jnp.int32)
+            (live0 & (jstar >= n_rows)).astype(jnp.int32)
         )
+
+    def _age_window(g, rows, lo, hi):
+        """_age_seg restricted to the in-chunk block window [lo, hi)
+        (traced scalars; empty windows are exact no-ops). Flag rows
+        OUTSIDE the window are preserved via read-modify-write — the
+        single-event path writes the pre window first (other rows
+        garbage), the event body overwrites its row, and the post window
+        preserves both."""
+        s_dim = state_refs[g].shape[1]
+        delay, r = delays[g], rs[g]
+        st = o_states[g][:]
+        active = st[0:1, :] != 0
+        tomb = st[1:2, :] != 0
+        phase0 = st[6:7, :]
+        phase_inc = st[7:8, :]
+        a0 = st[8:9, :]
+        live0 = active & ~tomb  # [1, S]
+        jstar = jnp.maximum(delay - a0, 0)  # [1, S]
+        w_len = hi - lo  # scalar window length (>= 0)
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (chunk, s_dim), 0)
+        w = (j >= lo) & (j < hi)  # [chunk, S] window mask
+        m = j - lo  # local offset inside the window
+        processed = live0 & w & (m < jstar)
+        emit = live0 & w & (m == jstar)
+        phase_used = jnp.where(
+            live0,
+            (phase0 + jnp.minimum(m, jstar) * phase_inc) % r,
+            phase0,
+        )
+        f_gots[g][rows, :] = jnp.where(w, 0, f_gots[g][rows, :])
+        f_procs[g][rows, :] = jnp.where(
+            w, processed.astype(jnp.int32), f_procs[g][rows, :]
+        )
+        f_emits[g][rows, :] = jnp.where(
+            w, emit.astype(jnp.int32), f_emits[g][rows, :]
+        )
+        f_pus[g][rows, :] = jnp.where(w, phase_used, f_pus[g][rows, :])
+
+        retires = live0 & (jstar < w_len)
+        n_steps = jnp.minimum(jstar, w_len)
+        o_states[g][1:2, :] = (tomb | retires).astype(jnp.int32)
+        o_states[g][6:7, :] = jnp.where(
+            live0, (phase0 + n_steps * phase_inc) % r, phase0
+        )
+        o_states[g][8:9, :] = jnp.where(
+            live0, a0 + jnp.minimum(jstar + 1, w_len), a0
+        )
+        o_counters[3 * g + 2] = jnp.sum(
+            (live0 & (jstar >= w_len)).astype(jnp.int32)
+        )
+
+    def _single_event_seg(g, c, rows):
+        """Chunk with EXACTLY ONE candidate-bearing block (local index e
+        from the precomputed SMEM table): closed-form aging before the
+        event, the full per-block body at the event, closed-form aging
+        after — no per-block walk. This is the quiet-stream common case
+        (an isolated detection, or noise tripping one block), which the
+        gap prefilter would otherwise send through a whole-chunk walk."""
+        e = evt_refs[g][c]
+        gi = c * chunk + e  # global block index of the event
+        _age_window(g, rows, 0, e)
+        for t in range(n_tiers):
+            cond_t = tier_blk_ref[gi] == t
+            if t == n_tiers - 1:
+                cond_t = tier_blk_ref[gi] >= t
+
+            @pl.when(cond_t)
+            def _evt(g=g, t=t, gi=gi):
+                _lifecycle_block(g, gi, ladders[g][t])
+        _age_window(g, rows, e + 1, chunk)
 
     def _refresh_info(g, rows, k_eff):
         """Refresh matrix of a candidate-bearing chunk under the CURRENT
@@ -487,6 +566,33 @@ def _lifecycle_kernel(
                 def _age(g=g):
                     _age_seg(g, rows)
 
+        # single-event closed form: every segment has at most one
+        # candidate-bearing block in the chunk (and at least one has
+        # exactly one, else the chunk is candidate-free) — each segment
+        # runs age-closed-form / event body / age-closed-form instead of
+        # a whole-chunk per-block walk. The quiet-stream common case.
+        single_ok = jnp.zeros((), jnp.int32) == 0  # True
+        for g in range(g_n):
+            single_ok = single_ok & (cnt_refs[g][c] <= 1)
+
+        @pl.when(any_work & single_ok)
+        def _single_chunk():
+            for g in range(g_n):
+                live_in = o_counters[3 * g + 2] > 0
+
+                @pl.when(cnt_refs[g][c] == 1)
+                def _one(g=g):
+                    _single_event_seg(g, c, rows)
+
+                @pl.when((cnt_refs[g][c] == 0) & live_in)
+                def _age(g=g):
+                    _age_seg(g, rows)
+
+                @pl.when((cnt_refs[g][c] == 0)
+                         & jnp.logical_not(live_in))
+                def _idle(g=g):
+                    _idle_seg(g, rows)
+
         # prefilter (SMEM scalars only, computed batched OUTSIDE the
         # kernel): a has-work chunk whose candidate-free run exceeds
         # delay is PROVABLY ineligible — any live slot ages past delay
@@ -500,8 +606,9 @@ def _lifecycle_kernel(
             hint = hint & (
                 (cwork_refs[g][c] == 0) | (pwork_refs[g][c] != 0)
             )
+        multi = any_work & jnp.logical_not(single_ok)
 
-        @pl.when(any_work & jnp.logical_not(hint))
+        @pl.when(multi & jnp.logical_not(hint))
         def _walk_direct():
             jax.lax.fori_loop(c * chunk, (c + 1) * chunk, body, 0)
 
@@ -510,9 +617,9 @@ def _lifecycle_kernel(
         # chunk's actual candidate population, which is what makes the
         # refresh-only closed form pay off at pod-scale K
         for t in range(n_tiers):
-            cond_t = any_work & hint & (tier_chunk_ref[c] == t)
+            cond_t = multi & hint & (tier_chunk_ref[c] == t)
             if t == n_tiers - 1:
-                cond_t = any_work & hint & (tier_chunk_ref[c] >= t)
+                cond_t = multi & hint & (tier_chunk_ref[c] >= t)
 
             @pl.when(cond_t)
             def _busy_chunk(t=t):
@@ -693,8 +800,44 @@ def _lifecycle_kernel(
         # which includes freshly-allocated ones)
         o_counters[3 * g + 2] = jnp.sum(processed.astype(jnp.int32))
 
-    if chunk > 1:
-        jax.lax.fori_loop(0, n_blocks // chunk, chunk_body, 0)
+    n_chunks = n_blocks // chunk if chunk > 1 else 0
+    super_n = _SUPER if (chunk > 1 and n_chunks % _SUPER == 0
+                         and n_chunks >= 2 * _SUPER) else 1
+    if chunk > 1 and super_n > 1:
+        # hierarchical idle/age skip: a run of SUPER work-free chunks is
+        # ONE closed-form region (the helpers are length-generic), so a
+        # quiet batch costs n_chunks/SUPER serial iterations instead of
+        # n_chunks — the chunk loop's branch+store overhead was a
+        # measurable slice of the scan stage on quiet streams
+        def super_body(sc, _):
+            no_work = jnp.zeros((), jnp.int32) == 0  # True
+            for g in range(g_n):
+                no_work = no_work & (swork_refs[g][sc] == 0)
+            rows = pl.ds(sc * super_n * chunk, super_n * chunk)
+
+            @pl.when(no_work)
+            def _closed():
+                for g in range(g_n):
+                    live_in = o_counters[3 * g + 2] > 0
+
+                    @pl.when(live_in)
+                    def _age(g=g):
+                        _age_seg(g, rows, n_rows=super_n * chunk)
+
+                    @pl.when(jnp.logical_not(live_in))
+                    def _idle(g=g):
+                        _idle_seg(g, rows, n_rows=super_n * chunk)
+
+            @pl.when(jnp.logical_not(no_work))
+            def _sub():
+                jax.lax.fori_loop(
+                    sc * super_n, (sc + 1) * super_n, chunk_body, 0
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks // super_n, super_body, 0)
+    elif chunk > 1:
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
     else:
         jax.lax.fori_loop(0, n_blocks, body, 0)
 
@@ -847,8 +990,11 @@ def slot_lifecycle_multi(
     has_works = tuple((nv > 0).astype(jnp.int32) for nv in nvs)
 
     # static tier ladders: ascending candidate widths per segment, last
-    # entry = K_g; all ladders padded to equal length (repeat K_g)
-    base_tiers = (2, 16)
+    # entry = K_g; all ladders padded to equal length (repeat K_g).
+    # The middle tiers matter at pod shapes: a 4-carriers-per-segment
+    # dwell (cfg5b busy) probes at k_eff=8 instead of 16 with the 8-tier
+    # present (tools/ablate32_tpu.py B_busy).
+    base_tiers = (2, 8, 16)
     ladders = [
         [t for t in base_tiers if t < k] + [k] for k in n_cands
     ]
@@ -872,6 +1018,23 @@ def slot_lifecycle_multi(
             jnp.max(nv.reshape(-1, chunk), axis=1) for nv in nvs
         )
         tier_chunk = jnp.max(tier_blk.reshape(-1, chunk), axis=1)
+        # single-event dispatch tables: per chunk, the number of
+        # candidate-bearing blocks and the first one's local index
+        cnt_works = tuple(
+            jnp.sum(hw.reshape(-1, chunk), axis=1) for hw in has_works
+        )
+        evt_idxs = tuple(
+            jnp.argmax(hw.reshape(-1, chunk), axis=1).astype(jnp.int32)
+            for hw in has_works
+        )
+        n_chunks = nb // chunk
+        if n_chunks % _SUPER == 0 and n_chunks >= 2 * _SUPER:
+            sworks = tuple(
+                jnp.max(cw.reshape(-1, _SUPER), axis=1)
+                for cw in chunk_works
+            )
+        else:
+            sworks = chunk_works  # super loop disabled; keeps the arity
 
         def _gap_ok(hw, delay):
             # per chunk: every in-chunk candidate-free run <= delay
@@ -898,6 +1061,9 @@ def slot_lifecycle_multi(
         chunk_works = nvs  # unused by the kernel, keeps the arity
         probe_works = has_works
         tier_chunk = tier_blk
+        cnt_works = has_works
+        evt_idxs = has_works
+        sworks = has_works
 
     state_rows = tuple(
         jnp.stack(
@@ -924,8 +1090,9 @@ def slot_lifecycle_multi(
             jnp.sum((st["active"] & ~st["tomb"]).astype(jnp.int32))
         )
     ins = (
-        cands + nvs + chunk_works + probe_works
-        + (tier_blk, tier_chunk) + state_rows + (jnp.stack(counters),)
+        cands + nvs + chunk_works + probe_works + cnt_works + evt_idxs
+        + sworks + (tier_blk, tier_chunk) + state_rows
+        + (jnp.stack(counters),)
     )
 
     fl = lambda s: jax.ShapeDtypeStruct((nb, s), jnp.int32)
@@ -936,7 +1103,7 @@ def slot_lifecycle_multi(
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [vm] * g_n + [sm] * (3 * g_n + 2) + [vm] * g_n + [sm]
+    in_specs = [vm] * g_n + [sm] * (6 * g_n + 2) + [vm] * g_n + [sm]
     out_specs = [vm] * g_n + [sm] + [vm] * (4 * g_n)
 
     if powact is not None:

@@ -140,7 +140,8 @@ def time_scanned_stats(
     }
 
 
-def time_scanned_paired(specs, repeats: int = 15):
+def time_scanned_paired(specs, repeats: int = 15,
+                        pairs_per_round: int = 1):
     """Interleaved :func:`time_scanned_stats` over several step functions.
 
     ``specs``: list of ``(step, carry, args_tuple, k, perturb_arg)``.
@@ -150,6 +151,14 @@ def time_scanned_paired(specs, repeats: int = 15):
     samples, so RATIOS between specs (bench.py's vs_baseline) are far
     more repeatable than ratios of independently-phased medians (which
     swung 0.94–0.96 across same-day runs at 15 repeats).
+
+    ``pairs_per_round`` > 1 makes each round's value the MEDIAN of that
+    many back-to-back K/2K diffs: the tunnel's multi-ms dispatch spikes
+    land in single dispatches, so a lone spiked pair otherwise poisons
+    its round and fattens the ratio quartiles (bench.py's
+    vs_baseline_iqr) far beyond the structural spread — a per-round
+    median of 3 keeps a round honest unless two of its three pairs
+    spike.
 
     Returns a list of stats dicts (fields of :func:`time_scanned_stats`)
     plus ``"rounds"``: the per-round per-step diffs, index-aligned across
@@ -192,16 +201,25 @@ def time_scanned_paired(specs, repeats: int = 15):
         runs.append((r1, r2, carry, k))
 
     n_rounds = max(repeats, 5)
+    ppr = max(int(pairs_per_round), 1)
     rounds = [[] for _ in runs]
     for _ in range(n_rounds):
-        for i, (r1, r2, carry, k) in enumerate(runs):
-            t0 = time.perf_counter()
-            jax.block_until_ready(r1(carry))
-            ta = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            jax.block_until_ready(r2(carry))
-            tb = time.perf_counter() - t0
-            rounds[i].append(max((tb - ta) / k, 1e-9))
+        # pair-level interleave: spec A's pair p runs adjacent to spec
+        # B's pair p, so second-scale drift segments land in BOTH specs'
+        # round medians instead of skewing their ratio
+        diffs = [[] for _ in runs]
+        for _ in range(ppr):
+            for i, (r1, r2, carry, k) in enumerate(runs):
+                t0 = time.perf_counter()
+                jax.block_until_ready(r1(carry))
+                ta = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                jax.block_until_ready(r2(carry))
+                tb = time.perf_counter() - t0
+                diffs[i].append(max((tb - ta) / k, 1e-9))
+        for i in range(len(runs)):
+            diffs[i].sort()
+            rounds[i].append(diffs[i][ppr // 2])
 
     out = []
     for i in range(len(runs)):

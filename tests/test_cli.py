@@ -419,3 +419,18 @@ def test_serve_sharded(config_path, tmp_path):
                       np.complex64)
     assert tp.shape == ref.shape
     np.testing.assert_allclose(tp, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_run_pipeline_composed_matches_plain(config_path, tmp_path):
+    """--pipeline with --pipeline-shard-time: each worker is a time-shard
+    group (pipeline x SPMD); stream must equal the plain run's."""
+    cap, _ = _capture(tmp_path)
+    _run(config_path, cap, tmp_path / "plainc", tmp_path / "ev_pc.jsonl")
+    _run(config_path, cap, tmp_path / "comp", tmp_path / "ev_cm.jsonl",
+         extra=("--pipeline", "4", "--pipeline-shard-time", "2",
+                "--pipeline-scan-owners", "2"))
+    a = np.fromfile(tmp_path / "plainc" / "throughput_ch0.c64",
+                    np.complex64)
+    b = np.fromfile(tmp_path / "comp" / "throughput_ch0.c64", np.complex64)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

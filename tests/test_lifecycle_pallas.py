@@ -791,3 +791,127 @@ def test_batch_idle_fast_path_matches_scan(with_pa):
         np.tile(np.asarray(pa_state["phase"])[:, None], (1, 64)),
     )
     assert not np.asarray(pa_flags[0]).any()
+
+
+# ---------------------------------------------------------------------------
+# single-event chunk closed form (round 4)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("evt", [0, 1, 15, 30, 31])
+@pytest.mark.parametrize("occupancy", [0.0, 0.5])
+def test_single_event_chunk_matches_scan(evt, occupancy):
+    """A chunk with exactly ONE candidate-bearing block takes the
+    age/body/age closed form — bit-exact vs the scan reference at every
+    event position, with live slots entering at assorted ages (retiring
+    before, at, and after the event block)."""
+    rng = np.random.default_rng(400 + evt)
+    sd_scan = make_detector_at("scan", band=(0.05, 0.5), delay=2)
+    sd_pal = make_detector_at("pallas_interpret", band=(0.05, 0.5),
+                              delay=2)
+    nc = sd_scan.geometry.n_cells
+    nb = 64
+    p = np.full((nb, nc), 1e-6, np.float32)
+    # chunk 0: one isolated candidate at block `evt`; chunk 1: idle
+    p[evt, 8:11] += 2.0
+    power = jnp.asarray(p)
+    state = random_state(sd_scan, rng, occupancy)
+    # spread incoming ages so retirements land before/at/after the event
+    state = {**state, "inactive": jnp.asarray(
+        rng.integers(0, 6, sd_scan.max_slots), jnp.int32
+    )}
+
+    ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, state)
+    ns_b, fl_b = sd_pal.scan_slots(power, state)
+    for k in ns_a:
+        np.testing.assert_array_equal(
+            np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+            err_msg=f"evt{evt} state[{k}]",
+        )
+    for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                        fl_a, fl_b):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"evt{evt} {nm}"
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_single_event_sparse_fuzz(seed):
+    """Sparse random candidates (0-2 per chunk, isolated and paired) +
+    churny slot states across multiple steps: the single-event and
+    multi-event dispatch boundaries stay bit-exact vs the scan path."""
+    rng = np.random.default_rng(500 + seed)
+    delay = int(rng.integers(0, 4))
+    sd_scan = make_detector_at("scan", band=(0.05, 0.5), delay=delay)
+    sd_pal = make_detector_at("pallas_interpret", band=(0.05, 0.5),
+                              delay=delay)
+    nc = sd_scan.geometry.n_cells
+    nb = 128
+    p = np.full((nb, nc), 1e-6, np.float32)
+    for b in sorted(rng.choice(nb, size=6, replace=False)):
+        cell = int(rng.integers(2, nc - 8))
+        p[b, cell:cell + int(rng.integers(1, 4))] += 1.0 + rng.random()
+    power = jnp.asarray(p)
+    st_a = sd_scan.init_state()
+    st_b = sd_pal.init_state()
+    for step in range(2):
+        ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, st_a)
+        ns_b, fl_b = sd_pal.scan_slots(power, st_b)
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+                err_msg=f"seed{seed} step{step} state[{k}]",
+            )
+        for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                            fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"seed{seed} step{step} {nm}",
+            )
+        st_a, st_b = ns_a, ns_b
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_super_chunk_skip_matches_scan(seed):
+    """Batches long enough to engage the hierarchical SUPER-chunk skip
+    (n_chunks >= 8): quiet super-regions take one closed-form iteration;
+    work appearing in different super-regions dispatches correctly —
+    bit-exact vs the scan reference, with live slots aging across
+    super boundaries."""
+    from fdc_tpu.ops.lifecycle_pallas import _SUPER
+
+    rng = np.random.default_rng(600 + seed)
+    delay = int(rng.integers(0, 4))
+    sd_scan = make_detector_at("scan", band=(0.05, 0.5), delay=delay)
+    sd_pal = make_detector_at("pallas_interpret", band=(0.05, 0.5),
+                              delay=delay)
+    nc = sd_scan.geometry.n_cells
+    nb = 256  # 8 chunks of 32 -> 2 super-regions of _SUPER
+    assert (nb // 32) >= 2 * _SUPER
+    p = np.full((nb, nc), 1e-6, np.float32)
+    # seed 0: one isolated event early (second super-region all quiet);
+    # others: sparse events across both regions + a dwelling carrier
+    p[7, 5:8] += 2.0
+    if seed:
+        for b in rng.choice(nb, size=4, replace=False):
+            cell = int(rng.integers(2, nc - 8))
+            p[b, cell:cell + 2] += 1.5
+        p[140:200, 20:22] += 2.0  # dwell crossing a super boundary
+    power = jnp.asarray(p)
+    st_a = sd_scan.init_state()
+    st_b = sd_pal.init_state()
+    for step in range(2):
+        ns_a, fl_a = jax.jit(sd_scan.scan_slots)(power, st_a)
+        ns_b, fl_b = sd_pal.scan_slots(power, st_b)
+        for k in ns_a:
+            np.testing.assert_array_equal(
+                np.asarray(ns_a[k]), np.asarray(ns_b[k]),
+                err_msg=f"seed{seed} step{step} state[{k}]",
+            )
+        for nm, a, b in zip(("got", "processed", "emit", "phase_used"),
+                            fl_a, fl_b):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"seed{seed} step{step} {nm}",
+            )
+        st_a, st_b = ns_a, ns_b

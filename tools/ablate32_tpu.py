@@ -140,16 +140,18 @@ def main():
 
         carry0 = pipe._jit_init()
 
-        def stage_b(c, pp, t, sk=None):
-            nc_, sc = pipe._jit_scan(c, pp, sk)
+        # stage B is carry-dependent everywhere that matters (the scans
+        # thread the slot tables), so no input perturbation is needed —
+        # and these configs have no power bank, so the packed rows are
+        # the positional arg (int32; pa_powers is None)
+        def stage_b(c, sk, t):
+            nc_, sc = pipe._jit_scan(c, seg_ks_cur[0], sk)
             return nc_, sc
 
         for wname in ("noise", "busy"):
-            pa_p, seg_k, spec_ext = seg_ks[wname]
-            import functools
-            dt = timed(
-                functools.partial(stage_b, sk=seg_k), carry0, pa_p, 64
-            )
+            seg_ks_cur = (seg_ks[wname][0],)
+            seg_k = seg_ks[wname][1]
+            dt = timed(stage_b, carry0, list(seg_k), 64, perturb_arg=None)
             results[f"{name}_B_{wname}_ms"] = round(dt * 1e3, 4)
 
         # adversarial churn bound for B: packed rows from churn powers
@@ -157,11 +159,8 @@ def main():
             jax.jit(sd._packed_candidates)(churn_powers(sd))[0]
             for sd in plain.segments
         ]
-        pa_p = seg_ks["noise"][0]
-        import functools
-        dt = timed(
-            functools.partial(stage_b, sk=churn_packed), carry0, pa_p, 64
-        )
+        seg_ks_cur = (seg_ks["noise"][0],)
+        dt = timed(stage_b, carry0, churn_packed, 64, perturb_arg=None)
         results[f"{name}_B_churn_ms"] = round(dt * 1e3, 4)
 
         # stage C on the busy tables/plans
