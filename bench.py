@@ -51,6 +51,9 @@ def main():
     # ratio IQR at ~±2.5%, so the median of 31 rounds still carries ~±1%
     # standard error — 63 rounds brings it to ~±0.7% for ~10 s extra
     ap.add_argument("--repeats", type=int, default=63)
+    # per-round median of this many back-to-back K/2K pairs (spike/drift
+    # rejection inside a round; see time_scanned_paired)
+    ap.add_argument("--pairs", type=int, default=3)
     args = ap.parse_args()
 
     import os
@@ -221,16 +224,21 @@ def run_bench(args):
     # per-round ratios, cancelling round-scale drift exactly
     st_full, st_roof, st_fft = time_scanned_paired(
         [
-            (step_full, carry0, (xf,), args.steps, 0),
+            # full and roofline step times are within ~5 % of each other
+            # now, so they get EQUAL K (equal windows -> equal relative
+            # jitter; the old K/2K split gave the full step twice the
+            # roofline's per-round noise and that asymmetry landed
+            # straight in the vs_baseline quartiles)
+            (step_full, carry0, (xf,), 2 * args.steps, 0),
             (step_roofline, carry0, (xf,), 2 * args.steps, 0),
             (step_fft, carry0, (xf,), 4 * args.steps, 0),
         ],
         repeats=args.repeats,
-        # median of 3 back-to-back pairs per round: a lone multi-ms
+        # median of N back-to-back pairs per round: a lone multi-ms
         # dispatch spike cannot poison its round's diff, which is what
         # fattened the vs_baseline quartiles far past the structural
         # spread (round 4; the median was already spike-robust)
-        pairs_per_round=3,
+        pairs_per_round=args.pairs,
     )
     dt_full = st_full["median"]
     dt_roof = st_roof["median"]

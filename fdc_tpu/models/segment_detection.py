@@ -36,6 +36,7 @@ from fdc_tpu.ops.detect import (
     candidate_geometry,
     cell_power,
     detect_candidates,
+    detect_candidates_batch,
     match_candidates,
 )
 from fdc_tpu.ops.extract import extract_dynamic
@@ -227,11 +228,14 @@ class SegmentDetector:
         # reference's unbounded edge list
         # (reference: lib/SegmentDetection_impl.cc:208-243).
         k = self.k_detect
-        cand_s, cand_e, cand_v = jax.vmap(
-            lambda p: detect_candidates(
-                p, self.thresh, k, zero_floor=self.vcm
-            )
-        )(power)  # each [B, K], cell coords
+        # hot-path batched form: the greedy acceptance runs as ONE
+        # Pallas kernel on TPU (its XLA unroll cost ~2 kernel launches
+        # per candidate, most of the packing marginal); CPU paths take
+        # the identical batched jnp loop
+        cand_s, cand_e, cand_v = detect_candidates_batch(
+            power, self.thresh, k, zero_floor=self.vcm,
+            interpret=(self._resolved_backend() == "pallas_interpret"),
+        )  # each [B, K], cell coords
         if True:
             # compact accepted candidates to the front, order-preserving,
             # ALWAYS — the greedy acceptance leaves invalid holes between
@@ -243,7 +247,18 @@ class SegmentDetector:
             # gather (slow TPU path); candidate values are small ints —
             # exact in f32.
             kp = self.k_pack
-            rank = jnp.cumsum(cand_v.astype(jnp.int32), axis=1) - 1  # [B, K]
+            # prefix count as a triangular matmul: jnp.cumsum lowers to a
+            # reduce-window kernel that breaks the surrounding fusion;
+            # the [K, K] dot fuses with the one-hot contraction below
+            # (small ints exact in f32)
+            tri = (
+                jnp.arange(k, dtype=jnp.int32)[:, None]
+                <= jnp.arange(k, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            rank = jnp.dot(
+                cand_v.astype(jnp.float32), tri,
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32) - 1  # [B, K]
             onehot = (
                 (rank[:, None, :]
                  == jnp.arange(kp, dtype=jnp.int32)[None, :, None])

@@ -19,6 +19,8 @@ detection code:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -27,6 +29,8 @@ __all__ = [
     "cell_power",
     "detect_edges",
     "detect_candidates",
+    "detect_candidates_batch",
+    "greedy_accept_batch",
     "candidate_geometry",
     "match_candidates",
     "ceil_log2",
@@ -174,6 +178,93 @@ def detect_edges(
         cand_e = jnp.pad(cand_e, (0, pad))
         has_pair = jnp.pad(has_pair, (0, pad))
     return cand_s, cand_e, has_pair
+
+
+def _greedy_accept_kernel(cs_ref, ce_ref, hp_ref, out_ref, *, k):
+    """Greedy non-overlap acceptance for a whole batch in ONE kernel.
+
+    Layout [K, B]: candidates on SUBLANES so each step's candidate is a
+    free static sublane slice and the blocked test is a sublane
+    reduction — the whole K-step chain lives in registers. The XLA
+    unrolled form emits ~2 kernels per step (the per-step `any`
+    reduction breaks elementwise fusion; ~64 launches at K=32 measured
+    as most of the candidate-packing marginal, tools/ablate33_tpu.py).
+    """
+    cs = cs_ref[:].astype(jnp.float32)  # [K, B]; small ints exact in f32
+    ce = ce_ref[:].astype(jnp.float32)
+    hp = hp_ref[:]
+    row = jax.lax.broadcasted_iota(jnp.int32, cs.shape, 0)
+    acc = jnp.zeros(cs.shape, jnp.float32)
+    for j in range(k):
+        ov_j = (cs[j:j + 1, :] < ce) & (ce[j:j + 1, :] >= cs)  # [K, B]
+        blocked = jnp.sum(
+            jnp.where(ov_j, acc, 0.0), axis=0, keepdims=True
+        )  # [1, B]
+        accept = (hp[j:j + 1, :] != 0) & (blocked == 0.0)
+        acc = jnp.where((row == j) & accept, 1.0, acc)
+    out_ref[:] = acc.astype(jnp.int32)
+
+
+def greedy_accept_batch(cand_s, cand_e, has_pair, interpret=False):
+    """Batched greedy overlap rejection: [B, K] candidate intervals in
+    strength order -> [B, K] accepted mask (exact reference semantics,
+    identical to the per-block loop in :func:`detect_candidates`).
+    One Pallas kernel on TPU; pure-jnp unrolled fallback elsewhere."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, k = cand_s.shape
+    if not (jax.default_backend() == "tpu" or interpret):
+        # batched form of detect_candidates' lean unrolled loop
+        ov = (cand_s[:, :, None] < cand_e[:, None, :]) & (
+            cand_e[:, :, None] >= cand_s[:, None, :]
+        )  # [B, K(j), K(i)]
+        acc_v = jnp.zeros((b, k), bool)
+        eye = jnp.eye(k, dtype=bool)
+        for j in range(k):
+            overlap = jnp.any(acc_v & ov[:, j, :], axis=1, keepdims=True)
+            acc_v = acc_v | (
+                eye[j][None, :] & (has_pair[:, j:j + 1] & ~overlap)
+            )
+        return acc_v
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_greedy_accept_kernel, k=k),
+        out_shape=jax.ShapeDtypeStruct((k, b), jnp.int32),
+        in_specs=[vm, vm, vm],
+        out_specs=vm,
+        interpret=interpret,
+    )(
+        cand_s.T.astype(jnp.int32),
+        cand_e.T.astype(jnp.int32),
+        has_pair.T.astype(jnp.int32),
+    )
+    return out.T != 0
+
+
+def detect_candidates_batch(
+    power: jax.Array,
+    thresh: float,
+    max_candidates: int,
+    zero_floor: bool = False,
+    interpret: bool = False,
+):
+    """Batched :func:`detect_candidates` over [B, n_cells] powers with
+    the greedy acceptance as one kernel (see greedy_accept_batch) —
+    the hot-path form used by SegmentDetector._packed_candidates.
+    Returns ([B, K] cand_s, cand_e, valid) in CELL coordinates."""
+    k = max_candidates
+    cand_s, cand_e, has_pair = jax.vmap(
+        lambda p: detect_edges(p, thresh, k, zero_floor=zero_floor)
+    )(power)
+    acc_v = greedy_accept_batch(cand_s, cand_e, has_pair,
+                                interpret=interpret)
+    return (
+        jnp.where(acc_v, cand_s, 0),
+        jnp.where(acc_v, cand_e, 0),
+        acc_v,
+    )
 
 
 def detect_candidates(

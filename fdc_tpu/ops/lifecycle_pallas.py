@@ -1044,7 +1044,17 @@ def slot_lifecycle_multi(
             w = hw.reshape(-1, chunk)
             if delay + 1 >= chunk:
                 return jnp.ones((w.shape[0],), jnp.int32)
-            cs = jnp.cumsum(w, axis=1)  # inclusive prefix counts
+            # triangular matmul instead of cumsum (reduce-window breaks
+            # the surrounding fusion; same exactness argument as the
+            # kernel's in-VMEM prefix matmuls)
+            tri = (
+                jnp.arange(chunk, dtype=jnp.int32)[:, None]
+                <= jnp.arange(chunk, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            cs = jnp.dot(
+                w.astype(jnp.float32), tri,
+                preferred_element_type=jnp.float32,
+            ).astype(w.dtype)  # inclusive prefix counts
             hi = cs[:, delay:]  # counts through block j, j >= delay
             lo = jnp.concatenate(
                 [jnp.zeros((w.shape[0], 1), cs.dtype),

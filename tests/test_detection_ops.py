@@ -149,3 +149,30 @@ def test_match_candidates_matches_golden(trial):
         if cv[i] and not consumed[i]
     ]
     assert left_ours == g_left, (trial, left_ours, g_left)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_greedy_accept_batch_matches_per_block(seed):
+    """The one-kernel batched greedy acceptance (Pallas, interpret mode)
+    == the per-block reference loop, including overlap chains, ties,
+    and invalid holes."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdc_tpu.ops.detect import detect_candidates, detect_candidates_batch
+
+    rng = np.random.default_rng(seed)
+    b, nc = 48, 34
+    power = 10.0 ** rng.uniform(-6, 1, (b, nc)).astype(np.float32)
+    thresh = 10 ** 0.6
+    k = nc - 1  # exact mode
+
+    s_ref, e_ref, v_ref = jax.vmap(
+        lambda p: detect_candidates(p, thresh, k)
+    )(jnp.asarray(power))
+    s_b, e_b, v_b = detect_candidates_batch(
+        jnp.asarray(power), thresh, k, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_b))
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_b))
+    np.testing.assert_array_equal(np.asarray(e_ref), np.asarray(e_b))
