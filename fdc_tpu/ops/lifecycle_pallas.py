@@ -97,17 +97,36 @@ def _lifecycle_kernel(
     g_n = len(n_cands)
     n_tiers = len(ladders[0])
     cand_refs = refs[0:g_n]
-    work_refs = refs[g_n:2 * g_n]          # [B] valid counts
-    cwork_refs = refs[2 * g_n:3 * g_n]     # per-chunk max counts
-    pwork_refs = refs[3 * g_n:4 * g_n]
-    cnt_refs = refs[4 * g_n:5 * g_n]       # per-chunk work-block counts
-    evt_refs = refs[5 * g_n:6 * g_n]       # per-chunk first work block
-    swork_refs = refs[6 * g_n:7 * g_n]     # per-SUPER-chunk any-work
-    tier_blk_ref = refs[7 * g_n]
-    tier_chunk_ref = refs[7 * g_n + 1]
-    state_refs = refs[7 * g_n + 2:8 * g_n + 2]
-    counters_ref = refs[8 * g_n + 2]
-    n_in = 8 * g_n + 3
+    # The many tiny per-block/per-chunk scalar tables travel as TWO flat
+    # SMEM operands (every XLA operand of the pallas custom-call costs a
+    # copy/bitcast at the call boundary; with 6 tables x G segments the
+    # operand glue was a measurable slice of the scan marginal). The
+    # named views below keep every read site written against the
+    # logical tables.
+    blk_tab = refs[g_n]        # [(G+1)*B]: per-seg nv counts, tier_blk
+    ck_tab = refs[g_n + 1]     # [(5G+1)*ncp]: cwork|pwork|cnt|evt|swork
+    state_refs = refs[g_n + 2:2 * g_n + 2]  # ... and tier_chunk last
+    counters_ref = refs[2 * g_n + 2]
+    n_in = 2 * g_n + 3
+    ncp = max(n_blocks // chunk, 1) if chunk > 1 else 1
+
+    class _Off:
+        """Scalar view of a flat SMEM table at a fixed offset."""
+
+        def __init__(self, ref, off):
+            self.ref, self.off = ref, off
+
+        def __getitem__(self, i):
+            return self.ref[self.off + i]
+
+    work_refs = [_Off(blk_tab, g * n_blocks) for g in range(g_n)]
+    tier_blk_ref = _Off(blk_tab, g_n * n_blocks)
+    cwork_refs = [_Off(ck_tab, g * ncp) for g in range(g_n)]
+    pwork_refs = [_Off(ck_tab, (g_n + g) * ncp) for g in range(g_n)]
+    cnt_refs = [_Off(ck_tab, (2 * g_n + g) * ncp) for g in range(g_n)]
+    evt_refs = [_Off(ck_tab, (3 * g_n + g) * ncp) for g in range(g_n)]
+    swork_refs = [_Off(ck_tab, (4 * g_n + g) * ncp) for g in range(g_n)]
+    tier_chunk_ref = _Off(ck_tab, 5 * g_n * ncp)
     if pa_r is not None:
         # fused powact automaton (see the epilogue below): ratio edges,
         # per-chunk work flags, [2, C] state rows (active, phase), delta
@@ -118,14 +137,40 @@ def _lifecycle_kernel(
     outs = refs[n_in:]
     o_states = outs[0:g_n]
     o_counters = outs[g_n]
-    f_gots = outs[g_n + 1:2 * g_n + 1]
-    f_procs = outs[2 * g_n + 1:3 * g_n + 1]
-    f_emits = outs[3 * g_n + 1:4 * g_n + 1]
-    f_pus = outs[4 * g_n + 1:5 * g_n + 1]
+
+    class _Band:
+        """Row-band view of a [4B, S] flag output (kind-major): stores/
+        loads at [kind*B + rows, :]. One output per segment instead of
+        four — each custom-call result is an XLA buffer with copy/
+        bitcast glue at the boundary. Dynamic sublane indices at lane
+        offset 0 are the allowed Mosaic store pattern, and kind*B + i
+        keeps exactly that shape."""
+
+        def __init__(self, ref, base):
+            self.ref, self.base = ref, base
+
+        def _shift(self, idx):
+            rows, cols = idx
+            return (pl.ds(self.base + rows.start, rows.size), cols)
+
+        def __getitem__(self, idx):
+            return self.ref[self._shift(idx)]
+
+        def __setitem__(self, idx, val):
+            self.ref[self._shift(idx)] = val
+
+    f_bands = outs[g_n + 1:2 * g_n + 1]  # [4*B, S] per segment
+    f_gots = [_Band(r, 0) for r in f_bands]
+    f_procs = [_Band(r, n_blocks) for r in f_bands]
+    f_emits = [_Band(r, 2 * n_blocks) for r in f_bands]
+    f_pus = [_Band(r, 3 * n_blocks) for r in f_bands]
     if pa_r is not None:
-        (o_pa_state, pa_rise, pa_fall, pa_proc, pa_pu) = (
-            outs[5 * g_n + 1:5 * g_n + 6]
-        )
+        o_pa_state = outs[2 * g_n + 1]
+        pa_band = outs[2 * g_n + 2]  # [4*B, C]
+        pa_rise = _Band(pa_band, 0)
+        pa_fall = _Band(pa_band, n_blocks)
+        pa_proc = _Band(pa_band, 2 * n_blocks)
+        pa_pu = _Band(pa_band, 3 * n_blocks)
 
     # Mosaic cannot legalize scf.for with vector loop-carries: the vector
     # state lives in the output refs (initialized below, mutated per
@@ -133,12 +178,11 @@ def _lifecycle_kernel(
     # pl.when branch below can update them). Each segment's 10 state
     # vectors share ONE [10, S] ref so a block does a single VMEM read
     # and write per segment (static sublane slices are free). The four
-    # per-block flags are FOUR [B, S] outputs, not one packed [B, 4S]
-    # row: a dynamic-sublane store at a non-zero lane offset (the packed
-    # form's 3*S.. slice) fails to lower at some S ("dynamic store with
-    # unaligned indices", observed at S=128), while offset-0 dynamic row
-    # stores always lower — and the packed form stored four separate
-    # slices anyway, so the split costs nothing.
+    # per-block flags pack into one [4B, S] output along the SUBLANE
+    # axis (kind-major, via _Band): offset-0 dynamic row stores always
+    # lower, while the earlier [B, 4S] LANE-packed attempt failed at
+    # some S ("dynamic store with unaligned indices", observed at
+    # S=128).
     for g in range(g_n):
         o_states[g][:] = state_refs[g][:]
     for j in range(3 * g_n):
@@ -1068,12 +1112,11 @@ def slot_lifecycle_multi(
             _gap_ok(hw, d) for hw, d in zip(has_works, delays)
         )
     else:
-        chunk_works = nvs  # unused by the kernel, keeps the arity
-        probe_works = has_works
-        tier_chunk = tier_blk
-        cnt_works = has_works
-        evt_idxs = has_works
-        sworks = has_works
+        # chunk == 1: the chunk-path tables are unused by the kernel —
+        # single-entry zeros keep the flat-table layout
+        z1 = (jnp.zeros((1,), jnp.int32),) * g_n
+        chunk_works = probe_works = cnt_works = evt_idxs = sworks = z1
+        tier_chunk = jnp.zeros((1,), jnp.int32)
 
     state_rows = tuple(
         jnp.stack(
@@ -1099,22 +1142,38 @@ def slot_lifecycle_multi(
         counters.append(
             jnp.sum((st["active"] & ~st["tomb"]).astype(jnp.int32))
         )
+    # flatten the scalar tables into two SMEM operands (see the kernel's
+    # _Off views; operand order must match its offsets exactly)
+    ncp = max(nb // chunk, 1) if chunk > 1 else 1
+
+    def _pad_to(a, ln):
+        a = a.reshape(-1)
+        return a if a.shape[0] == ln else jnp.pad(a, (0, ln - a.shape[0]))
+
+    blk_tab = jnp.concatenate(
+        [nv.astype(jnp.int32) for nv in nvs] + [tier_blk]
+    )
+    ck_tab = jnp.concatenate(
+        [_pad_to(a.astype(jnp.int32), ncp)
+         for a in (list(chunk_works) + list(probe_works)
+                   + list(cnt_works) + list(evt_idxs) + list(sworks))]
+        + [_pad_to(tier_chunk, ncp)]
+    )
     ins = (
-        cands + nvs + chunk_works + probe_works + cnt_works + evt_idxs
-        + sworks + (tier_blk, tier_chunk) + state_rows
-        + (jnp.stack(counters),)
+        cands + (blk_tab, ck_tab) + state_rows + (jnp.stack(counters),)
     )
 
-    fl = lambda s: jax.ShapeDtypeStruct((nb, s), jnp.int32)
+    # one [4B, S] kind-major flag band per segment (see _Band)
+    fl = lambda s: jax.ShapeDtypeStruct((4 * nb, s), jnp.int32)
     out_shape = (
         tuple(jax.ShapeDtypeStruct((10, s), jnp.int32) for s in ss)
         + (jax.ShapeDtypeStruct((3 * g_n,), jnp.int32),)
-        + tuple(fl(s) for s in ss) * 4
+        + tuple(fl(s) for s in ss)
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [vm] * g_n + [sm] * (6 * g_n + 2) + [vm] * g_n + [sm]
-    out_specs = [vm] * g_n + [sm] + [vm] * (4 * g_n)
+    in_specs = [vm] * g_n + [sm] * 2 + [vm] * g_n + [sm]
+    out_specs = [vm] * g_n + [sm] + [vm] * g_n
 
     if powact is not None:
         if pa_r is None or pa_thresh is None:
@@ -1148,9 +1207,9 @@ def slot_lifecycle_multi(
         in_specs += [vm, vm, sm, vm, vm]
         out_shape = out_shape + (
             jax.ShapeDtypeStruct((2, c_dim), jnp.int32),
-            fl(c_dim), fl(c_dim), fl(c_dim), fl(c_dim),
+            fl(c_dim),  # one [4B, C] kind-major pa flag band
         )
-        out_specs += [vm] * 5
+        out_specs += [vm] * 2
 
     kernel = functools.partial(
         _lifecycle_kernel,
@@ -1185,10 +1244,11 @@ def slot_lifecycle_multi(
 
     o_states = outs[0:g_n]
     o_counters = outs[g_n]
-    f_gots = outs[g_n + 1:2 * g_n + 1]
-    f_procs = outs[2 * g_n + 1:3 * g_n + 1]
-    f_emits = outs[3 * g_n + 1:4 * g_n + 1]
-    f_pus = outs[4 * g_n + 1:5 * g_n + 1]
+    f_bands = outs[g_n + 1:2 * g_n + 1]  # [4B, S] kind-major per segment
+    f_gots = [b[0:nb] for b in f_bands]
+    f_procs = [b[nb:2 * nb] for b in f_bands]
+    f_emits = [b[2 * nb:3 * nb] for b in f_bands]
+    f_pus = [b[3 * nb:4 * nb] for b in f_bands]
 
     results = []
     for g in range(g_n):
@@ -1217,7 +1277,11 @@ def slot_lifecycle_multi(
     if powact is None:
         return tuple(results)
 
-    o_pa, pa_f_rise, pa_f_fall, pa_f_proc, pa_f_pu = outs[5 * g_n + 1:]
+    o_pa, pa_band = outs[2 * g_n + 1:]
+    pa_f_rise = pa_band[0:nb]
+    pa_f_fall = pa_band[nb:2 * nb]
+    pa_f_proc = pa_band[2 * nb:3 * nb]
+    pa_f_pu = pa_band[3 * nb:4 * nb]
     pa_new_state = {
         "active": o_pa[0] != 0,
         "lastpower": pw[-1],
