@@ -244,10 +244,16 @@ def run_bench(args):
     dt_roof = st_roof["median"]
     dt_fft = st_fft["median"]
 
-    ratios = sorted(
-        rf / fl
-        for rf, fl in zip(st_roof["rounds"], st_full["rounds"])
-    )
+    # per-round ratio = median over the round's ADJACENT pairs (pair p
+    # of the roofline ran ~0.3 s after pair p of the full step, vs ~1 s
+    # between the two round medians) — the tightest drift cancellation
+    # the interleaved schedule allows
+    ratios = []
+    for prs_f, prs_r in zip(st_full["pair_rounds"],
+                            st_roof["pair_rounds"]):
+        rr = sorted(r / f for f, r in zip(prs_f, prs_r))
+        ratios.append(rr[len(rr) // 2])
+    ratios.sort()
     nr = len(ratios)
 
     msps = n / dt_full / 1e6

@@ -203,6 +203,7 @@ def time_scanned_paired(specs, repeats: int = 15,
     n_rounds = max(repeats, 5)
     ppr = max(int(pairs_per_round), 1)
     rounds = [[] for _ in runs]
+    pair_rounds = [[] for _ in runs]  # per-round list of the raw diffs
     for _ in range(n_rounds):
         # pair-level interleave: spec A's pair p runs adjacent to spec
         # B's pair p, so second-scale drift segments land in BOTH specs'
@@ -218,6 +219,7 @@ def time_scanned_paired(specs, repeats: int = 15,
                 tb = time.perf_counter() - t0
                 diffs[i].append(max((tb - ta) / k, 1e-9))
         for i in range(len(runs)):
+            pair_rounds[i].append(list(diffs[i]))
             diffs[i].sort()
             rounds[i].append(diffs[i][ppr // 2])
 
@@ -233,6 +235,11 @@ def time_scanned_paired(specs, repeats: int = 15,
             "max": diffs[n - 1],
             "n": n,
             "rounds": rounds[i],
+            # raw per-pair diffs, index-aligned across specs: pair p of
+            # spec A ran ADJACENT in time to pair p of spec B, so ratios
+            # of matching pairs cancel drift at the ~0.3 s scale (the
+            # round medians only cancel it at the ~1 s round scale)
+            "pair_rounds": pair_rounds[i],
         })
     return out
 
