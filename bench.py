@@ -306,14 +306,23 @@ def run_bench(args):
         )
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
-        byts = float(cost.get("bytes accessed", 0.0))
+        flops = float(cost.get("flops", 0.0)) if cost else 0.0
+        byts = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
         if flops > 0:
             result["sustained_tflops"] = round(flops / dt_full / 1e12, 3)
         if byts > 0:
             result["hbm_gbps"] = round(byts / dt_full / 1e9, 1)
-    except Exception:
-        pass  # cost analysis is best-effort (backend-dependent)
+        if flops <= 0 and byts <= 0:
+            # the HLO cost model returned nothing usable — say so in the
+            # artifact instead of silently dropping the fields
+            # (VERDICT r4 item 6)
+            result["cost_analysis_error"] = (
+                f"empty cost model: {cost!r}"[:160]
+            )
+    except Exception as exc:  # backend-dependent; surface, don't hide
+        result["cost_analysis_error"] = (
+            f"{type(exc).__name__}: {exc}"[:160]
+        )
 
     return result
 

@@ -146,6 +146,11 @@ class SegmentDetector:
         # (max_candidates=0, reference lib/SegmentDetection_impl.cc:208-243)
         # from paying kernel work quadratic in n_cells.
         self.k_detect = self.max_candidates or (self.geometry.n_cells - 1)
+        # The (n_cells-1)//2 pack bound is only valid when thresh >= 1
+        # (a rise and a fall can share a ratio index for thresh < 1);
+        # thresh_db >= 0 is checked above — tie the invariant to the
+        # derivation that relies on it.
+        assert self.thresh >= 1.0, "k_pack bound requires thresh >= 1"
         self.k_pack = min(
             self.k_detect, max(1, (self.geometry.n_cells - 1) // 2)
         )
@@ -236,44 +241,43 @@ class SegmentDetector:
             power, self.thresh, k, zero_floor=self.vcm,
             interpret=(self._resolved_backend() == "pallas_interpret"),
         )  # each [B, K], cell coords
-        if True:
-            # compact accepted candidates to the front, order-preserving,
-            # ALWAYS — the greedy acceptance leaves invalid holes between
-            # accepted rows and the Pallas kernel's tier dispatch requires
-            # valid-first packs (its per-block k_eff body only reads the
-            # leading columns). Truncating to k_pack rows is bit-exact
-            # (see __init__: at most (n_cells - 1) // 2 survive the greedy
-            # acceptance). The one-hot contraction replaces a traced-index
-            # gather (slow TPU path); candidate values are small ints —
-            # exact in f32.
-            kp = self.k_pack
-            # prefix count as a triangular matmul: jnp.cumsum lowers to a
-            # reduce-window kernel that breaks the surrounding fusion;
-            # the [K, K] dot fuses with the one-hot contraction below
-            # (small ints exact in f32)
-            tri = (
-                jnp.arange(k, dtype=jnp.int32)[:, None]
-                <= jnp.arange(k, dtype=jnp.int32)[None, :]
-            ).astype(jnp.float32)
-            rank = jnp.dot(
-                cand_v.astype(jnp.float32), tri,
+        # Compact accepted candidates to the front, order-preserving,
+        # ALWAYS — the greedy acceptance leaves invalid holes between
+        # accepted rows and the Pallas kernel's tier dispatch requires
+        # valid-first packs (its per-block k_eff body only reads the
+        # leading columns). Truncating to k_pack rows is bit-exact
+        # (see __init__: at most (n_cells - 1) // 2 survive the greedy
+        # acceptance). The one-hot contraction replaces a traced-index
+        # gather (slow TPU path); candidate values are small ints —
+        # exact in f32.
+        kp = self.k_pack
+        # prefix count as a triangular matmul: jnp.cumsum lowers to a
+        # reduce-window kernel that breaks the surrounding fusion;
+        # the [K, K] dot fuses with the one-hot contraction below
+        # (small ints exact in f32)
+        tri = (
+            jnp.arange(k, dtype=jnp.int32)[:, None]
+            <= jnp.arange(k, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        rank = jnp.dot(
+            cand_v.astype(jnp.float32), tri,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) - 1  # [B, K]
+        onehot = (
+            (rank[:, None, :]
+             == jnp.arange(kp, dtype=jnp.int32)[None, :, None])
+            & cand_v[:, None, :]
+        ).astype(jnp.float32)  # [B, kp, K]
+
+        def take(v):
+            return jnp.einsum(
+                "bpk,bk->bp", onehot, v.astype(jnp.float32),
                 preferred_element_type=jnp.float32,
-            ).astype(jnp.int32) - 1  # [B, K]
-            onehot = (
-                (rank[:, None, :]
-                 == jnp.arange(kp, dtype=jnp.int32)[None, :, None])
-                & cand_v[:, None, :]
-            ).astype(jnp.float32)  # [B, kp, K]
+            ).astype(jnp.int32)
 
-            def take(v):
-                return jnp.einsum(
-                    "bpk,bk->bp", onehot, v.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.int32)
-
-            cand_s, cand_e = take(cand_s), take(cand_e)
-            cand_v = take(cand_v.astype(jnp.int32)) > 0
-            k = kp
+        cand_s, cand_e = take(cand_s), take(cand_e)
+        cand_v = take(cand_v.astype(jnp.int32)) > 0
+        k = kp
         cand_s = cand_s * g.decimation + g.start  # -> bin coords
         cand_e = cand_e * g.decimation + g.start
         wl2, es, too_big = candidate_geometry(

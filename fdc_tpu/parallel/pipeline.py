@@ -69,9 +69,10 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
 
     ``devices[0]`` owns the sequential detection state (scan chain); all
     devices (including the owner) serve as extraction workers in
-    round-robin batch order, or only ``devices[1:]`` with
-    ``dedicated_owner=True`` (the high-device-count regime — see the
-    efficiency note on ``__init__``). With one device this degenerates
+    round-robin batch order, or — with ``dedicated_owner=True`` (the
+    high-device-count regime, see the efficiency note on ``__init__``) —
+    the leading ``max(1, scan_owners)`` devices are reserved as the
+    owner pool and only the remaining devices extract. With one device this degenerates
     to the plain step's work split across three dispatches (same
     results, pointless — use the base class).
 
@@ -97,9 +98,22 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
         # worker's critical path: eff(W) = (W-1)/W · (A+B+C)/(A+C) until
         # the scan rate 1/B caps throughput (see PERFORMANCE.md
         # "Pipeline scaling model").
-        self.workers = (
-            self.devices[1:]
+        # With dedicated_owner and scan_owners > 1, RESERVE that many
+        # leading devices as the owner pool so additional scan owners do
+        # not land on worker devices (stage-B scans contending with
+        # stage A/C would partially defeat the dedicated contract). The
+        # reservation is an upper bound — if the config ends up with
+        # fewer segments than reserved owners, the surplus reserved
+        # devices idle (a config choice, logged nowhere: size
+        # scan_owners to the segment count).
+        self._n_reserved_owners = (
+            min(max(1, int(scan_owners)), max(1, len(self.devices) - 1))
             if dedicated_owner and len(self.devices) > 1
+            else 0
+        )
+        self.workers = (
+            self.devices[self._n_reserved_owners:]
+            if self._n_reserved_owners
             else self.devices
         )
         # PIPELINE x SPMD COMPOSITION (shard_time > 1): each pipeline

@@ -467,7 +467,9 @@ int fdc_emit_next_event(
 // Serialize burst state for checkpointing: returns required byte size when
 // buf == nullptr, else writes and returns bytes written.
 // Layout per unit: count, part, es, ee, w, live, n_blocks_buffered,
-// id_len, id bytes, then per buffered block: len + samples.
+// fin, id_len, id bytes, then per buffered block: len + samples.
+// (fin = the powact finished flag, written between n_blocks and id_len —
+// keep in sync with the Python _UNIT_HDR parser.)
 long long fdc_emit_save_state(Engine* e, uint8_t* buf) {
     long long off = 0;
     auto put = [&](const void* p, size_t nbytes) {

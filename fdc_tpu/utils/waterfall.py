@@ -212,6 +212,7 @@ class Waterfall:
         self.loginput = bool(loginput)
         # exact reference colorscheme: 1024 colors, digitize bin edges,
         # scheme frame color (python/WaterfallMsgTagging.py:276-312)
+        self.colorscheme = colorscheme
         self.cmap, self.bins, self.frame = cr_colorscheme(
             colorscheme, self.db_lo, self.db_hi, self.loginput
         )
@@ -224,6 +225,37 @@ class Waterfall:
         self._nrows = 0  # total decimated rows produced (global row index)
         self._rects: List[_Rect] = []
         self._block_index = 0  # global block index of next spectrum
+
+    # -- runtime style setters -------------------------------------------------
+    # The reference GUI exposes live style callbacks
+    # (reference: python/WaterfallMsgTagging.py:263-274, GRC callbacks
+    # grc/FDC_WaterfallMsgTagging.xml:13-15). Rows are stored RAW (linear
+    # power, or dB when loginput) and binned at render time, so rebuilding
+    # the LUT restyles every accumulated row without dropping any.
+
+    def _restyle(self):
+        self.cmap, self.bins, self.frame = cr_colorscheme(
+            self.colorscheme, self.db_lo, self.db_hi, self.loginput
+        )
+
+    def set_minvaldb(self, minvaldb: float):
+        """Live-change the lower dB bin edge; accumulated rows are kept."""
+        self.db_lo = float(minvaldb)
+        self._restyle()
+
+    def set_maxvaldb(self, maxvaldb: float):
+        """Live-change the upper dB bin edge; accumulated rows are kept."""
+        self.db_hi = float(maxvaldb)
+        self._restyle()
+
+    def set_colorscheme(self, colorscheme):
+        """Live-change the color scheme (index 0-3 or a COLOR_SCHEMES
+        name); accumulated rows are kept."""
+        # validate eagerly so a bad scheme fails here, not at next render
+        self.cmap, self.bins, self.frame = cr_colorscheme(
+            colorscheme, self.db_lo, self.db_hi, self.loginput
+        )
+        self.colorscheme = colorscheme
 
     # -- feeding ---------------------------------------------------------------
 

@@ -269,3 +269,50 @@ def test_decimating_power_history_no_doubling():
     assert h.dec == 1
     assert h.rows().shape == (10, 8)
     np.testing.assert_allclose(h.rows(), blocks)
+
+
+def test_runtime_style_setters_preserve_rows():
+    """Live set_minvaldb/set_maxvaldb/set_colorscheme restyle WITHOUT
+    dropping accumulated rows (reference callbacks:
+    python/WaterfallMsgTagging.py:263-274)."""
+    wf = Waterfall(blocklen=32, width=32, height=8, db_range=(-100.0, 0.0))
+    rng = np.random.default_rng(7)
+    power = rng.uniform(1e-8, 1.0, size=(8, 32)).astype(np.float32)
+    wf.feed_power(power)
+    rows_before = wf._rows.copy()
+    img0 = wf.render(overlay=False)
+
+    # narrowing the dB window changes the binning of the SAME raw rows
+    wf.set_minvaldb(-40.0)
+    assert wf.db_lo == -40.0
+    np.testing.assert_array_equal(wf._rows, rows_before)
+    img1 = wf.render(overlay=False)
+    assert img1.shape == img0.shape
+    assert not np.array_equal(img0, img1)
+
+    wf.set_maxvaldb(-10.0)
+    assert wf.db_hi == -10.0
+    np.testing.assert_array_equal(wf._rows, rows_before)
+    img2 = wf.render(overlay=False)
+    assert not np.array_equal(img1, img2)
+
+    # identical style via a fresh instance fed the same rows == restyled
+    ref = Waterfall(blocklen=32, width=32, height=8, db_range=(-40.0, -10.0))
+    ref.feed_power(power)
+    np.testing.assert_array_equal(img2, ref.render(overlay=False))
+
+    # colorscheme swap (name or index), rows still intact
+    wf.set_colorscheme("black-red-yellow")
+    np.testing.assert_array_equal(wf._rows, rows_before)
+    img3 = wf.render(overlay=False)
+    assert not np.array_equal(img2, img3)
+    # name and index must resolve to the same LUT
+    ref2 = Waterfall(blocklen=32, width=32, height=8,
+                     db_range=(-40.0, -10.0), colorscheme=2)
+    np.testing.assert_array_equal(wf.cmap, ref2.cmap)
+
+    # bad scheme fails eagerly and leaves the style untouched
+    import pytest as _pytest
+    with _pytest.raises((KeyError, ValueError, IndexError)):
+        wf.set_colorscheme("no_such_scheme")
+    np.testing.assert_array_equal(wf.render(overlay=False), img3)
