@@ -296,13 +296,15 @@ def run_bench(args):
     # roofline ratio above is the efficiency criterion; these numbers
     # locate the step on the machine's roofline instead.
     try:
-        # cost_analysis on the LOWERED stage: the counters come from the
-        # HLO without a backend compile (a standalone .compile() of the
-        # bare step is a different module from time_scanned's scan
-        # wrapper and would add a 1-5 min tunneled compile per cold run)
+        # cost_analysis needs the COMPILED module on the axon backend
+        # (the lowered-only module returns None — that was the silent
+        # failure VERDICT r4 item 6 flagged). The bare step is a
+        # different module from time_scanned's scan wrapper, so this is
+        # one extra compile (~12 s warm via the persistent cache, 1-5
+        # min cold) — acceptable for a per-round artifact.
         cost = (
             jax.jit(step_full).lower(carry0, xf, jnp.int32(0))
-            .cost_analysis()
+            .compile().cost_analysis()
         )
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
