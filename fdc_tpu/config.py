@@ -302,6 +302,74 @@ def solve_segment(
     )
 
 
+def split_segment_geometry(
+    parent: SegmentGeometry, n_parts: int, overlap_cells: int
+):
+    """Partition one solved segment into ``n_parts`` sub-segments whose
+    scan regions overlap by ``overlap_cells`` decimated cells at each cut.
+
+    Each part scans ``[core - overlap, core + overlap)`` cells of the
+    parent (clamped to the parent), on the parent's exact decimation grid
+    — so every part computes bit-identical cell powers and edge ratios
+    for the cells it shares with the parent (and with its neighbors).
+    Candidate OWNERSHIP is by midpoint: a part keeps only candidates
+    whose extraction midpoint bin (the same ``mid`` the reference's
+    activate() centers on, lib/SegmentDetection_impl.cc:290-344) falls in
+    its half-open core ``[core_start_bin, core_stop_bin)``. Cores tile
+    the parent exactly, so a candidate seen by two parts in the overlap
+    region is kept by exactly one (no double-spawn) and every candidate
+    midpoint has an owner (no lost carrier), PROVIDED both its edges lie
+    within the owner's scan region — carriers wider than
+    ``2 * overlap_cells * decimation`` bins centered at a cut are the
+    documented bounded deviation (size ``overlap_cells`` to half the
+    widest expected carrier).
+
+    Why this exists: segments are independent automata (the reference
+    runs one std::thread per segment,
+    lib/activity_detection_channelizer_vcm_impl.cc:293-304), so more
+    segments = more scan owners in the pipeline — this transform buys
+    that parallelism for a single wide segment without changing the
+    per-part detection math. Sub-segment borders behave exactly like the
+    reference's own adjacent-segment borders (a carrier drifting across
+    a cut retires in one part and spawns fresh in the next).
+
+    Returns a list of ``(SegmentGeometry, (core_start_bin, core_stop_bin))``.
+    """
+    n_parts = int(n_parts)
+    overlap_cells = int(overlap_cells)
+    if n_parts < 2:
+        raise ValueError("n_parts must be >= 2")
+    if overlap_cells < 0:
+        raise ValueError("overlap_cells must be >= 0")
+    nc, dec = parent.n_cells, parent.decimation
+    if n_parts > nc:
+        raise ValueError(
+            f"n_parts={n_parts} exceeds the segment's {nc} cells"
+        )
+    cpp = -(-nc // n_parts)  # ceil
+    parts = []
+    for p in range(n_parts):
+        core_lo = p * cpp
+        core_hi = min((p + 1) * cpp, nc)
+        if core_lo >= core_hi:
+            break  # fewer non-empty parts than requested (nc % n_parts)
+        scan_lo = max(0, core_lo - overlap_cells)
+        scan_hi = min(nc, core_hi + overlap_cells)
+        g = SegmentGeometry(
+            start=parent.start + scan_lo * dec,
+            stop=parent.start + scan_hi * dec,
+            width=(scan_hi - scan_lo) * dec,
+            decimation=dec,
+            n_cells=scan_hi - scan_lo,
+        )
+        core = (
+            parent.start + core_lo * dec,
+            parent.start + core_hi * dec,
+        )
+        parts.append((g, core))
+    return parts
+
+
 def solve_segment_vcm(
     blocksize: int, seg_start: float, seg_stop: float, minchandist: float
 ) -> SegmentGeometry:
@@ -415,6 +483,15 @@ class ChannelizerConfig:
     # "auto" = C++ emission engine when the native toolchain is available;
     # True forces it (raises if unavailable), False forces pure Python
     native_emission: object = "auto"
+    # Segment partitioning: (seg_index, n_parts, overlap_cells) entries.
+    # The indexed activity_detection_segment is expanded into n_parts
+    # sub-segments scanning the parent's decimation grid with
+    # overlap_cells of shared margin at each cut (see
+    # split_segment_geometry) — more segments = more independent scan
+    # automata = more pipeline scan owners. Sub-segments take consecutive
+    # segment ids in expansion order (segment numbering shifts, exactly
+    # as if the config had listed the parts as separate segments).
+    segment_splits: tuple = ()
 
     def __post_init__(self):
         object.__setattr__(self, "blocksize", nextpow2(self.blocksize))
@@ -447,6 +524,29 @@ class ChannelizerConfig:
                     )
                 norm.append(tuple(float(x) for x in c))
             object.__setattr__(self, name, tuple(norm))
+        splits = []
+        seen_idx = set()
+        for s in (self.segment_splits or ()):
+            if not isinstance(s, (list, tuple)) or len(s) != 3:
+                raise ValueError(
+                    f"segment_splits entry {s!r}: must be "
+                    f"(seg_index, n_parts, overlap_cells)"
+                )
+            idx, n_parts, ovl = (int(x) for x in s)
+            if not 0 <= idx < len(self.activity_detection_segments):
+                raise ValueError(
+                    f"segment_splits index {idx} out of range for "
+                    f"{len(self.activity_detection_segments)} segments"
+                )
+            if idx in seen_idx:
+                raise ValueError(f"segment_splits: duplicate index {idx}")
+            seen_idx.add(idx)
+            if n_parts < 2:
+                raise ValueError("segment_splits n_parts must be >= 2")
+            if ovl < 0:
+                raise ValueError("segment_splits overlap_cells must be >= 0")
+            splits.append((idx, n_parts, ovl))
+        object.__setattr__(self, "segment_splits", tuple(splits))
 
     # -- derived geometry ----------------------------------------------------
 

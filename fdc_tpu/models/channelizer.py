@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fdc_tpu.config import ChannelizerConfig, VerboseMode
+from fdc_tpu.config import (
+    ChannelizerConfig,
+    VerboseMode,
+    solve_segment,
+    split_segment_geometry,
+)
 from fdc_tpu.models.power_activation import (
     _FLOAT_MIN as _PA_FLOAT_MIN,
     PowerActivationBank,
@@ -121,29 +126,59 @@ class FrequencyDomainChannelizer:
             )
 
         self.segments: List[SegmentDetector] = []
+        # split-part adjacency: expanded segment index -> (lower expanded
+        # index | None, upper expanded index | None); drives the per-batch
+        # cut reconciliation (SegmentDetector.reconcile_split)
+        self._split_neighbors = {}
+        splits = {idx: (n, ovl) for idx, n, ovl in cfg.segment_splits}
         for i, (a, b) in enumerate(cfg.fdc_activity_detection_segments()):
-            self.segments.append(
-                SegmentDetector(
-                    i,
-                    cfg.blocksize,
-                    cfg.relinvovl,
-                    a,
-                    b,
-                    cfg.act_det_threshold,
-                    cfg.fdc_minchandist(),
-                    cfg.minchanflankpuffer if cfg.minchanflankpuffer >= 0 else 0.2,
-                    cfg.act_det_deactivation_delay
-                    if cfg.act_det_deactivation_delay >= 0
-                    else 0,
-                    cfg.max_slots,
-                    cfg.max_candidates,
-                    cfg.max_extract_width,
-                    extract_budget=cfg.extract_budget,
-                    use_mxu=cfg.use_mxu_fft,
-                    extract_width_split=cfg.extract_width_split,
-                    extract_budget_narrow=cfg.extract_budget_narrow,
+            # split segments expand into sub-segments on the parent's
+            # decimation grid with overlapping scan margins
+            # (config.split_segment_geometry) — each part is a full
+            # SegmentDetector with its own slot table, scan automaton and
+            # emitter, taking the next sequential segment id (exactly as
+            # if the config listed the parts as separate segments)
+            if i in splits:
+                n_parts, ovl = splits[i]
+                parent = solve_segment(
+                    cfg.blocksize, a, b, cfg.fdc_minchandist()
                 )
-            )
+                geoms = split_segment_geometry(parent, n_parts, ovl)
+            else:
+                geoms = [(None, None)]
+            base = len(self.segments)
+            if len(geoms) > 1:
+                for p in range(len(geoms)):
+                    self._split_neighbors[base + p] = (
+                        base + p - 1 if p > 0 else None,
+                        base + p + 1 if p + 1 < len(geoms) else None,
+                    )
+            for geom, core in geoms:
+                self.segments.append(
+                    SegmentDetector(
+                        len(self.segments),
+                        cfg.blocksize,
+                        cfg.relinvovl,
+                        a,
+                        b,
+                        cfg.act_det_threshold,
+                        cfg.fdc_minchandist(),
+                        cfg.minchanflankpuffer
+                        if cfg.minchanflankpuffer >= 0 else 0.2,
+                        cfg.act_det_deactivation_delay
+                        if cfg.act_det_deactivation_delay >= 0
+                        else 0,
+                        cfg.max_slots,
+                        cfg.max_candidates,
+                        cfg.max_extract_width,
+                        geometry=geom,
+                        extract_budget=cfg.extract_budget,
+                        use_mxu=cfg.use_mxu_fft,
+                        extract_width_split=cfg.extract_width_split,
+                        extract_budget_narrow=cfg.extract_budget_narrow,
+                        core_bins=core,
+                    )
+                )
 
         # -- per-component lifecycle loggers -----------------------------------
         # The reference gives each detection/burst block its own log file
@@ -489,6 +524,10 @@ class FrequencyDomainChannelizer:
         the power matrices / pre-packed candidate rows and its own carry,
         never on the extraction outputs."""
         scans = {}
+        seg_killed = self._reconcile_splits(
+            carry_io, seg_packed,
+            {i: carry_io[f"seg{i}"] for i in self._split_neighbors},
+        )
         # all segments' lifecycle scans fused into one Pallas kernel (one
         # serial chain instead of len(segments) back-to-back ones), with
         # the powact hysteresis automaton riding the SAME invocation when
@@ -518,10 +557,42 @@ class FrequencyDomainChannelizer:
         for i, sd in enumerate(self.segments):
             seg_state, flags = seg_scans[i]
             carry_io[f"seg{i}"] = seg_state
-            segs.append((seg_state, self._seg_scan_outputs(sd, seg_state,
-                                                          flags)))
+            so = self._seg_scan_outputs(sd, seg_state, flags)
+            if i in seg_killed:
+                so["killed"] = seg_killed[i]
+            segs.append((seg_state, so))
         scans["segs"] = segs
         return scans
+
+    def _reconcile_splits(self, carry_io, seg_packed, entry_states):
+        """Pre-scan cut reconciliation for split segments
+        (SegmentDetector.reconcile_split): kills duplicate slots at the
+        cuts (lower part wins) and suppresses candidates tracked by a
+        neighbor, both against ``entry_states`` — the batch-entry
+        snapshot, i.e. every part's state at the END OF THE PREVIOUS
+        BATCH. Mutates ``carry_io`` (killed slots freed) and
+        ``seg_packed`` (suppressed packs re-compacted) in place; returns
+        {seg_index: killed [S] bool} for the host emitters."""
+        seg_killed = {}
+        for i, (lo, hi) in self._split_neighbors.items():
+            sd = self.segments[i]
+            kill_from = []
+            if lo is not None:
+                kill_from.append(
+                    SegmentDetector.split_foreign_view(entry_states[lo])
+                )
+            suppress_from = list(kill_from)
+            if hi is not None:
+                suppress_from.append(
+                    SegmentDetector.split_foreign_view(entry_states[hi])
+                )
+            st, pk, killed = sd.reconcile_split(
+                entry_states[i], seg_packed[i], kill_from, suppress_from
+            )
+            carry_io[f"seg{i}"] = st
+            seg_packed[i] = pk
+            seg_killed[i] = killed
+        return seg_killed
 
     @staticmethod
     def _seg_scan_outputs(sd, seg_state, flags):

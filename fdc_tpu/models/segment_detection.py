@@ -69,6 +69,7 @@ class SegmentDetector:
         use_mxu: bool = False,
         extract_width_split: int = 0,
         extract_budget_narrow: int = 0,
+        core_bins=None,
     ):
         if thresh_db < 0.0:
             raise ValueError("Threshold is dB and must be >= 0")
@@ -133,6 +134,22 @@ class SegmentDetector:
         self.geometry: SegmentGeometry = geometry or solve_segment(
             blocksize, seg_start, seg_stop, minchandist
         )
+        # Candidate ownership window for split segments
+        # (config.split_segment_geometry): only candidates whose
+        # extraction midpoint bin falls in [core_bins) survive detection
+        # here — the overlap margin beyond the core is scanned (so edge
+        # ratios and the greedy acceptance see the same neighborhood the
+        # unsplit parent would) but owned by the neighboring part.
+        self.core_bins = None
+        if core_bins is not None:
+            lo, hi = int(core_bins[0]), int(core_bins[1])
+            g = self.geometry
+            if not g.start <= lo < hi <= g.stop:
+                raise ValueError(
+                    f"core_bins {core_bins} outside segment "
+                    f"[{g.start}, {g.stop})"
+                )
+            self.core_bins = (lo, hi)
 
         # K for edge DETECTION (0 = exact: every ratio position) vs K for
         # the candidate PACK the lifecycle consumes. The greedy non-overlap
@@ -241,6 +258,12 @@ class SegmentDetector:
             power, self.thresh, k, zero_floor=self.vcm,
             interpret=(self._resolved_backend() == "pallas_interpret"),
         )  # each [B, K], cell coords
+        # NOTE (split segments): the pack keeps EVERY accepted candidate
+        # in the scan region, including the overlap margin — candidate
+        # OWNERSHIP (the core_bins midpoint rule) is enforced by
+        # reconcile_split in the scan stage, which knows the slot tables
+        # and so can distinguish refresh candidates (kept regardless of
+        # ownership) from spawn candidates (core-owned only).
         # Compact accepted candidates to the front, order-preserving,
         # ALWAYS — the greedy acceptance leaves invalid holes between
         # accepted rows and the Pallas kernel's tier dispatch requires
@@ -292,6 +315,163 @@ class SegmentDetector:
             axis=1,
         )  # [B, 7K]
         return packed, k
+
+    def _recompact_pack(self, packed: jax.Array, keep: jax.Array):
+        """Order-preserving re-compaction of a [B, 7K] candidate pack
+        under a new validity mask ``keep`` [B, K] (same one-hot machinery
+        as _packed_candidates — the Pallas kernel requires valid-first
+        packs, so any post-hoc candidate filtering must re-compact)."""
+        k = self.k_pack
+        tri = (
+            jnp.arange(k, dtype=jnp.int32)[:, None]
+            <= jnp.arange(k, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        rank = jnp.dot(
+            keep.astype(jnp.float32), tri,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) - 1  # [B, K]
+        onehot = (
+            (rank[:, None, :]
+             == jnp.arange(k, dtype=jnp.int32)[None, :, None])
+            & keep[:, None, :]
+        ).astype(jnp.float32)  # [B, K, K]
+
+        def take(v):
+            return jnp.einsum(
+                "bpk,bk->bp", onehot, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+
+        groups = [packed[:, j * k:(j + 1) * k] for j in range(7)]
+        groups = [take(g) for g in groups]
+        # group 2 is the validity column family: the compacted keep mask
+        groups[2] = take(keep.astype(jnp.int32))
+        return jnp.concatenate(groups, axis=1)
+
+    def reconcile_split(self, state, packed, kill_from, suppress_from):
+        """Split-part pre-scan reconciliation (the cut contract).
+
+        Lagged-neighbor semantics: ``kill_from`` / ``suppress_from`` hold
+        adjacent parts' slot-interval tables as of the END OF THE PREVIOUS
+        BATCH (each a tuple ``(det_start [S_f], det_stop [S_f],
+        live [S_f])``) — identical across plain / sharded / pipeline
+        topologies, so event parity between them is preserved.
+
+        Three rules make the cuts behave like the interior (closing the
+        double-spawn race that candidate-midpoint jitter at a cut opens —
+        a burst transient's candidate can land its midpoint on the other
+        side of the cut from the steady-state candidate):
+
+        1. KILL (lower part wins): a live local slot whose detection
+           interval overlaps a live slot of the LOWER neighbor is
+           discarded silently — no emission, flagged ``killed`` so the
+           host emitters drop its buffered samples. Duplicates only
+           arise from the one-batch race window, so the killed slot's
+           twin holds the full burst.
+        2. REFRESH PRIORITY: a candidate overlapping a live LOCAL slot
+           is always kept (regardless of whose core its midpoint is in)
+           — slots keep being refreshed by their carrier even when its
+           candidates jitter across the cut. Slots spawned EARLIER IN
+           THIS BATCH are covered by the batch-local chain closure: a
+           candidate overlapping an earlier block's kept candidate is
+           kept too (the stationary-carrier chain a per-block slot-table
+           view would produce).
+        3. SPAWN OWNERSHIP: any other candidate survives only if its
+           midpoint bin lies in this part's half-open core (``core_bins``)
+           AND it overlaps no live FOREIGN slot (the carrier is already
+           tracked by the neighbor; matching it here would re-spawn the
+           duplicate every batch).
+
+        Deviations vs the unsplit segment are bounded by the one-batch
+        lag (a same-batch midpoint-jitter duplicate lives for one batch,
+        then dies silently; a slot dying at a cut suppresses a successor
+        spawn for at most one extra batch; a burst whose FIRST candidate
+        lands in the neighbor's core starts up to one block later) and
+        by the overlap margin (see config.split_segment_geometry).
+
+        Returns ``(state', packed', killed [S] bool)``.
+        """
+        killed = jnp.zeros((self.max_slots,), bool)
+        new_state = state
+        if kill_from:
+            live = state["active"] & ~state["tomb"]
+            ov = jnp.zeros((self.max_slots,), bool)
+            for fds, fde, flive in kill_from:
+                # slot-vs-slot overlap, the candidate-match convention
+                # (start < stop && stop >= start; see match_candidates)
+                o = (
+                    (state["det_start"][:, None] < fde[None, :])
+                    & (state["det_stop"][:, None] >= fds[None, :])
+                    & flive[None, :]
+                )
+                ov = ov | jnp.any(o, axis=1)
+            killed = live & ov
+            new_state = {**state, "active": state["active"] & ~killed}
+        if self.core_bins is not None:
+            k = self.k_pack
+            cs = packed[:, 0 * k:1 * k]
+            ce = packed[:, 1 * k:2 * k]
+            cv = packed[:, 2 * k:3 * k] != 0
+            # the same midpoint bin candidate_geometry centers on
+            # (reference lib/SegmentDetection_impl.cc:290-344)
+            mid = cs + (ce - cs) // 2
+            lo, hi = self.core_bins
+            in_core = (mid >= lo) & (mid < hi)
+            live = new_state["active"] & ~new_state["tomb"]
+            local_ov = jnp.any(
+                (cs[:, :, None] < new_state["det_stop"][None, None, :])
+                & (ce[:, :, None] >= new_state["det_start"][None, None, :])
+                & live[None, None, :],
+                axis=2,
+            )  # [B, K]
+            f_ov = jnp.zeros_like(local_ov)
+            for fds, fde, flive in suppress_from:
+                o = (
+                    (cs[:, :, None] < fde[None, None, :])
+                    & (ce[:, :, None] >= fds[None, None, :])
+                    & flive[None, None, :]
+                )
+                f_ov = f_ov | jnp.any(o, axis=2)
+            keep0 = cv & (local_ov | (in_core & ~f_ov))
+            # batch-local spawn-chain closure (rule 2, same-batch case):
+            # a candidate overlapping ANY earlier block's kept candidate
+            # refreshes a slot spawned this batch — keep it. One hop
+            # suffices for stationary carriers (every later candidate
+            # overlaps the first kept one). Cell-mask formulation: the
+            # part's cells covered by kept candidates, exclusive
+            # prefix-OR over blocks, then an overlap test.
+            g = self.geometry
+            c_n = g.n_cells
+            cell_bins = (
+                g.start
+                + jnp.arange(c_n, dtype=jnp.int32) * g.decimation
+            )
+            in_int = (
+                (cell_bins[None, None, :] >= cs[:, :, None])
+                & (cell_bins[None, None, :] < ce[:, :, None])
+            )  # [B, K, C]
+            covered = jnp.any(
+                in_int & keep0[:, :, None], axis=1
+            ).astype(jnp.int32)  # [B, C]
+            earlier = (
+                jnp.cumsum(covered, axis=0) - covered
+            ) > 0  # exclusive prefix OR
+            chain_ov = jnp.any(
+                in_int & earlier[:, None, :], axis=2
+            )  # [B, K]
+            keep = keep0 | (cv & chain_ov)
+            packed = self._recompact_pack(packed, keep)
+        return new_state, packed, killed
+
+    @staticmethod
+    def split_foreign_view(state):
+        """The tiny slot-interval table a split part publishes to its
+        neighbors for :meth:`reconcile_split` (det bounds + liveness)."""
+        return (
+            state["det_start"],
+            state["det_stop"],
+            state["active"] & ~state["tomb"],
+        )
 
     def scan_slots(self, power: jax.Array, state, packed=None):
         """Detection + slot-table lifecycle scan over [B, n_cells] powers.

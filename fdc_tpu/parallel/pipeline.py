@@ -206,17 +206,27 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
         def pipe_front(histf, xf_extf, t0, ov_rowf, ov_flag):
             x = f2c(xf_extf)
             blocks, _ = frame_blocks(x, f2c(histf), n)
-            spec_ext = forward_spectrum(
-                blocks, use_mxu=cfg.use_mxu_fft
-            )  # [B+1, N]; row 0 == previous batch's last row, recomputed
+            # FFT the recomputed reach-back block SEPARATELY from the B
+            # body rows: a single [B+1]-row FFT costs +0.090 ms at the
+            # flagship (odd 513-row tiling + downstream slice
+            # re-materialization — tools/ablate29_tpu.py), most of the
+            # pipeline's decomposition overhead. The split keeps the
+            # plain step's even-B FFT shape and lets consumers read
+            # `spec` as the direct FFT output, with spec_ext as a
+            # TPU-free concat (exactly the plain step's form,
+            # models/channelizer.py _device_step).
+            spec0 = forward_spectrum(
+                blocks[:1], use_mxu=cfg.use_mxu_fft
+            )  # [1, N]; row 0 == previous batch's last row, recomputed
             # resuming from a checkpoint WITHOUT a pipeline tail (one
             # written by the plain/sharded paths): the reach-back row
             # cannot be recomputed, so the first post-resume batch
             # substitutes the checkpoint's carried prev_spec (exact)
-            spec_ext = spec_ext.at[0].set(
-                jnp.where(ov_flag, f2c(ov_rowf), spec_ext[0])
-            )
-            spec = spec_ext[1:]
+            spec0 = jnp.where(ov_flag, f2c(ov_rowf)[None], spec0)
+            spec = forward_spectrum(
+                blocks[1:], use_mxu=cfg.use_mxu_fft
+            )  # [B, N]
+            spec_ext = jnp.concatenate([spec0, spec])
             out, pa_powers, pa_ext, seg_powers, seg_packed = (
                 self._extract_static(spec, spec_ext, t0)
             )
@@ -263,15 +273,19 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
                 tidx = jax.lax.axis_index(ta)
                 x = f2c(xsf[0])           # [(b_local+1)*inplen]
                 blocks, _ = frame_blocks(x, f2c(histsf[0]), n)
-                spec_ext = forward_spectrum(
-                    blocks, use_mxu=cfg.use_mxu_fft
-                )  # [b_local+1, N]
-                spec_ext = spec_ext.at[0].set(
-                    jnp.where(
-                        ov_flag & (tidx == 0), f2c(ov_rowf), spec_ext[0]
-                    )
+                # split reach-back FFT, same rationale as pipe_front
+                # (even-b_local FFT tiling; ablate29)
+                spec0 = forward_spectrum(
+                    blocks[:1], use_mxu=cfg.use_mxu_fft
                 )
-                return self._front_sh_tail(spec_ext, t0, tidx)
+                spec0 = jnp.where(
+                    ov_flag & (tidx == 0), f2c(ov_rowf)[None], spec0
+                )
+                spec = forward_spectrum(
+                    blocks[1:], use_mxu=cfg.use_mxu_fft
+                )  # [b_local, N]
+                spec_ext = jnp.concatenate([spec0, spec])
+                return self._front_sh_tail(spec_ext, t0, tidx, spec=spec)
 
             def pipe_front_spec_sh(specsf, t0):
                 # vector mode: the host ships each shard its b_local+1
@@ -373,12 +387,15 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
 
     # -- pipeline x SPMD composition helpers ---------------------------------
 
-    def _front_sh_tail(self, spec_ext, t0, tidx):
+    def _front_sh_tail(self, spec_ext, t0, tidx, spec=None):
         """Shared post-FFT body of the sharded stage A: extraction +
         measures + candidate packing on this shard's b_local(+1) rows at
-        its global block offset."""
+        its global block offset. Pass ``spec`` (the direct body-FFT
+        output) when available so consumers avoid re-materializing the
+        spec_ext[1:] slice (ablate29)."""
         cfg = self.config
-        spec = spec_ext[1:]
+        if spec is None:
+            spec = spec_ext[1:]
         t_loc0 = t0 + tidx * self.b_local
         out, pa_powers, pa_ext, seg_powers, seg_packed = (
             self._extract_static(spec, spec_ext, t_loc0)
@@ -434,11 +451,35 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
     def _make_group_scan(self, seg_ids, with_powact):
         """One owner device's jitted stage B: the fused lifecycle scans +
         plans for its segment group (plus the powact automaton on owner
-        0). Same ops as _scan_detections restricted to the group."""
+        0). Same ops as _scan_detections restricted to the group.
+
+        ``foreign`` carries split-cut neighbor views — per local segment
+        a (lower, upper) pair of raw (det_start, det_stop, active, tomb)
+        leaves, device_put from the neighbor owner's PREVIOUS-batch state
+        (the lagged contract of SegmentDetector.reconcile_split; the
+        host snapshots all views before dispatching any group, so
+        same-batch updates never leak across owners)."""
         sds = [self.segments[i] for i in seg_ids]
         bank = self.power_bank if with_powact else None
 
-        def fn(states, packed_list, pa_powers, pa_state):
+        def fn(states, packed_list, pa_powers, pa_state, foreign=None):
+            states = list(states)
+            packed_list = list(packed_list)
+            killed_by_lk = {}
+            for lk, (lo_v, hi_v) in (foreign or {}).items():
+                kill_from, sup = [], []
+                if lo_v is not None:
+                    v = (lo_v[0], lo_v[1], lo_v[2] & ~lo_v[3])
+                    kill_from.append(v)
+                    sup.append(v)
+                if hi_v is not None:
+                    sup.append((hi_v[0], hi_v[1], hi_v[2] & ~hi_v[3]))
+                st, pk, killed = sds[lk].reconcile_split(
+                    states[lk], packed_list[lk], kill_from, sup
+                )
+                states[lk] = st
+                packed_list[lk] = pk
+                killed_by_lk[lk] = killed
             pa_res = None
             if bank is not None:
                 if sds:
@@ -456,8 +497,11 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
                     packed_list=list(packed_list),
                 )
             outs = []
-            for sd, (st, flags) in zip(sds, seg_scans):
-                outs.append((st, self._seg_scan_outputs(sd, st, flags)))
+            for lk, (sd, (st, flags)) in enumerate(zip(sds, seg_scans)):
+                so = self._seg_scan_outputs(sd, st, flags)
+                if lk in killed_by_lk:
+                    so["killed"] = killed_by_lk[lk]
+                outs.append((st, so))
             return outs, pa_res
 
         return jax.jit(fn)
@@ -567,6 +611,17 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
             # concurrently. Carry leaves live on their owners.
             results = [None] * len(self.segments)
             pa_res = None
+            # split-cut neighbor views: snapshot ALL split parts' states
+            # BEFORE dispatching any group (the previous batch's states —
+            # the lagged contract; device_put of a still-computing array
+            # queues asynchronously, so the owner chain never blocks)
+            views = {}
+            for i in self._split_neighbors:
+                st = self._carry[f"seg{i}"]
+                views[i] = (
+                    st["det_start"], st["det_stop"],
+                    st["active"], st["tomb"],
+                )
             for k, ((odev, ids), fn) in enumerate(
                 zip(self._owner_groups, self._jit_scan_groups)
             ):
@@ -577,14 +632,25 @@ class PipelineChannelizer(FrequencyDomainChannelizer):
                 packs = tuple(
                     jax.device_put(seg_packed[i], odev) for i in ids
                 )
+                foreign = {}
+                for lk, i in enumerate(ids):
+                    if i in self._split_neighbors:
+                        lo, hi = self._split_neighbors[i]
+                        foreign[lk] = (
+                            jax.device_put(views[lo], odev)
+                            if lo is not None else None,
+                            jax.device_put(views[hi], odev)
+                            if hi is not None else None,
+                        )
                 if k == 0 and self.power_bank:
                     outs, pa_res = fn(
                         states, packs,
                         jax.device_put(pa_powers, odev),
                         jax.device_put(self._carry["powact"], odev),
+                        foreign,
                     )
                 else:
-                    outs, _ = fn(states, packs, None, None)
+                    outs, _ = fn(states, packs, None, None, foreign)
                 for i, (st, so) in zip(ids, outs):
                     self._carry = dict(self._carry)
                     self._carry[f"seg{i}"] = st

@@ -477,6 +477,14 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
             seg_pl.append(power_local)
             packed_local, _ = sd._packed_candidates(power_local)
             seg_pk.append(_gather_time(packed_local, n_time))  # [B, 7K]
+        # split-segment cut reconciliation (lagged-neighbor contract, same
+        # as the plain step's _scan_detections): runs replicated on the
+        # replicated entry states/packs, so every rank computes identical
+        # kills/suppressions
+        seg_killed = self._reconcile_splits(
+            carry, seg_pk,
+            {i: carry[f"seg{i}"] for i in self._split_neighbors},
+        )
         if shard_scans:
             # group segments by owner rank: each owner runs ITS segments'
             # scans FUSED in one kernel (scan_slots_multi) inside one
@@ -562,6 +570,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                 },
                 "power": power_local,
             }
+            if i in seg_killed:
+                so["killed"] = seg_killed[i]
 
             # compaction plans are replicated (computed from the replicated
             # flags); each chan rank extracts its slice of them
@@ -660,6 +670,8 @@ class ShardedChannelizer(FrequencyDomainChannelizer):
                     CHAN_AXIS, TIME_AXIS, None, None, None
                 )
                 spec["slot_ids_narrow"] = P()
+            if i in self._split_neighbors:
+                spec["killed"] = P()  # replicated kill mask (see above)
             out[f"seg{i}"] = spec
         if cfg.debug:
             out["debug_spectrum"] = P(TIME_AXIS, None, None)

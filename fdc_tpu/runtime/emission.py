@@ -461,6 +461,24 @@ class SegmentDetectionEmitter:
             outputs, self.overflow_slots, self.log_fn
         )
 
+        # split-cut reconciliation (SegmentDetector.reconcile_split):
+        # slots killed as cross-part duplicates at BATCH ENTRY — discard
+        # their buffered burst silently (the twin slot in the adjacent
+        # part holds the data); they carry no flags this step.
+        killed = outputs.get("killed")
+        if killed is not None:
+            for s_k in np.flatnonzero(np.asarray(killed)):
+                if self._live[s_k]:
+                    if self.log_fn is not None:
+                        self.log_fn(
+                            f"{self._msg_id[s_k]} killed (cut duplicate)"
+                        )
+                    self._live[s_k] = False
+                    self._data[s_k] = []
+                    self._count[s_k] = 0
+                    self._part[s_k] = 0
+                    self._msg_id[s_k] = ""
+
         # extraction rows are compacted: row_of[slot] -> extract row, or -1
         # if the slot's samples were beyond the extraction budget this step
         # (outputs["ext_overflow"] counts them; data is replaced by zeros).
@@ -765,6 +783,12 @@ class NativeSegmentDetectionEmitter:
         self.overflow_slots = _surface_overflow(
             outputs, self.overflow_slots, self.log_fn
         )
+        # split-cut duplicate kills (see the Python emitter for the
+        # contract); the engine resets the unit without emitting
+        killed = outputs.get("killed")
+        if killed is not None:
+            for s_k in np.flatnonzero(np.asarray(killed)):
+                self.engine.kill_unit(int(s_k))
         ts = current_timestamp()
         ids = b"".join(
             make_event_id(

@@ -135,6 +135,7 @@ def _load():
         lib.fdc_emit_set_want_data.argtypes = [c.c_void_p, c.c_int]
         lib.fdc_emit_lost_rows.restype = c.c_longlong
         lib.fdc_emit_lost_rows.argtypes = [c.c_void_p]
+        lib.fdc_emit_kill_unit.argtypes = [c.c_void_p, c.c_int]
         u8p = c.POINTER(c.c_uint8)
         i32p = c.POINTER(c.c_int32)
         f32p = c.POINTER(c.c_float)
@@ -450,6 +451,12 @@ class EmissionEngine:
     @property
     def lost_rows(self) -> int:
         return self._lib.fdc_emit_lost_rows(self._h)
+
+    def kill_unit(self, u: int):
+        """Discard one unit's buffered burst without emission
+        (split-segment cut reconciliation; mirrors the Python emitter's
+        killed-slot reset)."""
+        self._lib.fdc_emit_kill_unit(self._h, int(u))
 
     def pa_step(self, rise, fall, processed, phase_used, extract,
                 id_prefix: bytes, t0: int):

@@ -176,6 +176,21 @@ void fdc_emit_set_want_data(Engine* e, int want) {
 
 long long fdc_emit_lost_rows(Engine* e) { return e->lost_rows; }
 
+// Discard one unit's buffered burst WITHOUT emission (split-segment cut
+// reconciliation: the slot was killed as a cross-part duplicate — its
+// twin in the adjacent part's engine holds the data). Mirrors the Python
+// emitter's killed-slot reset: live/data/count/part/msg_id cleared,
+// es/ee/w left in place (overwritten at the next activation).
+void fdc_emit_kill_unit(Engine* e, int u) {
+    if (!e || u < 0 || u >= e->n_units) return;
+    SlotState& st = e->units[u];
+    st.blocks.clear();
+    st.count = 0;
+    st.part = 0;
+    st.msg_id.clear();
+    st.live = false;
+}
+
 // --------------------------------------------------------------------------
 // Segment-detection step.
 // Flags are [S, B] row-major uint8/int32; extract is [E, B+1, l_cap]
