@@ -292,14 +292,23 @@ class SegmentDetector:
             & cand_v[:, None, :]
         ).astype(jnp.float32)  # [B, kp, K]
 
-        def take(v):
-            return jnp.einsum(
-                "bpk,bk->bp", onehot, v.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-
-        cand_s, cand_e = take(cand_s), take(cand_e)
-        cand_v = take(cand_v.astype(jnp.int32)) > 0
+        # ONE stacked contraction for all three column groups (three
+        # separate einsums were three separate kernel launches — the
+        # scan stage is launch-bound, tools/ablate33_tpu.py)
+        vals = jnp.stack(
+            [
+                cand_s.astype(jnp.float32),
+                cand_e.astype(jnp.float32),
+                cand_v.astype(jnp.float32),
+            ],
+            axis=1,
+        )  # [B, 3, K]
+        taken = jnp.einsum(
+            "bpk,bnk->bnp", onehot, vals,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [B, 3, kp]
+        cand_s, cand_e = taken[:, 0], taken[:, 1]
+        cand_v = taken[:, 2] > 0
         k = kp
         cand_s = cand_s * g.decimation + g.start  # -> bin coords
         cand_e = cand_e * g.decimation + g.start
@@ -336,17 +345,19 @@ class SegmentDetector:
             & keep[:, None, :]
         ).astype(jnp.float32)  # [B, K, K]
 
-        def take(v):
-            return jnp.einsum(
-                "bpk,bk->bp", onehot, v.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-
-        groups = [packed[:, j * k:(j + 1) * k] for j in range(7)]
-        groups = [take(g) for g in groups]
-        # group 2 is the validity column family: the compacted keep mask
-        groups[2] = take(keep.astype(jnp.int32))
-        return jnp.concatenate(groups, axis=1)
+        # all 7 column groups through ONE stacked contraction (launch
+        # economy; group 2 is replaced by the compacted keep mask)
+        groups = [
+            packed[:, j * k:(j + 1) * k].astype(jnp.float32)
+            for j in range(7)
+        ]
+        groups[2] = keep.astype(jnp.float32)
+        vals = jnp.stack(groups, axis=1)  # [B, 7, K]
+        taken = jnp.einsum(
+            "bpk,bnk->bnp", onehot, vals,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)  # [B, 7, K]
+        return taken.reshape(taken.shape[0], 7 * k)
 
     def reconcile_split(self, state, packed, kill_from, suppress_from):
         """Split-part pre-scan reconciliation (the cut contract).
