@@ -428,30 +428,19 @@ class SegmentDetector:
             mid = cs + (ce - cs) // 2
             lo, hi = self.core_bins
             in_core = (mid >= lo) & (mid < hi)
-            live = new_state["active"] & ~new_state["tomb"]
-            local_ov = jnp.any(
-                (cs[:, :, None] < new_state["det_stop"][None, None, :])
-                & (ce[:, :, None] >= new_state["det_start"][None, None, :])
-                & live[None, None, :],
-                axis=2,
-            )  # [B, K]
-            f_ov = jnp.zeros_like(local_ov)
-            for fds, fde, flive in suppress_from:
-                o = (
-                    (cs[:, :, None] < fde[None, None, :])
-                    & (ce[:, :, None] >= fds[None, None, :])
-                    & flive[None, None, :]
-                )
-                f_ov = f_ov | jnp.any(o, axis=2)
-            keep0 = cv & (local_ov | (in_core & ~f_ov))
-            # batch-local spawn-chain closure (rule 2, same-batch case):
-            # a candidate overlapping ANY earlier block's kept candidate
-            # refreshes a slot spawned this batch — keep it. One hop
-            # suffices for stationary carriers (every later candidate
-            # overlaps the first kept one). Cell-mask formulation: the
-            # part's cells covered by kept candidates, exclusive
-            # prefix-OR over blocks, then an overlap test.
+            # Everything below runs in CELL-MASK form on the part's C
+            # cells: candidate intervals as [B, K, C] cell memberships
+            # (computed once, shared by every test) and slot tables as
+            # [C] coverage masks. All values are cell-aligned bins, so
+            # the interval-overlap convention (cand cs < slot de AND
+            # cand ce >= slot ds, the match_candidates rule) is EXACTLY
+            # "candidate cells intersect slot cells extended one cell
+            # down": [cs, ce) ∩ [ds - dec, de) != ∅. The naive
+            # [B, K, S_f] interval tensors + a cumsum measured 0.29 ms
+            # per batch at cfg5-split shapes (tools/ablate35_tpu.py);
+            # this form is a few fused elementwise passes + one matmul.
             g = self.geometry
+            dec = g.decimation
             c_n = g.n_cells
             cell_bins = (
                 g.start
@@ -461,12 +450,46 @@ class SegmentDetector:
                 (cell_bins[None, None, :] >= cs[:, :, None])
                 & (cell_bins[None, None, :] < ce[:, :, None])
             )  # [B, K, C]
+
+            def slot_cover(ds, de, live_mask):
+                return jnp.any(
+                    live_mask[:, None]
+                    & (cell_bins[None, :] >= ds[:, None] - dec)
+                    & (cell_bins[None, :] < de[:, None]),
+                    axis=0,
+                )  # [C]
+
+            live = new_state["active"] & ~new_state["tomb"]
+            loc_cover = slot_cover(
+                new_state["det_start"], new_state["det_stop"], live
+            )
+            f_cover = jnp.zeros((c_n,), bool)
+            for fds, fde, flive in suppress_from:
+                f_cover = f_cover | slot_cover(fds, fde, flive)
+            local_ov = jnp.any(
+                in_int & loc_cover[None, None, :], axis=2
+            )  # [B, K]
+            f_ov = jnp.any(in_int & f_cover[None, None, :], axis=2)
+            keep0 = cv & (local_ov | (in_core & ~f_ov))
+            # batch-local spawn-chain closure (rule 2, same-batch case):
+            # a candidate overlapping ANY earlier block's kept candidate
+            # refreshes a slot spawned this batch — keep it. One hop
+            # suffices for stationary carriers (every later candidate
+            # overlaps the first kept one). Exclusive prefix-OR over
+            # blocks as a strict-triangular matmul (cumsum lowers to a
+            # fusion-breaking reduce-window kernel).
             covered = jnp.any(
                 in_int & keep0[:, :, None], axis=1
-            ).astype(jnp.int32)  # [B, C]
-            earlier = (
-                jnp.cumsum(covered, axis=0) - covered
-            ) > 0  # exclusive prefix OR
+            ).astype(jnp.float32)  # [B, C]
+            nb = covered.shape[0]
+            tri_strict = (
+                jnp.arange(nb, dtype=jnp.int32)[:, None]
+                > jnp.arange(nb, dtype=jnp.int32)[None, :]
+            ).astype(jnp.float32)
+            earlier = jnp.dot(
+                tri_strict, covered,
+                preferred_element_type=jnp.float32,
+            ) > 0.0  # [B, C]
             chain_ov = jnp.any(
                 in_int & earlier[:, None, :], axis=2
             )  # [B, K]
