@@ -41,6 +41,8 @@ __all__ = [
     "FrequencyDomainChannelizer",
     "ShardedChannelizer",
     "PipelineChannelizer",
+    "HostPipelineOwner",
+    "HostPipelineWorker",
     "ActivityDetectionChannelizer",
     "StreamDriver",
     "Waterfall",
@@ -49,6 +51,7 @@ __all__ = [
     "make_mesh",
     "nextpow2",
     "is_pow2",
+    "split_segment_geometry",
 ]
 
 # Lazy imports keep `import fdc_tpu` light and avoid import cycles.
@@ -58,6 +61,10 @@ _LAZY = {
     "ShardedChannelizer": ("fdc_tpu.parallel.sharded", "ShardedChannelizer"),
     "PipelineChannelizer": ("fdc_tpu.parallel.pipeline",
                             "PipelineChannelizer"),
+    "HostPipelineOwner": ("fdc_tpu.parallel.hostpipe", "HostPipelineOwner"),
+    "HostPipelineWorker": ("fdc_tpu.parallel.hostpipe",
+                           "HostPipelineWorker"),
+    "split_segment_geometry": ("fdc_tpu.config", "split_segment_geometry"),
     "ActivityDetectionChannelizer": ("fdc_tpu.models.activity_detection",
                                      "ActivityDetectionChannelizer"),
     "StreamDriver": ("fdc_tpu.runtime.stream", "StreamDriver"),

@@ -108,6 +108,29 @@ def _write_events_jsonl(path, events):
     print(f"wrote {path}")
 
 
+def _apply_splits(cfg, args):
+    """--split-segment IDX:N_PARTS[:OVERLAP_CELLS] entries -> config
+    segment_splits (the churn remedy 'more segments = more scan owners'
+    as a CLI knob; see config.split_segment_geometry)."""
+    import dataclasses
+
+    specs = getattr(args, "split_segment", None) or []
+    if not specs:
+        return cfg
+    splits = list(cfg.segment_splits)
+    for spec in specs:
+        parts = spec.split(":")
+        if len(parts) not in (2, 3):
+            raise SystemExit(
+                f"--split-segment {spec!r}: expected IDX:N_PARTS"
+                f"[:OVERLAP_CELLS]"
+            )
+        idx, n = int(parts[0]), int(parts[1])
+        ovl = int(parts[2]) if len(parts) == 3 else 2
+        splits.append((idx, n, ovl))
+    return dataclasses.replace(cfg, segment_splits=tuple(splits))
+
+
 def _cmd_run(args) -> int:
     if args.cpu or args.cpu_devices:
         import jax
@@ -129,6 +152,7 @@ def _cmd_run(args) -> int:
         )
     if args.waterfall and not cfg.debug:
         cfg = dataclasses.replace(cfg, debug=True)
+    cfg = _apply_splits(cfg, args)
     if args.pipeline:
         if args.time_shards > 1 or args.chan_shards > 1:
             raise SystemExit(
@@ -266,6 +290,7 @@ def _cmd_serve(args) -> int:
         cfg = dataclasses.replace(
             cfg, fileoutput=True, outputpath=args.out_dir
         )
+    cfg = _apply_splits(cfg, args)
     live = None
     if args.waterfall_follow:
         from fdc_tpu.utils.waterfall import LiveWaterfall, Waterfall
@@ -575,6 +600,13 @@ def main(argv=None) -> int:
                             "time-shard group (batch_blocks and "
                             "batch_blocks/T must stay multiples of "
                             "relinvovl)")
+    p_run.add_argument("--split-segment", action="append", default=[],
+                       metavar="IDX:N_PARTS[:OVERLAP_CELLS]",
+                       help="partition detection segment IDX into "
+                            "N_PARTS sub-segments with OVERLAP_CELLS "
+                            "(default 2) of scan margin at each cut — "
+                            "more segments = more pipeline scan owners "
+                            "(repeatable)")
     p_run.add_argument("--pipeline-scan-owners", type=int, default=1,
                        metavar="N",
                        help="pipeline: spread segment scan chains over "
@@ -629,6 +661,13 @@ def main(argv=None) -> int:
                        metavar="T",
                        help="pipeline x SPMD: each worker is a T-device "
                             "time-shard group")
+    p_srv.add_argument("--split-segment", action="append", default=[],
+                       metavar="IDX:N_PARTS[:OVERLAP_CELLS]",
+                       help="partition detection segment IDX into "
+                            "N_PARTS sub-segments with OVERLAP_CELLS "
+                            "(default 2) of scan margin at each cut — "
+                            "more segments = more pipeline scan owners "
+                            "(repeatable)")
     p_srv.add_argument("--pipeline-scan-owners", type=int, default=1,
                        metavar="N",
                        help="pipeline: spread segment scan chains over "

@@ -434,3 +434,27 @@ def test_run_pipeline_composed_matches_plain(config_path, tmp_path):
     b = np.fromfile(tmp_path / "comp" / "throughput_ch0.c64", np.complex64)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_run_split_segment_flag(config_path, tmp_path):
+    """--split-segment IDX:N[:OVL] expands the detection segment into
+    sub-segments (config.segment_splits); the throughput stream is
+    untouched and detection still fires (events present). Composes with
+    --pipeline --pipeline-scan-owners (the flag's purpose)."""
+    cap, _ = _capture(tmp_path)
+    _run(config_path, cap, tmp_path / "plain_sp", tmp_path / "ev_a.jsonl")
+    _run(config_path, cap, tmp_path / "split_sp", tmp_path / "ev_b.jsonl",
+         extra=("--split-segment", "0:2:2", "--pipeline", "4",
+                "--pipeline-scan-owners", "2", "--dedicated-owner"))
+    a = np.fromfile(tmp_path / "plain_sp" / "throughput_ch0.c64",
+                    np.complex64)
+    b = np.fromfile(tmp_path / "split_sp" / "throughput_ch0.c64",
+                    np.complex64)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    ev = [json.loads(ln) for ln in
+          (tmp_path / "ev_b.jsonl").read_text().splitlines()]
+    assert any("DETECTED" in e["ID"] for e in ev)
+    with pytest.raises(SystemExit):
+        main(["run", str(config_path), str(cap),
+              "--split-segment", "bogus"])
