@@ -117,6 +117,26 @@ def main(argv=None):
               f"cfreq={e.rel_cfreq:.3f} bw={e.rel_bw:.4f} n={len(e.data)}")
     if args.out and wf.save_png(args.out):
         print(f"waterfall written to {args.out}")
+
+    # event-dense deployments: split each wide segment into independent
+    # sub-segment automata (cut reconciliation keeps detections exact)
+    # and spread the scan chains over pipeline owner devices — the
+    # round-5 churn-capacity transform (PERFORMANCE.md "Round-5: cfg5
+    # churn with the 4-way segment split")
+    from fdc_tpu.parallel.pipeline import PipelineChannelizer
+
+    cfg_split = cfg.replace(
+        batch_blocks=8,
+        segment_splits=[(0, 2, 2), (1, 2, 2)],  # 2 segments -> 4 automata
+        debug=False,
+    )
+    pipe = PipelineChannelizer(
+        cfg_split, devices=jax.devices(), scan_owners=4,
+    )
+    res_p = pipe.process(x[: 2 * pipe.batch_samples])
+    fin_p = [e for e in res_p.events if e.finalized]
+    print(f"split multi-owner pipeline: {len(pipe.segments)} automata, "
+          f"{res_p.blocks_processed} blocks, {len(fin_p)} finalized events")
     return 0
 
 
