@@ -425,6 +425,13 @@ class HostPipelineOwner(PipelineChannelizer):
         finally:
             self._local_only = False
 
+    def process_spectra(self, spectra):
+        raise RuntimeError(
+            "HostPipelineOwner distributes sample-mode process() only; "
+            "for pre-FFT'd vector streams use PipelineChannelizer "
+            "(single process) or ShardedChannelizer (SPMD multi-host)"
+        )
+
 
 # ---------------------------------------------------------------------------
 # worker
@@ -558,3 +565,10 @@ class HostPipelineWorker(PipelineChannelizer):
     def flush(self, finalize: bool = True):
         """No-op on workers (end-of-stream batches run owner-local)."""
         return self._new_result()
+
+    def process_spectra(self, spectra):
+        raise RuntimeError(
+            "HostPipelineWorker distributes sample-mode process() only "
+            "(running the inherited vector-mode pipeline here would "
+            "emit a duplicate event stream)"
+        )
