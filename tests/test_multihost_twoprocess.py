@@ -80,26 +80,32 @@ _HOSTPIPE = os.path.join(
 )
 
 
-def test_two_process_hostpipe_pipeline_matches_single():
-    """REAL two-process validation of the CROSS-PROCESS pipeline
+@pytest.mark.parametrize("n_hosts", [2, 3])
+def test_multiprocess_hostpipe_pipeline_matches_single(n_hosts):
+    """REAL multi-process validation of the CROSS-PROCESS pipeline
     (fdc_tpu.parallel.hostpipe; VERDICT r4 item 2): the owner process
-    runs the scan chain + merged emission, the worker process runs
-    stages A/C for its batches over the TCP message protocol. The owner
-    asserts event parity against a single-process channelizer run and
-    prints the OK marker checked here."""
+    runs the scan chain + merged emission, each worker process runs
+    stages A/C for its round-robin batches over the TCP message
+    protocol. n_hosts=3 exercises the owner's per-connection demux with
+    batches interleaving across two workers. The owner asserts event
+    parity against a single-process channelizer run and prints the OK
+    marker checked here."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 
+    cmds = [[sys.executable, _HOSTPIPE, "owner", str(port), str(n_hosts)]]
+    for hid in range(1, n_hosts):
+        cmds.append([sys.executable, _HOSTPIPE, "worker", str(port),
+                     str(n_hosts), str(hid)])
     procs = [
         subprocess.Popen(
-            [sys.executable, _HOSTPIPE, role, str(port)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True,
+            cmd, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
         )
-        for role in ("owner", "worker")
+        for cmd in cmds
     ]
     outs = []
     for p in procs:
@@ -113,4 +119,5 @@ def test_two_process_hostpipe_pipeline_matches_single():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"{p.args} failed:\n{out[-3000:]}"
     assert "OWNER HOSTPIPE==SINGLE OK" in outs[0], outs[0][-3000:]
-    assert "WORKER DONE" in outs[1], outs[1][-2000:]
+    for out in outs[1:]:
+        assert "WORKER DONE" in out, out[-2000:]

@@ -6,9 +6,9 @@ tests/test_multihost_twoprocess.py (pipeline scenario) and usable
 manually:
 
     env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
-        python tools/hostpipe_worker.py owner  <port>
+        python tools/hostpipe_worker.py owner  <port> [n_hosts]
     env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
-        python tools/hostpipe_worker.py worker <port>
+        python tools/hostpipe_worker.py worker <port> [n_hosts] [host_id]
 
 The owner checks event parity against a single-process
 FrequencyDomainChannelizer run of the same capture and prints
@@ -19,6 +19,8 @@ import sys
 import time
 
 role, port = sys.argv[1], int(sys.argv[2])
+n_hosts = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+host_id = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=4")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -62,7 +64,7 @@ def sig(events):
 
 
 if role == "owner":
-    owner = HostPipelineOwner(cfg, n_workers=1, port=port)
+    owner = HostPipelineOwner(cfg, n_workers=n_hosts - 1, port=port)
     owner.accept_workers()
     events = []
     half = len(x) // 2
@@ -93,7 +95,7 @@ else:
     while worker is None:
         try:
             worker = HostPipelineWorker(
-                cfg, host_id=1, n_hosts=2, owner_port=port
+                cfg, host_id=host_id, n_hosts=n_hosts, owner_port=port
             )
         except OSError:
             if time.time() > deadline:
