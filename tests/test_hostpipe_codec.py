@@ -165,3 +165,65 @@ def test_hostpipe_spectra_mode_guarded(tmp_path):
         th.join(timeout=30)
     finally:
         owner.close()
+
+
+def test_owner_surfaces_worker_death():
+    """A worker that dies before shipping its batch's PACKS must surface
+    as a ConnectionError on the owner (within the timeout), never a
+    hang or a silent partial result."""
+    import time
+
+    from fdc_tpu.config import ChannelizerConfig
+    from fdc_tpu.parallel.hostpipe import HostPipelineOwner, _send_msg
+
+    cfg = ChannelizerConfig(
+        blocksize=256, relinvovl=4,
+        activity_detection_segments=[(0.3, 0.42)], batch_blocks=8,
+        max_slots=4,
+    )
+    owner = HostPipelineOwner(cfg, n_workers=1, port=0, timeout=15.0)
+
+    def fake_worker():
+        s = socket.create_connection(("127.0.0.1", owner.port))
+        _send_msg(s, "HELLO", 1, cfg.to_json())
+        time.sleep(0.5)
+        s.close()  # dies before sending any PACKS
+
+    th = threading.Thread(target=fake_worker)
+    th.start()
+    try:
+        owner.accept_workers()
+        x = np.zeros(2 * owner.batch_samples, np.complex64)
+        with pytest.raises(ConnectionError):
+            owner.process(x)
+    finally:
+        owner.close()
+        th.join(timeout=10)
+
+
+def test_owner_rejects_config_mismatch():
+    """A worker built from a different config must be refused at HELLO
+    (batch assignment and geometry must agree across hosts)."""
+    from fdc_tpu.config import ChannelizerConfig
+    from fdc_tpu.parallel.hostpipe import HostPipelineOwner, _send_msg
+
+    cfg = ChannelizerConfig(
+        blocksize=256, relinvovl=4,
+        activity_detection_segments=[(0.3, 0.42)], batch_blocks=8,
+        max_slots=4,
+    )
+    other = cfg.replace(batch_blocks=16)
+    owner = HostPipelineOwner(cfg, n_workers=1, port=0, timeout=15.0)
+
+    def fake_worker():
+        s = socket.create_connection(("127.0.0.1", owner.port))
+        _send_msg(s, "HELLO", 1, other.to_json())
+
+    th = threading.Thread(target=fake_worker)
+    th.start()
+    try:
+        with pytest.raises(ValueError, match="fingerprint"):
+            owner.accept_workers()
+    finally:
+        owner.close()
+        th.join(timeout=10)

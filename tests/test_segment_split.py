@@ -286,3 +286,54 @@ def test_split_sharded_parity():
     ev.extend(sh.flush(finalize=True).events)
     assert _sig(ev) == ref
     assert len(ref) >= 1
+
+
+@pytest.mark.parametrize("seed", list(range(20, 30)))
+def test_split_random_config_fuzz(seed):
+    """Randomized splits (n_parts, overlap, threshold, batch size) and
+    randomized carriers (interior AND near-cut, on/off block scripts):
+    split events must equal unsplit events whenever carriers respect the
+    overlap-margin bound. Carrier widths here are single tones (det
+    width ~1-2 cells), far under any margin >= 2."""
+    rng = np.random.default_rng(seed)
+    n_parts = int(rng.integers(2, 5))
+    ovl = int(rng.integers(2, 5))
+    thresh = float(rng.uniform(6.0, 10.0))
+    bb = int(rng.choice([4, 8, 16]))
+
+    delay = int(rng.integers(0, 3))
+
+    def cfg_with(splits):
+        return ChannelizerConfig(
+            blocksize=512, relinvovl=4,
+            activity_detection_segments=[(0.1, 0.9)],
+            act_det_threshold=thresh, minchandist=0.03,
+            act_det_deactivation_delay=delay, minchanflankpuffer=0.1,
+            batch_blocks=bb, max_slots=8, segment_splits=splits,
+        )
+
+    cfg_u = cfg_with(())
+    cfg_s = cfg_with(((0, n_parts, ovl),))
+    fdc_s = FrequencyDomainChannelizer(cfg_s)
+    g = fdc_s.segments[0].geometry
+    cuts = [sd.core_bins[1] for sd in fdc_s.segments[:-1]]
+    lo_bin = fdc_s.segments[0].core_bins[0]
+    hi_bin = fdc_s.segments[-1].core_bins[1]
+
+    carriers = []
+    n_car = int(rng.integers(2, 5))
+    for c in range(n_car):
+        if cuts and rng.random() < 0.5:
+            b = int(rng.choice(cuts)) + int(
+                rng.integers(-g.decimation, g.decimation)
+            )
+        else:
+            b = int(rng.integers(lo_bin + 8, hi_bin - 8))
+        on = int(rng.integers(2, 30))
+        off = on + int(rng.integers(4, 14))
+        carriers.append(
+            (b / cfg_u.blocksize, float(rng.uniform(1.5, 3.0)), on, off)
+        )
+    x = _capture(cfg_u, carriers, n_blocks=44, seed=seed + 100)
+    su, ss = _sig(_events(cfg_u, x)), _sig(_events(cfg_s, x))
+    assert su == ss
