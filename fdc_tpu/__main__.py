@@ -417,6 +417,15 @@ def _cmd_vcm(args) -> int:
     from fdc_tpu.utils.events import FileSink
 
     cfg = _load_config(args.config)
+    if cfg.segment_splits:
+        # fail loud rather than silently detect with unsplit segments:
+        # the vcm block's segments are already independent automata, so
+        # list the parts as separate segments instead
+        raise SystemExit(
+            "segment_splits is not supported by the vcm block (its "
+            "segments are already independent — list the sub-bands as "
+            "separate activity_detection_segments)"
+        )
     segs = [list(s) for s in cfg.fdc_activity_detection_segments()]
     if not segs:
         print("config has no activity_detection_segments", file=sys.stderr)

@@ -337,3 +337,40 @@ def test_split_random_config_fuzz(seed):
     x = _capture(cfg_u, carriers, n_blocks=44, seed=seed + 100)
     su, ss = _sig(_events(cfg_u, x)), _sig(_events(cfg_s, x))
     assert su == ss
+
+
+def test_split_checkpoint_resume(tmp_path):
+    """Checkpoint/resume with a split segment and an OPEN carrier at a
+    cut: resumed run == uninterrupted run (the split parts' slot states
+    + cross-part duplicate bookkeeping all live in the standard carry /
+    emitter state)."""
+    from fdc_tpu.runtime.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = _mk_cfg(splits=[(0, 4, 2)])
+    fdc_a = FrequencyDomainChannelizer(cfg)
+    cut = fdc_a.segments[0].core_bins[1]
+    # burst spans the checkpoint cut (blocks 11-30; checkpoint mid-burst)
+    x = _capture(cfg, [(cut / cfg.blocksize, 2.0, 11, 30)], n_blocks=48)
+
+    def run(fdc, chunks):
+        ev, n = [], 0
+        for c in chunks:
+            ev.extend(fdc.process(c).events)
+        ev.extend(fdc.flush(finalize=True).events)
+        return ev
+
+    ref = run(FrequencyDomainChannelizer(cfg), [x])
+    half = len(x) // 2 + 13
+
+    fdc_b = FrequencyDomainChannelizer(cfg)
+    ev1 = list(fdc_b.process(x[:half]).events)
+    ckpt = str(tmp_path / "split.ckpt")
+    save_checkpoint(fdc_b, ckpt)
+
+    fdc_c = FrequencyDomainChannelizer(cfg)
+    load_checkpoint(fdc_c, ckpt)
+    ev2 = list(fdc_c.process(x[half:]).events)
+    ev2.extend(fdc_c.flush(finalize=True).events)
+
+    assert _sig(ref) == _sig(ev1 + ev2)
+    assert len(_sig(ref)) >= 1
