@@ -192,7 +192,15 @@ class _WorkerConn:
                 q.put((-1, None))
 
     def get(self, kind: str, timeout: float):
-        b, payload = self.queues[kind].get(timeout=timeout)
+        from queue import Empty
+
+        try:
+            b, payload = self.queues[kind].get(timeout=timeout)
+        except Empty:
+            raise ConnectionError(
+                f"timed out after {timeout:.0f}s waiting for a {kind} "
+                f"message from the worker (is it still running?)"
+            ) from None
         if b == -1 and self._err is not None:
             raise ConnectionError(
                 f"worker connection failed: {self._err!r}"
@@ -537,7 +545,16 @@ class HostPipelineWorker(PipelineChannelizer):
                 (b, out_static, pa_ext, seg_powers, dbgb, extracts)
             )
             self._t0 += cfg.batch_blocks
-            if len(inflight) >= self.window:
+            # ship window FIXED at 2 (not self.window): the owner's
+            # consume frontier lags its scan frontier by
+            # owner_window * n_hosts >= 2 * n_hosts batches, and this
+            # worker's unshipped batches are spaced n_hosts apart — a
+            # ship window of 2 therefore always ships the batch the
+            # owner is waiting on BEFORE this worker blocks on its next
+            # PLANS. A larger worker-side window (e.g. a worker with
+            # more devices than the owner) could hold that batch while
+            # the owner holds the worker's next PLANS: deadlock.
+            if len(inflight) >= 2:
                 self._ship_out(inflight.pop(0))
 
         while inflight:
