@@ -374,3 +374,66 @@ def test_split_checkpoint_resume(tmp_path):
 
     assert _sig(ref) == _sig(ev1 + ev2)
     assert len(_sig(ref)) >= 1
+
+
+def _cfg_two_tier(splits):
+    return ChannelizerConfig(
+        blocksize=512, relinvovl=4,
+        activity_detection_segments=[(0.1, 0.9)],
+        act_det_threshold=8.0, minchandist=0.03,
+        act_det_deactivation_delay=1, minchanflankpuffer=0.1,
+        batch_blocks=8, max_slots=8,
+        max_extract_width=128,
+        extract_budget=2, extract_width_split=32,
+        extract_budget_narrow=4,
+        segment_splits=splits,
+    )
+
+
+def test_split_with_two_tier_extraction():
+    """Splits compose with the two-tier narrow extraction bucket
+    (extract_width_split — the cfg5-style pod configuration): split
+    events equal unsplit events with both buckets live. The overlap
+    margin (5 cells = 35 bins here) is sized to cover the 32-bin
+    extraction widths of two carriers COMPETING across the cut — the
+    documented margin rule covers acceptance interaction, not just a
+    single carrier's own edges."""
+    cfg_u, cfg_s = _cfg_two_tier(()), _cfg_two_tier(((0, 3, 5),))
+    fdc_s = FrequencyDomainChannelizer(cfg_s)
+    cut = fdc_s.segments[0].core_bins[1]
+    lo1, hi1 = fdc_s.segments[1].core_bins
+    x = _capture(
+        cfg_u,
+        [(cut / cfg_u.blocksize, 2.0, 9, 18),      # narrow, on the cut
+         (((lo1 + hi1) // 2) / cfg_u.blocksize, 2.0, 14, 26)],
+        n_blocks=40,
+    )
+    su, ss = _sig(_events(cfg_u, x)), _sig(_events(cfg_s, x))
+    assert su == ss
+    assert len(su) >= 2
+
+
+def test_split_under_margin_deviation_is_bounded():
+    """An UNDER-SIZED margin (2 cells < the 32-bin candidate widths of
+    two carriers interacting across a cut) is the documented deviation
+    regime: greedy-acceptance competition differs near the cut. The
+    deviation must stay bounded — same carrier count, same frequencies,
+    burst extents within one deactivation period — never a lost or
+    duplicated carrier."""
+    cfg_u, cfg_s = _cfg_two_tier(()), _cfg_two_tier(((0, 3, 2),))
+    fdc_s = FrequencyDomainChannelizer(cfg_s)
+    cut = fdc_s.segments[0].core_bins[1]
+    lo1, hi1 = fdc_s.segments[1].core_bins
+    x = _capture(
+        cfg_u,
+        [(cut / cfg_u.blocksize, 2.0, 9, 18),
+         (((lo1 + hi1) // 2) / cfg_u.blocksize, 2.0, 14, 26)],
+        n_blocks=40,
+    )
+    su, ss = _sig(_events(cfg_u, x)), _sig(_events(cfg_s, x))
+    assert len(su) == len(ss)  # no lost, no duplicated carrier
+    slack = cfg_u.act_det_deactivation_delay + 1
+    for a, b in zip(su, ss):
+        assert a[2] == b[2] and a[3] == b[3]  # same cfreq/bw
+        assert abs(a[0] - b[0]) <= slack
+        assert abs(a[1] - b[1]) <= slack
