@@ -321,8 +321,13 @@ def split_segment_geometry(
     midpoint has an owner (no lost carrier), PROVIDED both its edges lie
     within the owner's scan region — carriers wider than
     ``2 * overlap_cells * decimation`` bins centered at a cut are the
-    documented bounded deviation (size ``overlap_cells`` to half the
-    widest expected carrier).
+    documented bounded deviation. Size ``overlap_cells`` to the widest
+    expected carrier (not half): the margin must also cover the greedy
+    ACCEPTANCE interaction of two carriers competing across a cut
+    (candidates within each other's width — see
+    tests/test_segment_split.py::test_split_under_margin_deviation_is_bounded
+    for the under-margined regime's bound: never a lost or duplicated
+    carrier, extents within one deactivation period).
 
     Why this exists: segments are independent automata (the reference
     runs one std::thread per segment,
