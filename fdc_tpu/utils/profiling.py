@@ -248,7 +248,12 @@ def measure_samples_per_sec(channelizer, k: int = 8) -> float:
     """Steady-state device throughput (samples/s) of a channelizer's step.
 
     Feeds unit-amplitude noise; detection activity is whatever the noise
-    triggers (matching the bench methodology).
+    triggers (matching the bench methodology). K auto-grows until the
+    timed window covers >= 30 ms: fast configs (e.g. BASELINE cfg1's
+    single channel, ~0.2 ms/step) otherwise sit under the ~25 ms
+    dispatch-jitter floor and swing ±25% run-to-run (the timing rule of
+    PERFORMANCE.md "Measurement methodology"; a K=48 cfg1 window was
+    ~10 ms and read 5841 vs 7718 MS/s across two same-day runs).
     """
     import numpy as np
 
@@ -266,5 +271,12 @@ def measure_samples_per_sec(channelizer, k: int = 8) -> float:
     def step(c, xf_in, t_idx):
         return channelizer._device_step(c, xf_in, t_idx * cfg.batch_blocks)
 
+    # probe for K sizing, then a MEDIAN estimate (time_scanned's
+    # best-of-repeats is a min-of-diffs — biased fast; CLAUDE.md timing
+    # trap (b))
     dt = time_scanned(step, carry, xf, k=k)
+    k2 = k
+    if dt * k < 0.025:
+        k2 = int(min(4096, max(k, 0.030 / max(dt, 1e-9))))
+    dt = time_scanned_stats(step, carry, xf, k=k2, repeats=7)["median"]
     return n / dt
