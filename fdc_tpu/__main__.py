@@ -131,6 +131,59 @@ def _apply_splits(cfg, args):
     return dataclasses.replace(cfg, segment_splits=tuple(splits))
 
 
+def _make_hostpipe(cfg, args):
+    """Build the cross-process pipeline end for --hostpipe-owner /
+    --hostpipe-worker (fdc_tpu.parallel.hostpipe): every participating
+    host runs the SAME `run` command over the SAME capture; events and
+    stream outputs come out of the owner process only."""
+    import time as _time
+
+    if args.hostpipe_owner and args.hostpipe_worker:
+        raise SystemExit(
+            "--hostpipe-owner and --hostpipe-worker are exclusive"
+        )
+    if args.hostpipe_owner:
+        from fdc_tpu.parallel.hostpipe import HostPipelineOwner
+
+        fdc = HostPipelineOwner(
+            cfg, n_workers=args.hostpipe_owner, port=args.hostpipe_port,
+        )
+        print(f"hostpipe owner listening on port {fdc.port} "
+              f"({args.hostpipe_owner} worker(s))", flush=True)
+        if args.hostpipe_port_file:
+            with open(args.hostpipe_port_file, "w") as f:
+                f.write(str(fdc.port))
+        fdc.accept_workers()
+        print("hostpipe workers connected", flush=True)
+        return fdc
+    try:
+        hid, n_hosts = (int(v) for v in args.hostpipe_worker.split(":"))
+    except ValueError:
+        raise SystemExit(
+            f"--hostpipe-worker {args.hostpipe_worker!r}: expected "
+            f"HOST_ID:N_HOSTS"
+        )
+    addr, _, port_s = (args.hostpipe_connect or "").rpartition(":")
+    if not addr or not port_s.isdigit():
+        raise SystemExit(
+            "--hostpipe-worker requires --hostpipe-connect ADDR:PORT"
+        )
+    from fdc_tpu.parallel.hostpipe import HostPipelineWorker
+
+    # the owner may not have bound yet — retry briefly
+    deadline = _time.time() + 60
+    while True:
+        try:
+            return HostPipelineWorker(
+                cfg, host_id=hid, n_hosts=n_hosts,
+                owner_addr=addr, owner_port=int(port_s),
+            )
+        except OSError:
+            if _time.time() > deadline:
+                raise
+            _time.sleep(0.2)
+
+
 def _cmd_run(args) -> int:
     if args.cpu or args.cpu_devices:
         import jax
@@ -153,7 +206,15 @@ def _cmd_run(args) -> int:
     if args.waterfall and not cfg.debug:
         cfg = dataclasses.replace(cfg, debug=True)
     cfg = _apply_splits(cfg, args)
-    if args.pipeline:
+    if args.hostpipe_owner or args.hostpipe_worker:
+        if (args.pipeline or args.time_shards > 1
+                or args.chan_shards > 1):
+            raise SystemExit(
+                "--hostpipe-* and --pipeline/--time-shards/--chan-shards "
+                "are exclusive"
+            )
+        fdc = _make_hostpipe(cfg, args)
+    elif args.pipeline:
         if args.time_shards > 1 or args.chan_shards > 1:
             raise SystemExit(
                 "--pipeline and --time-shards/--chan-shards are exclusive"
@@ -263,6 +324,8 @@ def _cmd_run(args) -> int:
         else:
             print("matplotlib unavailable; waterfall PNG skipped",
                   file=sys.stderr)
+    if args.hostpipe_owner or args.hostpipe_worker:
+        fdc.close()
     return 0
 
 
@@ -609,6 +672,24 @@ def main(argv=None) -> int:
                             "time-shard group (batch_blocks and "
                             "batch_blocks/T must stay multiples of "
                             "relinvovl)")
+    p_run.add_argument("--hostpipe-owner", type=int, default=0,
+                       metavar="N_WORKERS",
+                       help="cross-process pipeline OWNER: run the scan "
+                            "chain + merged emission here, accept "
+                            "N_WORKERS worker processes (every host runs "
+                            "the same run command over the same capture)")
+    p_run.add_argument("--hostpipe-port", type=int, default=0,
+                       help="owner listen port (0 = ephemeral)")
+    p_run.add_argument("--hostpipe-port-file", default="",
+                       help="owner: write the bound port here")
+    p_run.add_argument("--hostpipe-worker", default="",
+                       metavar="HOST_ID:N_HOSTS",
+                       help="cross-process pipeline WORKER: run stages "
+                            "A/C for this host's batches (outputs come "
+                            "out of the owner process)")
+    p_run.add_argument("--hostpipe-connect", default="",
+                       metavar="ADDR:PORT",
+                       help="worker: the owner's address")
     p_run.add_argument("--split-segment", action="append", default=[],
                        metavar="IDX:N_PARTS[:OVERLAP_CELLS]",
                        help="partition detection segment IDX into "

@@ -121,3 +121,84 @@ def test_multiprocess_hostpipe_pipeline_matches_single(n_hosts):
     assert "OWNER HOSTPIPE==SINGLE OK" in outs[0], outs[0][-3000:]
     for out in outs[1:]:
         assert "WORKER DONE" in out, out[-2000:]
+
+
+def test_hostpipe_cli_two_process(tmp_path):
+    """The --hostpipe-owner/--hostpipe-worker CLI surface: two `run`
+    processes over the same capture; the owner's events must match a
+    plain single-process `run` of the same capture."""
+    import numpy as np
+
+    from fdc_tpu.config import ChannelizerConfig
+
+    cfg = ChannelizerConfig(
+        blocksize=256, relinvovl=4,
+        throughput_channels=[(-0.2, 0.05)],
+        activity_detection_segments=[(0.1, 0.4)],
+        act_det_threshold=8.0, minchandist=0.02,
+        freqmode="basebandfs", batch_blocks=8,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(cfg.to_json())
+    n = 6 * cfg.batch_blocks * cfg.inplen
+    t = np.arange(n)
+    rng = np.random.default_rng(5)
+    x = (np.exp(2j * np.pi * -0.2 * t)
+         + 0.02 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)))
+    m = np.zeros(n)
+    m[9 * cfg.inplen: 30 * cfg.inplen] = 1.0
+    x = (x + 2.0 * m * np.exp(2j * np.pi * 0.25 * t)).astype(np.complex64)
+    cap = tmp_path / "cap.c64"
+    x.tofile(cap)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    port = _free_port()
+
+    owner = subprocess.Popen(
+        [sys.executable, "-m", "fdc_tpu", "run", str(cfg_path), str(cap),
+         "--hostpipe-owner", "1", "--hostpipe-port", str(port),
+         "--events-jsonl", str(tmp_path / "ev_owner.jsonl")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, cwd=str(tmp_path),
+    )
+    worker = subprocess.Popen(
+        [sys.executable, "-m", "fdc_tpu", "run", str(cfg_path), str(cap),
+         "--hostpipe-worker", "1:2",
+         "--hostpipe-connect", f"127.0.0.1:{port}"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, cwd=str(tmp_path),
+    )
+    plain = subprocess.Popen(
+        [sys.executable, "-m", "fdc_tpu", "run", str(cfg_path), str(cap),
+         "--events-jsonl", str(tmp_path / "ev_plain.jsonl")],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, cwd=str(tmp_path),
+    )
+    outs = {}
+    for name, p in (("owner", owner), ("worker", worker),
+                    ("plain", plain)):
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in (owner, worker, plain):
+                q.kill()
+            raise
+        outs[name] = out
+        assert p.returncode == 0, f"{name} failed:\n{out[-3000:]}"
+
+    import json as _json
+
+    def sig(path):
+        evs = [_json.loads(ln) for ln in path.read_text().splitlines()]
+        return [(e["ID"].split(".", 1)[1], e["blockstart"], e["blockend"])
+                for e in evs]
+
+    s_owner = sig(tmp_path / "ev_owner.jsonl")
+    s_plain = sig(tmp_path / "ev_plain.jsonl")
+    assert s_owner == s_plain, (s_owner, s_plain)
+    assert len(s_owner) >= 1
