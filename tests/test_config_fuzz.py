@@ -26,6 +26,26 @@ def random_config(rng):
         b = a + float(rng.uniform(0.08, 0.2))
         segs.append((a, min(b, 0.45)))
 
+    minchandist = float(rng.uniform(0.005, 0.05))
+
+    # sometimes partition a random segment (round-5 segment_splits);
+    # only when the solved geometry has enough cells for the draw
+    splits = []
+    if segs and rng.random() < 0.4:
+        from fdc_tpu.config import FreqConverter, FreqMode, solve_segment
+
+        idx = int(rng.integers(0, len(segs)))
+        n_parts = int(rng.integers(2, 4))
+        conv = FreqConverter(FreqMode.basebandfs, 1.0, 0.0)
+        g = solve_segment(
+            blocksize,
+            conv.to_fdc_freq(segs[idx][0]),
+            conv.to_fdc_freq(segs[idx][1]),
+            conv.to_fdc_bw(minchandist),
+        )
+        if g.n_cells >= n_parts:
+            splits = [(idx, n_parts, int(rng.integers(0, 4)))]
+
     return ChannelizerConfig(
         blocksize=blocksize,
         relinvovl=relinvovl,
@@ -34,7 +54,7 @@ def random_config(rng):
         activity_detection_segments=segs,
         act_contr_threshold=float(rng.uniform(3.0, 15.0)),
         act_det_threshold=float(rng.uniform(3.0, 12.0)),
-        minchandist=float(rng.uniform(0.005, 0.05)),
+        minchandist=minchandist,
         minchanflankpuffer=float(rng.uniform(0.0, 0.4)),
         freqmode="basebandfs",
         batch_blocks=int(rng.choice([2, 4, 8])),
@@ -42,6 +62,7 @@ def random_config(rng):
         max_candidates=int(rng.choice([4, 8])),
         pow_act_maxblocks=int(rng.choice([0, 4, 64])),
         act_det_maxblocks=int(rng.choice([4, 64, 256])),
+        segment_splits=splits,
         # randomized output-compaction knobs: full table, a wide-only
         # budget, or two-tier narrow+wide extraction
         **rand_compaction(rng, blocksize),
