@@ -70,10 +70,20 @@ def _cmd_config(args) -> int:
               f"{g.extract_stop}) width={g.extract_width} "
               f"measure=[{g.measure_start},{g.measure_stop}) "
               f"out_len={g.out_len}")
+    splits = {idx: (n, ovl) for idx, n, ovl in cfg.segment_splits}
     for i, (a, b) in enumerate(cfg.fdc_activity_detection_segments()):
         g = solve_segment(cfg.blocksize, a, b, cfg.minchandist)
         print(f"segment[{i}]: bins=[{g.start},{g.stop}) dec={g.decimation} "
               f"cells={g.n_cells}")
+        if i in splits:
+            from fdc_tpu.config import split_segment_geometry
+
+            n_parts, ovl = splits[i]
+            for p, (gp, core) in enumerate(
+                split_segment_geometry(g, n_parts, ovl)
+            ):
+                print(f"  part[{p}]: scan=[{gp.start},{gp.stop}) "
+                      f"core=[{core[0]},{core[1]}) cells={gp.n_cells}")
     return 0
 
 
