@@ -437,3 +437,36 @@ def test_split_under_margin_deviation_is_bounded():
         assert a[2] == b[2] and a[3] == b[3]  # same cfreq/bw
         assert abs(a[0] - b[0]) <= slack
         assert abs(a[1] - b[1]) <= slack
+
+
+def test_two_split_segments_parity():
+    """Multiple segment_splits entries at once (two bands each split in
+    two): events equal the unsplit two-segment config."""
+    def cfg_with(splits):
+        return ChannelizerConfig(
+            blocksize=512, relinvovl=4,
+            activity_detection_segments=[(0.15, 0.45), (0.55, 0.85)],
+            act_det_threshold=8.0, minchandist=0.03,
+            act_det_deactivation_delay=1, minchanflankpuffer=0.1,
+            batch_blocks=8, max_slots=8, segment_splits=splits,
+        )
+
+    cfg_u = cfg_with(())
+    cfg_s = cfg_with(((0, 2, 2), (1, 2, 2)))
+    fdc_s = FrequencyDomainChannelizer(cfg_s)
+    assert len(fdc_s.segments) == 4
+    # adjacency must NOT link parts of different parents
+    assert fdc_s._split_neighbors == {
+        0: (None, 1), 1: (0, None), 2: (None, 3), 3: (2, None),
+    }
+    cut0 = fdc_s.segments[0].core_bins[1]
+    cut1 = fdc_s.segments[2].core_bins[1]
+    x = _capture(
+        cfg_u,
+        [(cut0 / cfg_u.blocksize, 2.0, 6, 16),
+         (cut1 / cfg_u.blocksize, 2.0, 12, 24)],
+        n_blocks=40,
+    )
+    su, ss = _sig(_events(cfg_u, x)), _sig(_events(cfg_s, x))
+    assert su == ss
+    assert len(su) >= 2
