@@ -9,8 +9,11 @@ Semantics at the cut mirror the reference's own adjacent-segment borders
 automata): a candidate is OWNED by the part whose half-open core contains
 its extraction midpoint bin; the overlap margin only widens what each part
 scans so edge ratios and the greedy acceptance see the unsplit
-neighborhood. Deviation bound: carriers wider than
-2 * overlap_cells * decimation bins centered at a cut.
+neighborhood. Deviation bound (see config.split_segment_geometry):
+detections wider than the margin at a cut, acceptance interaction of
+carriers within each other's width across a cut, and carriers below the
+minchandist cell resolution straddling a cut; the adversarial
+no-discipline sweep is tools/sweep_split_parity.py.
 """
 
 import numpy as np
