@@ -49,8 +49,10 @@ def main():
     # across same-day runs; interleaving (time_scanned_paired) cancels
     # slow drift, but the per-round dispatch jitter leaves the per-round
     # ratio IQR at ~±2.5%, so the median of 31 rounds still carries ~±1%
-    # standard error — 63 rounds brings it to ~±0.7% for ~10 s extra
-    ap.add_argument("--repeats", type=int, default=63)
+    # standard error. 51 (round 5, was 63): with pairs=5 the per-round
+    # values are tighter, and 63×5 pairs pushed slow-tunnel sessions
+    # to 8-10 min wall — too close to the driver's bench window.
+    ap.add_argument("--repeats", type=int, default=51)
     # per-round median of this many back-to-back K/2K pairs (spike/drift
     # rejection inside a round; see time_scanned_paired). 7 (round 5,
     # was 3): the per-round ratio IQR is what the driver's q25 bar reads
