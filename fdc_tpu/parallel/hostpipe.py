@@ -356,10 +356,9 @@ class HostPipelineOwner(PipelineChannelizer):
         batch (same code path: host-fed framing tail, direct host->worker
         device placement)."""
         cfg = self.config
-        dev = self.workers[0] if len(self.workers) == 1 else (
-            self.workers[(self._t0 // cfg.batch_blocks)
-                         % len(self.workers)]
-        )
+        dev = self.workers[
+            (self._t0 // cfg.batch_blocks) % len(self.workers)
+        ]
         x_ext = np.concatenate([self._tail[cfg.ovllen:], chunk])
         histf = jax.device_put(c2f_host(self._tail[: cfg.ovllen]), dev)
         xf = jax.device_put(c2f_host(x_ext), dev)
